@@ -1,0 +1,35 @@
+from algodsp_tpu.spectrum.spectrum import (
+    magnitude,
+    magnitude_from_parts,
+    power,
+    power_from_parts,
+    phase,
+    unwrap_phase,
+    group_delay_from_phase,
+    group_delay_seconds,
+    interpolate_linear,
+    smooth_fractional_octave,
+)
+from algodsp_tpu.spectrum.goertzel import (
+    Goertzel,
+    goertzel_power,
+    goertzel_magnitude,
+    goertzel_power_db,
+)
+
+__all__ = [
+    "Goertzel",
+    "goertzel_magnitude",
+    "goertzel_power",
+    "goertzel_power_db",
+    "group_delay_from_phase",
+    "group_delay_seconds",
+    "interpolate_linear",
+    "magnitude",
+    "magnitude_from_parts",
+    "phase",
+    "power",
+    "power_from_parts",
+    "smooth_fractional_octave",
+    "unwrap_phase",
+]

@@ -1,0 +1,98 @@
+"""Spectrum tests with analytic oracles (mirrors `spectrum_test.go`)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from algodsp_tpu import spectrum
+
+
+def test_magnitude_power_phase():
+    bins = np.array([3 + 4j, 0 + 1j, -1 + 0j, 0 + 0j])
+    np.testing.assert_allclose(spectrum.magnitude(bins), [5.0, 1.0, 1.0, 0.0], atol=1e-12)
+    np.testing.assert_allclose(spectrum.power(bins), [25.0, 1.0, 1.0, 0.0], atol=1e-12)
+    np.testing.assert_allclose(spectrum.phase(bins),
+                               [np.arctan2(4, 3), np.pi / 2, np.pi, 0.0], atol=1e-12)
+
+
+def test_from_parts():
+    re = np.array([3.0, 0.0])
+    im = np.array([4.0, 2.0])
+    np.testing.assert_allclose(spectrum.magnitude_from_parts(re, im), [5.0, 2.0], atol=1e-12)
+    np.testing.assert_allclose(spectrum.power_from_parts(re, im), [25.0, 4.0], atol=1e-12)
+
+
+def test_unwrap_phase_matches_numpy():
+    rng = np.random.default_rng(7)
+    ph = np.cumsum(rng.uniform(-2.0, 2.0, size=256))
+    wrapped = np.angle(np.exp(1j * ph))
+    ours = np.asarray(spectrum.unwrap_phase(wrapped))
+    theirs = np.unwrap(wrapped)
+    np.testing.assert_allclose(ours, theirs, atol=1e-9)
+
+
+def test_unwrap_batched():
+    ph = np.stack([np.linspace(0, 20, 100), np.linspace(0, -20, 100)])
+    wrapped = np.angle(np.exp(1j * ph))
+    out = np.asarray(spectrum.unwrap_phase(wrapped))
+    expected = np.unwrap(wrapped, axis=-1)
+    np.testing.assert_allclose(out, expected, atol=1e-9)
+
+
+def test_group_delay_linear_phase():
+    # pure delay of D samples: phase = -2*pi*k*D/N -> group delay = D everywhere
+    n = 512
+    d = 7.0
+    k = np.arange(n // 2 + 1)
+    ph = -2 * np.pi * k * d / n
+    gd = np.asarray(spectrum.group_delay_from_phase(ph, n))
+    np.testing.assert_allclose(gd, d, atol=1e-9)
+    gds = np.asarray(spectrum.group_delay_seconds(ph, n, 48000.0))
+    np.testing.assert_allclose(gds, d / 48000.0, atol=1e-12)
+
+
+def test_interpolate_linear():
+    x = np.array([0.0, 1.0, 2.0])
+    y = np.array([0.0, 10.0, 20.0])
+    q = np.array([-1.0, 0.5, 1.5, 3.0])
+    out = np.asarray(spectrum.interpolate_linear(x, y, q))
+    np.testing.assert_allclose(out, [0.0, 5.0, 15.0, 20.0], atol=1e-12)
+
+
+def test_smooth_fractional_octave_flat_is_identity():
+    f = np.geomspace(20.0, 20000.0, 200)
+    v = np.full(200, 3.0)
+    out = np.asarray(spectrum.smooth_fractional_octave(f, v, 3))
+    np.testing.assert_allclose(out, v, atol=1e-12)
+
+
+def test_smooth_fractional_octave_matches_naive():
+    rng = np.random.default_rng(3)
+    f = np.geomspace(20.0, 20000.0, 300)
+    v = rng.uniform(0.0, 1.0, 300)
+    frac = 6
+    out = np.asarray(spectrum.smooth_fractional_octave(f, v, frac))
+
+    # naive reference implementation (as in spectrum.go:305-350)
+    half = 2 ** (1 / (2 * frac))
+    expected = np.empty_like(v)
+    for i, fc in enumerate(f):
+        lo, hi = fc / half, fc * half
+        i0 = np.searchsorted(f, lo, side="left")
+        i1 = np.searchsorted(f, hi, side="right")
+        expected[i] = v[i0:i1].mean() if i1 > i0 else v[i]
+    np.testing.assert_allclose(out, expected, atol=1e-12)
+
+
+def test_spectrum_of_sine_peak_bin():
+    # End-to-end: Hann-windowed FFT of a bin-centered sine puts the peak
+    # at the right bin with amplitude ~ A*N*CG/2.
+    from algodsp_tpu import window, signal
+    n = 4096
+    sr = 48000.0
+    bin_idx = 100
+    freq = bin_idx * sr / n
+    x = signal.sine(freq, 1.0, n, sr, dtype=jnp.float64)
+    xw = window.apply(x, window.WindowType.HANN, periodic=True)
+    mag = np.asarray(spectrum.magnitude(jnp.fft.rfft(xw)))
+    assert np.argmax(mag) == bin_idx
+    np.testing.assert_allclose(mag[bin_idx], 0.5 * n * 0.5, rtol=1e-3)
