@@ -1,0 +1,214 @@
+"""Biquad sections and cascades — blocked-scan runtime.
+
+Capability parity with `dsp/filter/biquad/` (Section, Chain, response,
+pole/zero): second-order sections with a0-normalized coefficients
+(`section.go:19-22`), cascaded processing with input gain
+(`chain.go:59-72`), coefficient hot-swap preserving state
+(`chain.go:99-114`), explicit State/SetState (`chain.go:122-137`),
+complex frequency response and closed-form |H|^2 (`response.go:10-75`),
+impulse response extraction (`response.go:77`), and pole/zero factoring
+(`polezero.go:15-80`).
+
+TPU-first runtime: instead of the reference's per-sample SIMD dispatch
+(`section.go:56-81` + arch registry), each section runs as an exact
+blocked recurrence — FIR drive (parallel) + lower-triangular Toeplitz
+matmul on the MXU + log-depth carry scan. See `ops/linrec.py`.
+
+Coefficient layout: an SOS array of shape (S, 5) float64 —
+[b0, b1, b2, a1, a2] per section, a0 normalized to 1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from algodsp_tpu.ops import linrec
+
+
+def sos_array(sections) -> np.ndarray:
+    """Normalize input to an (S, 5) float64 SOS array.
+
+    Accepts one (5,) section, a list of sections, or an (S, 5) array.
+    """
+    a = np.asarray(sections, dtype=np.float64)
+    if a.ndim == 1:
+        a = a[None, :]
+    if a.ndim != 2 or a.shape[1] != 5:
+        raise ValueError(f"sos must have shape (S, 5), got {a.shape}")
+    return a
+
+
+class BiquadChain:
+    """Ordered cascade of biquad sections (the reference's `Chain`).
+
+    Pure-functional runtime: `process` is one-shot from zero state;
+    `init_state`/`process_stream` thread explicit state for block
+    streaming. Both are jit-able; leading batch/channel dims broadcast.
+    """
+
+    def __init__(self, sos, *, gain: float = 1.0,
+                 block_size: int = linrec.DEFAULT_BLOCK):
+        self.sos = sos_array(sos)
+        self.gain = float(gain)
+        self.block_size = int(block_size)
+        self._kernels = linrec.ar2_kernels(self.sos[:, 3], self.sos[:, 4],
+                                           self.block_size)
+
+    # -- introspection (chain.go:102-137) --------------------------------
+    @property
+    def num_sections(self) -> int:
+        return self.sos.shape[0]
+
+    @property
+    def order(self) -> int:
+        return 2 * self.sos.shape[0]
+
+    def update_coefficients(self, sos, gain: float | None = None) -> "BiquadChain":
+        """Return a new chain with swapped coefficients. State objects
+        remain valid when the section count is unchanged — the analog of
+        the reference's state-preserving hot swap (`chain.go:99-114`)."""
+        return BiquadChain(sos, gain=self.gain if gain is None else gain,
+                           block_size=self.block_size)
+
+    # -- state ------------------------------------------------------------
+    def init_state(self, batch_shape: tuple[int, ...] = (), dtype=jnp.float32):
+        """Streaming state (..., S, 4): per section
+        (x_{n-1}, x_{n-2}, y_{n-1}, y_{n-2}) in the direct-form basis —
+        the same information as the reference's DF2T (d0, d1)."""
+        return jnp.zeros(batch_shape + (self.num_sections, 4), dtype=dtype)
+
+    # -- processing -------------------------------------------------------
+    def _run(self, x, state, *, mode: str):
+        x = jnp.asarray(x)
+        n = x.shape[-1]
+        if self.gain != 1.0:
+            x = x * jnp.asarray(self.gain, x.dtype)
+
+        b = self.block_size
+        pad = (-n) % b if mode == "blocked" else 0
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1)
+
+        new_states = []
+        for s in range(self.num_sections):
+            b0, b1, b2, a1, a2 = self.sos[s]
+            st = state[..., s, :]
+            x_in = x
+            f = linrec.fir3(x, jnp.asarray(b0, x.dtype), jnp.asarray(b1, x.dtype),
+                            jnp.asarray(b2, x.dtype), st[..., 0], st[..., 1])
+            if mode == "blocked":
+                y = linrec.ar2_apply_blocked(f, self._kernels, s,
+                                             st[..., 2], st[..., 3])
+            else:
+                y = linrec.ar2_apply_scan(f, a1, a2, st[..., 2], st[..., 3])
+            # carry-out from the true (unpadded) sample positions
+            if n >= 2:
+                ns = jnp.stack([x_in[..., n - 1], x_in[..., n - 2],
+                                y[..., n - 1], y[..., n - 2]], axis=-1)
+            else:
+                ns = jnp.stack([x_in[..., n - 1], st[..., 0],
+                                y[..., n - 1], st[..., 2]], axis=-1)
+            new_states.append(ns)
+            x = y
+
+        y_out = x[..., :n] if pad else x
+        return jnp.stack(new_states, axis=-2), y_out
+
+    def process(self, x, *, mode: str = "blocked"):
+        """One-shot filtering from zero state (`chain.go:74-85`)."""
+        x = jnp.asarray(x)
+        state = self.init_state(x.shape[:-1], dtype=x.dtype)
+        _, y = self._run(x, state, mode=mode)
+        return y
+
+    def process_stream(self, state, x, *, mode: str = "blocked"):
+        """Streaming block processing: (state, x) -> (state, y)."""
+        return self._run(jnp.asarray(x), state, mode=mode)
+
+    # -- analysis (host-side float64) ------------------------------------
+    def response(self, freqs, sample_rate: float) -> np.ndarray:
+        """Complex frequency response of the full cascade × gain
+        (`response.go:10-23` per section, chained)."""
+        return self.gain * sos_response(self.sos, freqs, sample_rate)
+
+    def magnitude_db(self, freqs, sample_rate: float) -> np.ndarray:
+        mag = np.abs(self.response(freqs, sample_rate))
+        with np.errstate(divide="ignore"):
+            return 20.0 * np.log10(mag)
+
+    def impulse_response(self, n: int, dtype=jnp.float64) -> np.ndarray:
+        """First n samples of the impulse response (`response.go:77-97`)."""
+        x = jnp.zeros((n,), dtype=dtype).at[0].set(1.0)
+        return np.asarray(self.process(x, mode="scan" if n < 256 else "blocked"))
+
+
+class Section(BiquadChain):
+    """Single biquad section (the reference's `Section`)."""
+
+    def __init__(self, b0, b1, b2, a1, a2, **kwargs):
+        super().__init__([[b0, b1, b2, a1, a2]], **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Response / pole-zero math (host-side float64 NumPy)
+# ---------------------------------------------------------------------------
+
+def sos_response(sos, freqs, sample_rate: float) -> np.ndarray:
+    """Complex response of an SOS cascade at freqs (Hz).
+
+    H(z) = prod_s (b0 + b1 z^-1 + b2 z^-2) / (1 + a1 z^-1 + a2 z^-2)
+    evaluated at z = e^{j w}, w = 2*pi*f/sr (`response.go:10-23`).
+    """
+    sos = sos_array(sos)
+    f = np.atleast_1d(np.asarray(freqs, dtype=np.float64))
+    z1 = np.exp(-1j * 2.0 * np.pi * f / sample_rate)  # z^-1
+    z2 = z1 * z1
+    h = np.ones_like(z1, dtype=np.complex128)
+    for b0, b1, b2, a1, a2 in sos:
+        h *= (b0 + b1 * z1 + b2 * z2) / (1.0 + a1 * z1 + a2 * z2)
+    return h
+
+
+def magnitude_squared(sos, freqs, sample_rate: float) -> np.ndarray:
+    """Closed-form |H|^2 (`response.go:25-75`): per section
+
+      |H|^2 = (b0^2+b1^2+b2^2 + 2(b0 b1 + b1 b2) cos w + 2 b0 b2 cos 2w)
+            / (1 + a1^2 + a2^2 + 2(a1 + a1 a2) cos w + 2 a2 cos 2w)
+    """
+    sos = sos_array(sos)
+    f = np.atleast_1d(np.asarray(freqs, dtype=np.float64))
+    w = 2.0 * np.pi * f / sample_rate
+    cw = np.cos(w)
+    c2w = np.cos(2.0 * w)
+    out = np.ones_like(f)
+    for b0, b1, b2, a1, a2 in sos:
+        num = (b0 * b0 + b1 * b1 + b2 * b2
+               + 2.0 * (b0 * b1 + b1 * b2) * cw + 2.0 * b0 * b2 * c2w)
+        den = (1.0 + a1 * a1 + a2 * a2
+               + 2.0 * (a1 + a1 * a2) * cw + 2.0 * a2 * c2w)
+        out *= num / den
+    return out
+
+
+def poles_zeros(section) -> tuple[np.ndarray, np.ndarray]:
+    """Poles and zeros of one section (`polezero.go:15-80`).
+
+    Returns (zeros, poles) as complex arrays (length <= 2 each).
+    """
+    b0, b1, b2, a1, a2 = np.asarray(section, dtype=np.float64).reshape(5)
+    zeros = np.roots([b0, b1, b2]) if b0 != 0 else (
+        np.roots([b1, b2]) if b1 != 0 else np.array([]))
+    poles = np.roots([1.0, a1, a2])
+    return np.atleast_1d(zeros).astype(np.complex128), poles.astype(np.complex128)
+
+
+def is_stable(sos) -> bool:
+    """True if every section's poles are strictly inside the unit circle."""
+    sos = sos_array(sos)
+    for row in sos:
+        _, poles = poles_zeros(row)
+        if np.any(np.abs(poles) >= 1.0):
+            return False
+    return True

@@ -1,0 +1,209 @@
+"""Blocked second-order linear recurrence engine — the biquad keystone.
+
+The reference's hot loop is the per-sample DF2T biquad
+(`dsp/filter/biquad/section.go:47-53`):
+
+    y  = B0*x + d0
+    d0 = B1*x - A1*y + d1
+    d1 = B2*x - A2*y
+
+which is equivalent to the direct-form recurrence
+
+    f_n = b0 x_n + b1 x_{n-1} + b2 x_{n-2}       (FIR part, parallel)
+    y_n = f_n - a1 y_{n-1} - a2 y_{n-2}          (AR part, sequential)
+
+The AR part is a constant-coefficient linear recurrence, so its
+sequential dependency can be eliminated exactly with block algebra
+(state-space block processing):
+
+  * Let h be the impulse response of the all-pole filter
+    1/(1 + a1 z^-1 + a2 z^-2):  h[0]=1, h[1]=-a1,
+    h[n] = -a1 h[n-1] - a2 h[n-2].
+  * Within a block of B samples with initial conditions
+    (y_{-1}, y_{-2}):
+
+        y = L @ f + y_{-1} * p + y_{-2} * q
+
+    where L[i,j] = h[i-j] (lower-triangular Toeplitz — a B×B matmul
+    that lands on the MXU), p[n] = h[n+1], q[n] = -a2 h[n].
+  * Across blocks, the 2-vector carry c = (y_{B-1}, y_{B-2}) obeys the
+    affine recurrence c_k = G c_{k-1} + w_k with constant
+    G = [[h[B], -a2 h[B-1]], [h[B-1], -a2 h[B-2]]] and
+    w_k = ((L f_k)[B-1], (L f_k)[B-2]) — solved in log depth with
+    `jax.lax.associative_scan`.
+
+This is exact (same recurrence, different evaluation order), turns
+~99% of the FLOPs into batched B×B matmuls, and leaves only a tiny
+(K, 2)-shaped scan as the sequential skeleton. Kernels (h, L, G, p, q)
+are precomputed host-side in float64 per coefficient set.
+
+Streaming state is (x_{n-1}, x_{n-2}, y_{n-1}, y_{n-2}) per section —
+carrying the same information as the reference's (d0, d1)
+(`section.go:29`), in the direct-form basis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+DEFAULT_BLOCK = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class AR2Kernels:
+    """Host-precomputed block kernels for a batch of S second-order
+    AR sections (float64 NumPy)."""
+    L: np.ndarray      # (S, B, B) lower-triangular Toeplitz of h
+    G: np.ndarray      # (S, 2, 2) block carry propagation
+    p: np.ndarray      # (S, B) response column for y_{-1}
+    q: np.ndarray      # (S, B) response column for y_{-2}
+    block: int
+
+
+def _ar2_impulse_response(a1: np.ndarray, a2: np.ndarray, n: int) -> np.ndarray:
+    """h[s, 0..n] for each section: the all-pole impulse response."""
+    s = a1.shape[0]
+    h = np.zeros((s, n + 1), dtype=np.float64)
+    h[:, 0] = 1.0
+    if n >= 1:
+        h[:, 1] = -a1
+    for i in range(2, n + 1):
+        h[:, i] = -a1 * h[:, i - 1] - a2 * h[:, i - 2]
+    return h
+
+
+@lru_cache(maxsize=512)
+def _ar2_kernels_cached(a1_key: bytes, a2_key: bytes, s: int, block: int) -> AR2Kernels:
+    a1 = np.frombuffer(a1_key, dtype=np.float64).copy()
+    a2 = np.frombuffer(a2_key, dtype=np.float64).copy()
+    b = block
+    h = _ar2_impulse_response(a1, a2, b)  # (S, B+1)
+
+    idx = np.arange(b)[:, None] - np.arange(b)[None, :]  # (B, B) i-j
+    L = np.where(idx >= 0, h[:, np.clip(idx, 0, b)], 0.0)  # (S, B, B)
+
+    p = h[:, 1:b + 1]                      # (S, B): h[n+1]
+    q = -a2[:, None] * h[:, :b]            # (S, B): -a2*h[n]
+
+    G = np.empty((s, 2, 2), dtype=np.float64)
+    G[:, 0, 0] = h[:, b]
+    G[:, 0, 1] = -a2 * h[:, b - 1]
+    G[:, 1, 0] = h[:, b - 1]
+    G[:, 1, 1] = -a2 * h[:, b - 2]
+    return AR2Kernels(L=L, G=G, p=p, q=q, block=b)
+
+
+def ar2_kernels(a1, a2, block: int = DEFAULT_BLOCK) -> AR2Kernels:
+    """Precompute block kernels for S sections (host, float64)."""
+    a1 = np.atleast_1d(np.asarray(a1, dtype=np.float64))
+    a2 = np.atleast_1d(np.asarray(a2, dtype=np.float64))
+    if a1.shape != a2.shape or a1.ndim != 1:
+        raise ValueError("a1/a2 must be 1-D arrays of equal length")
+    return _ar2_kernels_cached(a1.tobytes(), a2.tobytes(), a1.size, int(block))
+
+
+def fir3(x, b0, b1, b2, x1, x2):
+    """3-tap causal FIR f_n = b0 x_n + b1 x_{n-1} + b2 x_{n-2} with explicit
+    2-sample history (x1 = x_{n-1} carry-in, x2 = x_{n-2}). Fully parallel."""
+    xm1 = jnp.concatenate([x1[..., None], x[..., :-1]], axis=-1)
+    if x.shape[-1] >= 2:
+        xm2 = jnp.concatenate([x2[..., None], x1[..., None], x[..., :-2]], axis=-1)
+    else:
+        xm2 = x2[..., None]
+    return b0 * x + b1 * xm1 + b2 * xm2
+
+
+def _affine_scan(G, w):
+    """Inclusive scan of c_k = G c_{k-1} + w_k over axis -2 of w.
+
+    G: (2, 2) constant; w: (..., K, 2). Returns (..., K, 2) of c_k with
+    c_{-1} = 0 (fold nonzero initial carry into w_0 beforehand).
+    """
+    K = w.shape[-2]
+    # matrices flattened to 4-vectors so every scan leaf shares the same
+    # (..., K, d) layout (associative_scan applies one axis to all leaves)
+    A = jnp.broadcast_to(G.reshape(4), w.shape[:-2] + (K, 4))
+
+    def combine(left, right):
+        a_l, b_l = left
+        a_r, b_r = right
+        # a = a_r @ a_l with [m00, m01, m10, m11] packing
+        a = jnp.stack([
+            a_r[..., 0] * a_l[..., 0] + a_r[..., 1] * a_l[..., 2],
+            a_r[..., 0] * a_l[..., 1] + a_r[..., 1] * a_l[..., 3],
+            a_r[..., 2] * a_l[..., 0] + a_r[..., 3] * a_l[..., 2],
+            a_r[..., 2] * a_l[..., 1] + a_r[..., 3] * a_l[..., 3],
+        ], axis=-1)
+        # b = a_r @ b_l + b_r
+        b = jnp.stack([
+            a_r[..., 0] * b_l[..., 0] + a_r[..., 1] * b_l[..., 1],
+            a_r[..., 2] * b_l[..., 0] + a_r[..., 3] * b_l[..., 1],
+        ], axis=-1) + b_r
+        return a, b
+
+    _, c = jax.lax.associative_scan(combine, (A, w), axis=-2)
+    return c
+
+
+def ar2_apply_blocked(f, kernels: AR2Kernels, section: int, y1, y2,
+                      *, precision=jax.lax.Precision.HIGHEST):
+    """Apply one AR section to the (already FIR-filtered) drive f.
+
+    f: (..., N) with N a multiple of kernels.block.
+    y1, y2: (...,) initial conditions y_{-1}, y_{-2}.
+    Returns y: (..., N).
+
+    precision defaults to HIGHEST: on TPU the default matmul path
+    truncates inputs to bfloat16, which costs ~50 dB of SNR in an IIR
+    where errors recirculate. The Toeplitz matmul must run in full f32.
+    """
+    b = kernels.block
+    n = f.shape[-1]
+    if n % b:
+        raise ValueError(f"length {n} not a multiple of block {b}")
+    k = n // b
+    dtype = f.dtype
+
+    L = jnp.asarray(kernels.L[section], dtype=dtype)       # (B, B)
+    G = jnp.asarray(kernels.G[section], dtype=dtype)       # (2, 2)
+    p = jnp.asarray(kernels.p[section], dtype=dtype)       # (B,)
+    q = jnp.asarray(kernels.q[section], dtype=dtype)       # (B,)
+
+    fb = f.reshape(f.shape[:-1] + (k, b))
+    # Zero-IC within-block solution: u_k = f_k @ L^T  (MXU)
+    u = jnp.einsum("...kb,cb->...kc", fb, L,
+                   preferred_element_type=dtype, precision=precision)
+    # Block carries w_k = (u_k[B-1], u_k[B-2])
+    w = jnp.stack([u[..., b - 1], u[..., b - 2]], axis=-1)  # (..., K, 2)
+    # Fold initial conditions into w_0: c_0 = G c_{-1} + w_0
+    c_init = jnp.stack([y1, y2], axis=-1).astype(dtype)     # (..., 2)
+    w = w.at[..., 0, :].add(jnp.einsum("ij,...j->...i", G, c_init))
+    c = _affine_scan(G, w)                                   # (..., K, 2) inclusive
+    # carry INTO block k is c_{k-1}; block 0 gets the true ICs
+    c_prev = jnp.concatenate([c_init[..., None, :], c[..., :-1, :]], axis=-2)
+    y = u + c_prev[..., 0:1] * p + c_prev[..., 1:2] * q
+    return y.reshape(f.shape[:-1] + (n,))
+
+
+def ar2_apply_scan(f, a1, a2, y1, y2, *, unroll: int = 8):
+    """Sequential lax.scan evaluation of the same AR recurrence — the
+    correctness cross-check (the analog of the reference's generic-vs-SIMD
+    dispatch tests) and the fallback for tiny signals."""
+    f_t = jnp.moveaxis(f, -1, 0)
+    a1 = jnp.asarray(a1, f.dtype)
+    a2 = jnp.asarray(a2, f.dtype)
+
+    def step(carry, fn):
+        ym1, ym2 = carry
+        y = fn - a1 * ym1 - a2 * ym2
+        return (y, ym1), y
+
+    y1 = jnp.asarray(y1, f.dtype)
+    y2 = jnp.asarray(y2, f.dtype)
+    (_, _), ys = jax.lax.scan(step, (y1, y2), f_t, unroll=unroll)
+    return jnp.moveaxis(ys, 0, -1)
