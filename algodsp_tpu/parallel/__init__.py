@@ -1,0 +1,14 @@
+from algodsp_tpu.parallel.mesh import make_mesh, channel_sharding
+from algodsp_tpu.parallel.sharded import (
+    fir_time_sharded,
+    biquad_time_sharded,
+    reduce_metrics,
+)
+
+__all__ = [
+    "biquad_time_sharded",
+    "channel_sharding",
+    "fir_time_sharded",
+    "make_mesh",
+    "reduce_metrics",
+]

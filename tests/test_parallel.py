@@ -1,0 +1,72 @@
+"""Mesh sharding tests on the 8-device CPU mesh (the analog of the
+reference's purego fallback testing, SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from algodsp_tpu.parallel import (
+    make_mesh, channel_sharding, fir_time_sharded, biquad_time_sharded,
+    reduce_metrics)
+from algodsp_tpu.filters import BiquadChain, design
+from tests.conftest import snr_db
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    mesh2 = make_mesh({"channel": 2, "time": -1})
+    assert mesh2.shape == {"channel": 2, "time": 4}
+    with pytest.raises(ValueError):
+        make_mesh({"channel": 3})
+
+
+def test_channel_sharded_biquad_matches_single_device():
+    mesh = make_mesh({"channel": 8})
+    sos = design.butterworth_lp(1000.0, 4, 48000.0)
+    chain = BiquadChain(sos)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8, 1024)))
+    xs = jax.device_put(x, channel_sharding(mesh, 2))
+    y_sharded = np.asarray(jax.jit(chain.process)(xs))
+    y_ref = np.asarray(chain.process(x))
+    assert snr_db(y_ref, y_sharded) > 200
+
+
+def test_fir_time_sharded():
+    mesh = make_mesh({"channel": 2, "time": 4})
+    rng = np.random.default_rng(1)
+    h = rng.standard_normal(33)
+    x = rng.standard_normal((4, 1024))
+    y = np.asarray(fir_time_sharded(jnp.asarray(x), h, mesh))
+    expected = np.stack([np.convolve(xi, h)[:1024] for xi in x])
+    assert snr_db(expected, y) > 200
+
+
+def test_biquad_time_sharded_exact():
+    mesh = make_mesh({"channel": 2, "time": 4})
+    sos = np.stack([
+        design.lowpass(2000.0, 2.0, 48000.0),
+        design.highpass(100.0, 0.9, 48000.0),
+    ])
+    chain = BiquadChain(sos, gain=0.8)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((4, 4096))
+    y = np.asarray(biquad_time_sharded(jnp.asarray(x), chain, mesh))
+    y_ref = np.asarray(chain.process(jnp.asarray(x)))
+    assert snr_db(y_ref, y) > 200
+
+
+def test_biquad_time_sharded_validation():
+    mesh = make_mesh({"channel": 2, "time": 4})
+    chain = BiquadChain(design.lowpass(1000.0, 1.0, 48000.0))
+    with pytest.raises(ValueError):
+        biquad_time_sharded(jnp.zeros((2, 1000)), chain, mesh)  # 1000 % 4 != 0
+
+
+def test_reduce_metrics_psum():
+    mesh = make_mesh({"channel": 8})
+    v = jnp.arange(8.0)
+    out = np.asarray(reduce_metrics(v, mesh))
+    np.testing.assert_allclose(out, 28.0)
