@@ -1,0 +1,108 @@
+"""Linear and circular convolution.
+
+Capability parity with `dsp/conv/conv.go`: Direct (O(N*M) time-domain,
+`conv.go:76-127`), DirectCircular (`conv.go:158-192`), Convolve with
+automatic direct-vs-FFT selection at kernel length >= 32
+(`conv.go:194-218`), and Full/Same/Valid output modes (`conv.go:56-69`).
+
+TPU-first: the direct path is an XLA convolution (lands on the MXU for
+large kernels); the FFT path is batched `jnp.fft.rfft` at the next
+power of two. All ops broadcast over leading channel/batch dims of the
+*signal*; the kernel is 1-D.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from algodsp_tpu.core.numeric import next_pow2
+
+# Kernel length at which Convolve switches to FFT (conv.go:24-28).
+FFT_THRESHOLD = 32
+
+_MODES = ("full", "same", "valid")
+
+
+def _trim_to_mode(full, len_a: int, len_b: int, mode: str):
+    """Full/Same/Valid windowing of the full convolution (`conv.go:229-248`)."""
+    if mode == "full":
+        return full
+    if mode == "same":
+        start = (len_b - 1) // 2
+        return full[..., start:start + len_a]
+    if mode == "valid":
+        n = max(len_a, len_b) - min(len_a, len_b) + 1
+        start = min(len_a, len_b) - 1
+        return full[..., start:start + n]
+    raise ValueError(f"unknown mode {mode!r}; expected one of {_MODES}")
+
+
+def direct(a, b, mode: str = "full"):
+    """Time-domain linear convolution (`conv.go:76-127`).
+
+    a: (..., N) signal; b: (M,) kernel. Output (..., N+M-1) for "full".
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b).reshape(-1).astype(a.dtype)
+    n, m = a.shape[-1], b.shape[-1]
+    if n == 0 or m == 0:
+        raise ValueError("conv: empty input")
+    batch = a.shape[:-1]
+    ab = a.reshape((-1, 1, n))
+    kern = b[::-1].reshape(1, 1, m)
+    y = jax.lax.conv_general_dilated(
+        ab, kern, window_strides=(1,), padding=[(m - 1, m - 1)],
+        dimension_numbers=("NCH", "IOH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST)
+    full = y.reshape(batch + (n + m - 1,))
+    return _trim_to_mode(full, n, m, mode)
+
+
+def direct_circular(a, b):
+    """Circular convolution of length N = len(a) (`conv.go:158-192`).
+
+    b is zero-padded (or wrapped) to N.
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b).reshape(-1).astype(a.dtype)
+    n = a.shape[-1]
+    m = b.shape[-1]
+    if n == 0 or m == 0:
+        raise ValueError("conv: empty input")
+    full = direct(a, b, mode="full")
+    # wrap the tail around
+    head = full[..., :n]
+    tail = full[..., n:]
+    pad = (-tail.shape[-1]) % n
+    if pad:
+        tail = jnp.concatenate(
+            [tail, jnp.zeros(tail.shape[:-1] + (pad,), tail.dtype)], axis=-1)
+    wrapped = tail.reshape(tail.shape[:-1] + (-1, n)).sum(axis=-2)
+    return head + wrapped
+
+
+def fftconvolve(a, b, mode: str = "full"):
+    """FFT linear convolution at next-pow2(N+M-1) (`overlap_add.go:221`-style
+    one-shot, generalized)."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b).reshape(-1).astype(a.dtype)
+    n, m = a.shape[-1], b.shape[-1]
+    if n == 0 or m == 0:
+        raise ValueError("conv: empty input")
+    size = next_pow2(n + m - 1)
+    fa = jnp.fft.rfft(a, size)
+    fb = jnp.fft.rfft(b, size)
+    full = jnp.fft.irfft(fa * fb, size)[..., :n + m - 1].astype(a.dtype)
+    return _trim_to_mode(full, n, m, mode)
+
+
+def convolve(a, b, mode: str = "full"):
+    """Auto-selecting convolution: direct for short kernels, FFT once the
+    kernel reaches FFT_THRESHOLD taps (`conv.go:194-218`)."""
+    b_arr = np.asarray(b) if not isinstance(b, jnp.ndarray) else b
+    m = b_arr.reshape(-1).shape[-1]
+    if m >= FFT_THRESHOLD:
+        return fftconvolve(a, b, mode)
+    return direct(a, b, mode)

@@ -1,0 +1,100 @@
+"""Partitioned convolution for long impulse responses (conv reverb).
+
+Capability parity with `dsp/conv/partitioned.go` (UPOLA): fixed
+latency of 2^min_block_order samples with arbitrarily long IRs, float32
+and float64, streaming `process_block`, `latency` accessor.
+
+TPU-first deviation (per SURVEY.md §7/M2): the reference uses
+*non-uniform* partitions (exponentially growing, modulo-scheduled) to
+bound per-block CPU cost. On TPU the frequency-domain MACs of a
+*uniform* partitioning collapse into one batched complex matmul over
+the frequency-domain delay line (FDL) — an MXU-shaped contraction —
+so uniform partitioning is both simpler and faster here. The public
+contract (latency = 2^min_block_order, streaming exactness) is
+preserved; only the internal schedule differs.
+
+State per channel: FDL of (P, fft/2+1) complex spectra + input tail.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class PartitionedConvolver:
+    """Uniformly partitioned frequency-domain delay-line convolver."""
+
+    def __init__(self, kernel, min_block_order: int,
+                 max_block_order: int | None = None):
+        kernel = np.asarray(kernel, dtype=np.float64).reshape(-1)
+        if kernel.size == 0:
+            raise ValueError("partitioned: empty impulse response")
+        if min_block_order < 1:
+            raise ValueError(
+                f"partitioned: min_block_order must be >= 1, got {min_block_order}")
+        if max_block_order is not None and max_block_order < min_block_order:
+            raise ValueError("partitioned: max_block_order < min_block_order")
+        self.block = 1 << min_block_order
+        self.min_block_order = min_block_order
+        self.kernel_len = kernel.size
+        self.num_parts = -(-kernel.size // self.block)
+        padded = np.zeros(self.num_parts * self.block)
+        padded[:kernel.size] = kernel
+        parts = padded.reshape(self.num_parts, self.block)
+        # spectra of each partition at 2*block (50% overlap-save frames)
+        self.fft_size = 2 * self.block
+        self._part_spectra = np.fft.rfft(parts, self.fft_size, axis=-1)  # (P, F)
+
+    @property
+    def latency(self) -> int:
+        """Algorithmic latency contract (`partitioned.go:410`): outputs
+        are exact causal convolution; block granularity = 2^order."""
+        return self.block
+
+    def init_state(self, batch_shape: tuple[int, ...] = (), dtype=jnp.float32):
+        cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+        fdl = jnp.zeros(batch_shape + (self.num_parts, self.fft_size // 2 + 1),
+                        dtype=cdtype)
+        tail = jnp.zeros(batch_shape + (self.block,), dtype=dtype)
+        return {"fdl": fdl, "tail": tail}
+
+    def process_block(self, state, x):
+        """Process exactly one block of `self.block` samples.
+
+        (state, x:(..., B)) -> (state, y:(..., B)) with y the exact
+        causal convolution continuation.
+        """
+        x = jnp.asarray(x)
+        if x.shape[-1] != self.block:
+            raise ValueError(
+                f"partitioned: block must be {self.block} samples, got {x.shape[-1]}")
+        frame = jnp.concatenate([state["tail"].astype(x.dtype), x], axis=-1)
+        spec = jnp.fft.rfft(frame, self.fft_size)  # (..., F)
+        fdl = jnp.concatenate([spec[..., None, :], state["fdl"][..., :-1, :]],
+                              axis=-2)
+        kspec = jnp.asarray(self._part_spectra, fdl.dtype)  # (P, F)
+        acc = jnp.sum(fdl * kspec, axis=-2)  # (..., F)  [batched MAC]
+        y = jnp.fft.irfft(acc, self.fft_size)[..., self.block:].astype(x.dtype)
+        return {"fdl": fdl, "tail": x}, y
+
+    def process(self, x):
+        """Multi-block convenience: length must be a multiple of the block
+        size; runs the block recurrence under lax.scan."""
+        x = jnp.asarray(x)
+        n = x.shape[-1]
+        if n % self.block:
+            raise ValueError(
+                f"partitioned: length {n} not a multiple of block {self.block}")
+        k = n // self.block
+        state = self.init_state(x.shape[:-1], x.dtype)
+        blocks = jnp.moveaxis(
+            x.reshape(x.shape[:-1] + (k, self.block)), -2, 0)
+
+        def step(st, blk):
+            st, y = self.process_block(st, blk)
+            return st, y
+
+        _, ys = jax.lax.scan(step, state, blocks)
+        return jnp.moveaxis(ys, 0, -2).reshape(x.shape[:-1] + (n,))

@@ -1,0 +1,113 @@
+"""Fractional delay reads over signals — the delay-line primitive.
+
+Capability parity with `dsp/delay/line.go`: integer and fractional
+delayed reads with selectable interpolation (linear, Hermite4,
+Lagrange, Lanczos, windowed-sinc-N, allpass; `line.go:128-245`).
+
+TPU-first: instead of a mutable circular buffer walked per sample, the
+delay is expressed as a vectorized interpolated *gather* over the
+signal timeline:
+
+    y[n] = interp(x, n - d[n])
+
+with d scalar or per-sample (modulated delays for chorus/flanger).
+Out-of-range (pre-history) reads return 0, like a freshly-zeroed Go
+delay line. `DelayLine` carries max_delay samples of history for
+streaming block processing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from algodsp_tpu import interp as _interp
+from algodsp_tpu.interp import Mode
+
+
+def _gather_points(xh, base_idx, offsets):
+    """xh: (..., H+N) history-extended signal; base_idx: (..., N) integer
+    positions into xh; offsets: (P,) relative taps. Returns
+    (..., N, P) with zeros outside [0, len)."""
+    total = xh.shape[-1]
+    idx = base_idx[..., :, None] + offsets[None, :]  # (..., N, P)
+    valid = jnp.logical_and(idx >= 0, idx < total)
+    idx_c = jnp.clip(idx, 0, total - 1)
+    arr = jnp.broadcast_to(xh[..., None, :], idx.shape[:-1] + (total,))
+    vals = jnp.take_along_axis(arr, idx_c, axis=-1)
+    return jnp.where(valid, vals, 0.0)
+
+
+def fractional_read(x, positions, mode: Mode = Mode.LINEAR,
+                    sinc_half_width: int = 8):
+    """Interpolated read of x at (possibly fractional) positions.
+
+    x: (..., T) timeline; positions: (..., P) sample positions into x
+    (0 = first sample). Returns (..., P). Out-of-range reads are 0.
+    """
+    x = jnp.asarray(x)
+    pos = jnp.asarray(positions, dtype=x.dtype)
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    t = pos - i0
+    before, total = _interp.points_needed(mode, sinc_half_width)
+    offsets = jnp.arange(-before, -before + total)
+    pts = _gather_points(x, i0, offsets)  # (..., P, total)
+    if mode == Mode.LINEAR:
+        return _interp.linear2(t, pts[..., 0], pts[..., 1])
+    if mode == Mode.HERMITE:
+        return _interp.hermite4(t, pts[..., 0], pts[..., 1], pts[..., 2], pts[..., 3])
+    if mode == Mode.LAGRANGE3:
+        return _interp.lagrange4(t, pts[..., 0], pts[..., 1], pts[..., 2], pts[..., 3])
+    if mode == Mode.LANCZOS3:
+        return _interp.lanczos_n(t, pts, 3)
+    if mode == Mode.SINC:
+        return _interp.sinc_interp(t, pts, sinc_half_width)
+    if mode == Mode.ALLPASS:
+        # stateless approximation of the allpass read: one tick from rest
+        eta = _interp.allpass_coeff(t)
+        return pts[..., 1] + eta * (pts[..., 0] - pts[..., 1])
+    raise ValueError(f"unknown mode {mode}")
+
+
+def delayed(x, delay, mode: Mode = Mode.LINEAR, **kwargs):
+    """y[n] = x[n - delay[n]] with interpolation; delay scalar or (..., N)."""
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    d = jnp.broadcast_to(jnp.asarray(delay, x.dtype), x.shape)
+    pos = jnp.arange(n, dtype=x.dtype) - d
+    return fractional_read(x, pos, mode, **kwargs)
+
+
+class DelayLine:
+    """Streaming delay line carrying max_delay samples of history
+    (`delay/line.go:40-126`)."""
+
+    def __init__(self, max_delay: int, mode: Mode = Mode.LINEAR,
+                 sinc_half_width: int = 8):
+        if max_delay <= 0:
+            raise ValueError("delay: max_delay must be > 0")
+        self.max_delay = int(max_delay)
+        self.mode = mode
+        self.sinc_half_width = sinc_half_width
+
+    def init_state(self, batch_shape: tuple[int, ...] = (), dtype=jnp.float32):
+        # history + a small interpolation guard band
+        guard = _interp.points_needed(self.mode, self.sinc_half_width)[1]
+        return jnp.zeros(batch_shape + (self.max_delay + guard,), dtype=dtype)
+
+    def process(self, state, x, delay):
+        """(state, x:(...,N), delay scalar/(...,N)) -> (state, y).
+
+        y[n] = input timeline read at (n - delay[n]), where the timeline
+        includes carried history.
+        """
+        x = jnp.asarray(x)
+        n = x.shape[-1]
+        h = state.shape[-1]
+        ext = jnp.concatenate([state.astype(x.dtype), x], axis=-1)
+        d = jnp.broadcast_to(jnp.asarray(delay, x.dtype), x.shape)
+        pos = h + jnp.arange(n, dtype=x.dtype) - d
+        y = fractional_read(ext, pos, self.mode,
+                            sinc_half_width=self.sinc_half_width)
+        new_state = ext[..., -h:]
+        return new_state, y

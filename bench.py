@@ -1,20 +1,21 @@
 """Benchmark: prints ONE JSON line with the headline metric.
 
-Headline (BASELINE.json): samples/sec/chip for the 8ch 48 kHz
-conv-reverb + biquad-chain pipeline. Until the conv family lands, the
-measured pipeline is the biquad part (10-section Butterworth cascade +
-A-weighting, 5 sections + gain); the metric name says what was run.
+Headline (BASELINE.json): samples/sec/chip for the 8-channel 48 kHz
+conv-reverb (2^17-tap IR) + biquad-chain pipeline:
+  10-section Butterworth cascade + A-weighting chain -> partitioned
+  frequency-domain conv reverb (latency 1024 samples).
 
-vs_baseline compares against the Go reference's single-core biquad
-throughput: 1026 MB/s of float64 = 1.283e8 samples/s *per section*
-(BASELINE.md: biquad ProcessBlock N=1024), i.e. 1.283e8 / n_sections
-samples/s through an equivalent cascade.
+vs_baseline compares against the Go reference's single-core rate for
+the same work, estimated from BASELINE.md:
+  - biquad: 1.283e8 samples/s per section -> 15 sections,
+  - OverlapAdd 4096x64 ~ 1.8e7 samples/s per 64-tap partition pass;
+    a 2^17 IR at the reference's UPOLA stage costs is dominated by the
+    large-FFT stages; we use the measured OverlapAddReuse-derived
+    ~1.76e7 samples/s as the per-core conv rate (BASELINE.md:26).
+  Combined serial rate: 1/(15/1.283e8 + 1/1.76e7) ~ 5.8e6 samples/s.
 
-Method notes:
-  * one jit callable reused (compile excluded),
-  * a scalar of the result is fetched each iteration — on the axon
-    relay, block_until_ready() returns before execution completes, so
-    only a data fetch gives honest timings.
+Methodology: one jit callable reused (compile excluded); a scalar fetch
+forces completion (on the axon relay block_until_ready returns early).
 """
 
 import json
@@ -31,37 +32,42 @@ import jax.numpy as jnp
 def main():
     from algodsp_tpu.filters import BiquadChain, design
     from algodsp_tpu.filters.weighting import WeightingType, weighting_chain
+    from algodsp_tpu.conv import PartitionedConvolver
 
     sr = 48000.0
-    channels = 512          # bulk batch to saturate the chip
-    n = 96000               # 2 s per channel
+    channels = 8
+    n = 1 << 17  # ~2.7 s per channel
+    rng = np.random.default_rng(0)
+
     cascade = BiquadChain(design.butterworth_lp(2000.0, 10, sr))
     weighting = weighting_chain(WeightingType.A, sr)
-    n_sections = cascade.num_sections + weighting.num_sections  # 10/2+5
+    ir = (rng.standard_normal(1 << 17) *
+          np.exp(-np.arange(1 << 17) / 20000.0)).astype(np.float32)
+    reverb = PartitionedConvolver(ir, min_block_order=10)
 
     @jax.jit
     def pipeline(x):
-        return weighting.process(cascade.process(x))
+        y = cascade.process(x)
+        y = weighting.process(y)
+        return reverb.process(y)
 
-    x = jnp.asarray(np.random.default_rng(0).standard_normal((channels, n)),
-                    jnp.float32)
-    # warm up + compile
-    float(pipeline(x)[0, -1])
+    x = jnp.asarray(rng.standard_normal((channels, n)), jnp.float32)
+    float(pipeline(x)[0, -1])  # warm up + compile
 
     reps = 5
     t0 = time.time()
     for _ in range(reps):
         y = pipeline(x)
-    _ = float(y[0, -1])  # force completion (relay-safe)
+    _ = float(y[0, -1])
     dt = (time.time() - t0) / reps
 
     samples_per_sec = channels * n / dt
-    go_cascade_rate = 1.283e8 / n_sections
+    go_rate = 1.0 / (15.0 / 1.283e8 + 1.0 / 1.76e7)
     print(json.dumps({
-        "metric": "samples_per_sec_per_chip_biquad_aweight_pipeline",
+        "metric": "samples_per_sec_per_chip_convreverb_biquad_8ch",
         "value": samples_per_sec,
         "unit": "samples/s",
-        "vs_baseline": samples_per_sec / go_cascade_rate,
+        "vs_baseline": samples_per_sec / go_rate,
     }))
 
 
