@@ -54,9 +54,11 @@ class PartitionedConvolver:
         return self.block
 
     def init_state(self, batch_shape: tuple[int, ...] = (), dtype=jnp.float32):
-        cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
-        fdl = jnp.zeros(batch_shape + (self.num_parts, self.fft_size // 2 + 1),
-                        dtype=cdtype)
+        # The FDL is stored as (re, im) float pairs rather than complex:
+        # some TPU runtimes (axon) cannot materialize complex zeros via
+        # lax.full, and real state also shards/serializes more cleanly.
+        fdl = jnp.zeros(batch_shape + (self.num_parts, self.fft_size // 2 + 1, 2),
+                        dtype=dtype)
         tail = jnp.zeros(batch_shape + (self.block,), dtype=dtype)
         return {"fdl": fdl, "tail": tail}
 
@@ -71,11 +73,18 @@ class PartitionedConvolver:
             raise ValueError(
                 f"partitioned: block must be {self.block} samples, got {x.shape[-1]}")
         frame = jnp.concatenate([state["tail"].astype(x.dtype), x], axis=-1)
-        spec = jnp.fft.rfft(frame, self.fft_size)  # (..., F)
-        fdl = jnp.concatenate([spec[..., None, :], state["fdl"][..., :-1, :]],
-                              axis=-2)
-        kspec = jnp.asarray(self._part_spectra, fdl.dtype)  # (P, F)
-        acc = jnp.sum(fdl * kspec, axis=-2)  # (..., F)  [batched MAC]
+        spec = jnp.fft.rfft(frame, self.fft_size)  # (..., F) complex
+        new_head = jnp.stack([jnp.real(spec), jnp.imag(spec)],
+                             axis=-1)[..., None, :, :]  # (..., 1, F, 2)
+        fdl = jnp.concatenate([new_head, state["fdl"][..., :-1, :, :]], axis=-3)
+        kre = jnp.asarray(np.real(self._part_spectra), x.dtype)  # (P, F)
+        kim = jnp.asarray(np.imag(self._part_spectra), x.dtype)
+        fre = fdl[..., 0]
+        fim = fdl[..., 1]
+        # batched complex MAC over partitions, in real arithmetic
+        acc_re = jnp.sum(fre * kre - fim * kim, axis=-2)
+        acc_im = jnp.sum(fre * kim + fim * kre, axis=-2)
+        acc = jax.lax.complex(acc_re, acc_im)
         y = jnp.fft.irfft(acc, self.fft_size)[..., self.block:].astype(x.dtype)
         return {"fdl": fdl, "tail": x}, y
 
