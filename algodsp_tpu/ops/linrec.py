@@ -207,3 +207,66 @@ def ar2_apply_scan(f, a1, a2, y1, y2, *, unroll: int = 8):
     y2 = jnp.asarray(y2, f.dtype)
     (_, _), ys = jax.lax.scan(step, (y1, y2), f_t, unroll=unroll)
     return jnp.moveaxis(ys, 0, -1)
+
+
+def ar2_apply_blocked_banded(f, kernels: AR2Kernels, y1, y2,
+                             *, precision=jax.lax.Precision.HIGHEST):
+    """Banded variant: apply section b of `kernels` to band row b.
+
+    f: (..., B, N) with B == number of sections in `kernels` and N a
+    multiple of kernels.block. y1, y2: (..., B) initial conditions.
+    Returns y: (..., B, N). Used by parallel filter banks (octave bank,
+    vocoder) where every band runs a *different* biquad over the same
+    timeline — one einsum with the band axis batched on the MXU.
+    """
+    b = kernels.block
+    nbands = kernels.L.shape[0]
+    if f.shape[-2] != nbands:
+        raise ValueError(f"band axis {f.shape[-2]} != kernel sections {nbands}")
+    n = f.shape[-1]
+    if n % b:
+        raise ValueError(f"length {n} not a multiple of block {b}")
+    k = n // b
+    dtype = f.dtype
+
+    L = jnp.asarray(kernels.L, dtype=dtype)        # (B, blk, blk)
+    G = jnp.asarray(kernels.G, dtype=dtype)        # (B, 2, 2)
+    p = jnp.asarray(kernels.p, dtype=dtype)        # (B, blk)
+    q = jnp.asarray(kernels.q, dtype=dtype)        # (B, blk)
+
+    fb = f.reshape(f.shape[:-1] + (k, b))
+    u = jnp.einsum("...skb,scb->...skc", fb, L,
+                   preferred_element_type=dtype, precision=precision)
+    w = jnp.stack([u[..., b - 1], u[..., b - 2]], axis=-1)   # (..., B, K, 2)
+    c_init = jnp.stack([y1, y2], axis=-1).astype(dtype)      # (..., B, 2)
+    w = w.at[..., 0, :].add(jnp.einsum("sij,...sj->...si", G, c_init))
+    c = _affine_scan_banded(G, w)
+    c_prev = jnp.concatenate([c_init[..., None, :], c[..., :-1, :]], axis=-2)
+    y = u + c_prev[..., 0:1] * p[:, None, :] + c_prev[..., 1:2] * q[:, None, :]
+    return y.reshape(f.shape[:-1] + (n,))
+
+
+def _affine_scan_banded(G, w):
+    """Like _affine_scan but G is per-band (B, 2, 2) and w is
+    (..., B, K, 2); scans over K."""
+    K = w.shape[-2]
+    A = jnp.broadcast_to(G.reshape(G.shape[0], 1, 4),
+                         w.shape[:-2] + (K, 4))
+
+    def combine(left, right):
+        a_l, b_l = left
+        a_r, b_r = right
+        a = jnp.stack([
+            a_r[..., 0] * a_l[..., 0] + a_r[..., 1] * a_l[..., 2],
+            a_r[..., 0] * a_l[..., 1] + a_r[..., 1] * a_l[..., 3],
+            a_r[..., 2] * a_l[..., 0] + a_r[..., 3] * a_l[..., 2],
+            a_r[..., 2] * a_l[..., 1] + a_r[..., 3] * a_l[..., 3],
+        ], axis=-1)
+        bb = jnp.stack([
+            a_r[..., 0] * b_l[..., 0] + a_r[..., 1] * b_l[..., 1],
+            a_r[..., 2] * b_l[..., 0] + a_r[..., 3] * b_l[..., 1],
+        ], axis=-1) + b_r
+        return a, bb
+
+    _, c = jax.lax.associative_scan(combine, (A, w), axis=-2)
+    return c
