@@ -1,0 +1,280 @@
+"""Measurement + statistics tests: standards tables and analytic oracles
+(mirrors SURVEY.md §4.2)."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from algodsp_tpu.measure import thd as thd_mod
+from algodsp_tpu.measure.thd import THDConfig, analyze_signal
+from algodsp_tpu.measure.sweep import LogSweep, LinearSweep
+from algodsp_tpu.measure.ir import Analyzer
+from algodsp_tpu.measure import loudness
+from algodsp_tpu.stats import calculate_time, calculate_frequency, StreamingStats
+from tests.conftest import snr_db
+
+SR = 48000.0
+
+
+# -- THD --------------------------------------------------------------------
+
+def test_thd_pure_sine_is_clean():
+    n = 1 << 15
+    x = 0.5 * np.sin(2 * np.pi * 1000.0 * np.arange(n) / SR)
+    r = analyze_signal(x, THDConfig(sample_rate=SR))
+    assert abs(r.fundamental_freq - 1000.0) < SR / n * 2
+    assert r.thd < 1e-6
+    assert r.thd_db < -100
+
+
+def test_thd_known_harmonic_mix():
+    # 1% 2nd + 0.5% 3rd harmonic -> THD = sqrt? no: amplitude sum convention
+    n = 1 << 15
+    t = np.arange(n) / SR
+    x = (np.sin(2 * np.pi * 1000.0 * t)
+         + 0.01 * np.sin(2 * np.pi * 2000.0 * t)
+         + 0.005 * np.sin(2 * np.pi * 3000.0 * t))
+    r = analyze_signal(x, THDConfig(sample_rate=SR))
+    # amplitude-sum THD (getBinValue sums magnitudes): 1.5%
+    assert abs(r.thd - 0.015) < 0.002
+    assert abs(r.even_hd - 0.01) < 0.002
+    assert abs(r.odd_hd - 0.005) < 0.002
+    assert r.sinad < 40  # distortion dominates
+
+
+def test_thd_fixed_fundamental_and_rubnbuzz():
+    n = 1 << 14
+    t = np.arange(n) / SR
+    # bin-aligned fundamental and 11th harmonic (the analyzer reads
+    # harmonics at exact bin multiples, like the reference)
+    bin_hz = SR / n
+    f0 = 160 * bin_hz  # 468.75 Hz
+    x = np.sin(2 * np.pi * f0 * t) + 0.01 * np.sin(2 * np.pi * 11 * f0 * t)
+    r = analyze_signal(x, THDConfig(sample_rate=SR, fundamental_freq=f0,
+                                    rubnbuzz_start=10))
+    assert abs(r.fundamental_freq - f0) < 3.0
+    # 11th harmonic counts as rub&buzz
+    assert r.rubnbuzz > 0.005
+
+
+# -- sweep ------------------------------------------------------------------
+
+def test_log_sweep_loopback_ir_is_impulse():
+    sw = LogSweep(20.0, 20000.0, 1.0, SR)
+    x = np.asarray(sw.generate())
+    d = np.asarray(sw.deconvolve(jnp.asarray(x)))
+    peak = np.argmax(np.abs(d))
+    assert abs(int(peak) - (sw.samples - 1)) <= 2
+    assert abs(d[peak] - 1.0) < 0.05
+    # energy concentrated at the (band-limited) impulse; the 20 Hz edge
+    # rings for several thousand samples, so exclude that skirt
+    others = np.abs(np.delete(d, range(max(peak - 6000, 0), peak + 6000)))
+    assert others.max() < 0.05
+
+
+def band_mag_db(ir, n=1 << 15):
+    spec = np.abs(np.fft.rfft(ir, n))
+    freqs = np.fft.rfftfreq(n, 1 / SR)
+    band = (freqs > 100.0) & (freqs < 15000.0)
+    return 20 * np.log10(np.maximum(spec[band], 1e-12))
+
+
+def test_log_sweep_system_ir_recovery():
+    # the deconvolved system IR equals conv(band-limited loopback
+    # impulse, h) — compare against that exact model
+    sw = LogSweep(20.0, 20000.0, 1.0, SR)
+    x = np.asarray(sw.generate())
+    h = np.zeros(64)
+    h[0], h[10], h[25] = 1.0, 0.5, -0.25
+    y = np.convolve(x, h)[:x.size + 63]
+    d = np.asarray(sw.deconvolve(jnp.asarray(y)))
+    d_loop = np.asarray(sw.deconvolve(jnp.asarray(x)))
+    predicted = np.convolve(d_loop, h)
+    lo, hi = sw.samples - 1 - 4000, sw.samples - 1 + 4000
+    assert snr_db(predicted[lo:hi], d[lo:hi]) > 40
+
+
+def test_log_sweep_harmonic_irs():
+    sw = LogSweep(50.0, 10000.0, 1.0, SR)
+    # quadratic nonlinearity creates 2nd-harmonic energy at negative delay
+    x = np.asarray(sw.generate())
+    y = x + 0.1 * x * x
+    d = np.asarray(sw.deconvolve(jnp.asarray(y)))
+    irs = sw.extract_harmonic_irs(d, 3)
+    assert len(irs) == 3
+    e1 = (irs[0] ** 2).sum()
+    e2 = (irs[1] ** 2).sum()
+    assert e1 > e2 > 0
+    # the 2nd-harmonic IR region has far more energy than a random slice
+    far = d[: irs[0].shape[-1]]
+    assert e2 > 10 * (far ** 2).sum()
+
+
+def test_linear_sweep_deconvolve():
+    sw = LinearSweep(20.0, 20000.0, 1.0, SR)
+    x = np.asarray(sw.generate())
+    h = np.zeros(32)
+    h[0], h[5] = 1.0, -0.5
+    y = np.convolve(x, h)[:x.size + 31]
+    ir = np.asarray(sw.deconvolve(jnp.asarray(y)))
+    # compare against conv(loopback impulse, h): the exact band-limited model
+    loop = np.asarray(sw.deconvolve(jnp.asarray(x)))
+    predicted = np.convolve(loop, h)[:8192]
+    assert snr_db(predicted, ir[:8192]) > 40
+
+
+def test_sweep_validation():
+    with pytest.raises(ValueError):
+        LogSweep(100.0, 50.0, 1.0, SR)
+    with pytest.raises(ValueError):
+        LogSweep(0.0, 100.0, 1.0, SR)
+
+
+# -- IR metrics -------------------------------------------------------------
+
+def make_decay_ir(rt60_s: float, n: int) -> np.ndarray:
+    """Exponential noise decay with exact RT60."""
+    rng = np.random.default_rng(7)
+    tau = rt60_s / (60.0 / 20.0 / math.log10(math.e))  # -60dB over rt60
+    t = np.arange(n) / SR
+    return rng.standard_normal(n) * np.exp(-t / tau * 0.5) * \
+        10 ** (-30 * t / rt60_s / 10)  # amplitude decay -> -60dB energy
+
+
+def test_ir_rt60_of_synthetic_decay():
+    rt = 0.8
+    n = int(SR * 1.5)
+    t = np.arange(n) / SR
+    rng = np.random.default_rng(8)
+    # amplitude envelope for exactly -60 dB energy decay over rt seconds
+    ir = rng.standard_normal(n) * 10 ** (-3.0 * t / rt)
+    a = Analyzer(SR)
+    m = a.analyze(ir)
+    assert abs(m.rt60 - rt) < 0.05 * rt
+    assert abs(m.t20 - rt) < 0.1 * rt
+    assert m.edt > 0
+    # smooth decay: schroeder starts at 0 dB
+    s = a.schroeder_integral(ir)
+    assert abs(s[0]) < 1e-9
+    assert s[-1] <= -100
+
+
+def test_ir_clarity_definition():
+    # all energy in the first 10 ms -> perfect clarity
+    n = int(SR * 0.2)
+    ir = np.zeros(n)
+    ir[: int(0.010 * SR)] = 1.0
+    a = Analyzer(SR)
+    m = a.analyze(ir)
+    assert m.c50 == math.inf or m.c50 > 50
+    assert m.d50 > 0.999
+    assert m.center_time < 0.010
+
+
+def test_ir_validation():
+    with pytest.raises(ValueError):
+        Analyzer(SR).analyze(np.array([]))
+    with pytest.raises(ValueError):
+        Analyzer(0.0)
+
+
+# -- loudness ---------------------------------------------------------------
+
+def test_loudness_997_sine_reference():
+    # BS.1770: a 997 Hz 0 dBFS sine reads -3.01 LUFS (k-weight ~ 0 dB there)
+    n = int(SR * 5)
+    x = np.sin(2 * np.pi * 997.0 * np.arange(n) / SR)
+    reading = loudness.measure(jnp.asarray(x[None, :]), SR)
+    assert abs(reading.integrated_lufs - (-3.01)) < 0.2
+    assert abs(reading.momentary_lufs - (-3.01)) < 0.3
+    assert abs(reading.sample_peaks[0] - 1.0) < 1e-6
+
+
+def test_loudness_gating_ignores_silence():
+    n = int(SR * 2)
+    tone = np.sin(2 * np.pi * 997.0 * np.arange(n) / SR)
+    silence = np.zeros(n)
+    x = np.concatenate([tone, silence])
+    reading = loudness.measure(jnp.asarray(x[None, :]), SR)
+    # gated integrated loudness stays near the tone level, not the average
+    assert reading.integrated_lufs > -4.5
+
+
+def test_loudness_streaming_blocks():
+    n = int(SR * 3)
+    x = 0.5 * np.sin(2 * np.pi * 997.0 * np.arange(n) / SR)
+    m = loudness.Meter(SR, 1)
+    state = m.init_state()
+    for blk in x.reshape(3, -1):
+        state, reading = m.process(state, jnp.asarray(blk[None, :]))
+    one_shot = loudness.measure(jnp.asarray(x[None, :]), SR)
+    assert abs(reading.integrated_lufs - one_shot.integrated_lufs) < 0.2
+
+
+# -- stats ------------------------------------------------------------------
+
+def test_time_stats_analytic():
+    n = 48000
+    x = 0.5 * np.sin(2 * np.pi * 100.0 * np.arange(n) / SR)
+    s = calculate_time(jnp.asarray(x))
+    assert abs(s.rms - 0.5 / math.sqrt(2)) < 1e-3
+    assert abs(s.peak - 0.5) < 1e-6
+    assert abs(s.crest - math.sqrt(2)) < 1e-2
+    assert abs(s.crest_db - 3.01) < 0.05
+    assert abs(s.dc) < 1e-6
+    assert abs(s.zero_crossings - 200) <= 2
+    assert abs(s.kurtosis - 1.5) < 0.01  # sine kurtosis = 1.5
+    assert abs(s.skewness) < 0.01
+
+
+def test_time_stats_dc_offset():
+    x = np.full(100, 2.5)
+    s = calculate_time(jnp.asarray(x))
+    assert abs(s.dc - 2.5) < 1e-12
+    assert abs(s.variance) < 1e-12
+    assert s.zero_crossings == 0
+
+
+def test_streaming_stats_matches_one_shot():
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal(4096) + 0.3
+    one = calculate_time(jnp.asarray(x))
+    st = StreamingStats()
+    for blk in x.reshape(8, 512):
+        st.update(blk)
+    r = st.result()
+    assert abs(r.dc - one.dc) < 1e-9
+    assert abs(r.rms - one.rms) < 1e-9
+    assert abs(r.variance - one.variance) < 1e-9
+    assert abs(r.skewness - one.skewness) < 1e-6
+    assert abs(r.kurtosis - one.kurtosis) < 1e-6
+    assert r.zero_crossings == one.zero_crossings
+
+
+def test_streaming_stats_merge():
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal(2000)
+    a = StreamingStats().update(x[:800])
+    b = StreamingStats().update(x[800:])
+    merged = a.merge(b)
+    full = StreamingStats().update(x)
+    assert abs(merged.result().variance - full.result().variance) < 1e-9
+    assert abs(merged.result().kurtosis - full.result().kurtosis) < 1e-6
+
+
+def test_frequency_stats():
+    # narrowband peak at 1 kHz
+    n = 8192
+    x = np.sin(2 * np.pi * 1000.0 * np.arange(n) / SR)
+    mag = np.abs(np.fft.rfft(x * np.hanning(n)))
+    s = calculate_frequency(jnp.asarray(mag), SR)
+    assert abs(s.centroid_hz - 1000.0) < 20.0
+    assert s.spread_hz < 100.0
+    assert s.flatness < 1e-3  # tonal
+    assert 900.0 < s.rolloff_hz < 1100.0
+    assert s.bandwidth_3db_hz < 50.0
+    # white spectrum: flatness ~ 1
+    s2 = calculate_frequency(jnp.ones(1024), SR)
+    assert s2.flatness > 0.99
