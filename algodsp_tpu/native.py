@@ -1,0 +1,153 @@
+"""ctypes bindings for the native C++ runtime (`native/`).
+
+The native layer plays the role the reference gives to its hand-written
+NEON kernel and wasm host shim (SURVEY.md §2.3, §3.6): float64 golden
+per-sample kernels (the oracle the blocked JAX kernels are verified
+against) and a lock-free SPSC ring buffer for real-time block streaming
+on the host side of the host<->TPU boundary.
+
+Build with `make -C native` (plain g++; no pybind11 required). All
+entry points degrade gracefully: `available()` is False when the
+library hasn't been built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "native", "libalgodsp_native.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        # best-effort local build
+        try:
+            subprocess.run(["make", "-C", os.path.dirname(_LIB_PATH)],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    dp = ctypes.POINTER(ctypes.c_double)
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.biquad_df2t_process.argtypes = [dp, dp, ctypes.c_int, ctypes.c_double,
+                                        dp, ctypes.c_long]
+    lib.fir_process.argtypes = [dp, ctypes.c_int, dp, dp, dp, ctypes.c_long]
+    lib.envelope_process.restype = ctypes.c_double
+    lib.envelope_process.argtypes = [dp, dp, ctypes.c_long, ctypes.c_double,
+                                     ctypes.c_double, ctypes.c_double]
+    lib.ring_create.restype = ctypes.c_void_p
+    lib.ring_create.argtypes = [ctypes.c_long]
+    lib.ring_destroy.argtypes = [ctypes.c_void_p]
+    for name in ("ring_readable", "ring_writable"):
+        getattr(lib, name).restype = ctypes.c_long
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.ring_write.restype = ctypes.c_long
+    lib.ring_write.argtypes = [ctypes.c_void_p, fp, ctypes.c_long]
+    lib.ring_read.restype = ctypes.c_long
+    lib.ring_read.argtypes = [ctypes.c_void_p, fp, ctypes.c_long]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _dptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def biquad_df2t(sos, state, x, gain: float = 1.0):
+    """Golden DF2T cascade. Returns (new_state, y); float64 throughout."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available (run `make -C native`)")
+    sos = np.ascontiguousarray(sos, dtype=np.float64).reshape(-1, 5)
+    st = np.ascontiguousarray(state, dtype=np.float64).reshape(-1, 2).copy()
+    if st.shape[0] != sos.shape[0]:
+        raise ValueError("state rows must match sections")
+    buf = np.ascontiguousarray(x, dtype=np.float64).copy()
+    lib.biquad_df2t_process(_dptr(sos), _dptr(st), sos.shape[0],
+                            ctypes.c_double(gain), _dptr(buf), buf.size)
+    return st, buf
+
+
+def fir(taps, hist, x):
+    """Golden causal FIR with history. Returns (new_hist, y)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    taps = np.ascontiguousarray(taps, dtype=np.float64)
+    hist = np.ascontiguousarray(hist, dtype=np.float64).copy()
+    if hist.size != taps.size - 1:
+        raise ValueError("history length must be taps-1")
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(xin)
+    lib.fir_process(_dptr(taps), taps.size, _dptr(hist), _dptr(xin),
+                    _dptr(out), xin.size)
+    return hist, out
+
+
+def envelope(x, attack: float, release: float, env0: float = 0.0):
+    """Golden branching envelope follower. Returns (env_final, trajectory)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(xin)
+    env = lib.envelope_process(_dptr(xin), _dptr(out), xin.size,
+                               ctypes.c_double(attack), ctypes.c_double(release),
+                               ctypes.c_double(env0))
+    return float(env), out
+
+
+class RingBuffer:
+    """Lock-free SPSC ring for real-time block hand-off (float32)."""
+
+    def __init__(self, capacity: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library not available")
+        self._lib = lib
+        self._handle = lib.ring_create(capacity)
+        if not self._handle:
+            raise MemoryError("ring_create failed")
+        self.capacity = capacity
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.ring_destroy(self._handle)
+            self._handle = None
+
+    @property
+    def readable(self) -> int:
+        return self._lib.ring_readable(self._handle)
+
+    @property
+    def writable(self) -> int:
+        return self._lib.ring_writable(self._handle)
+
+    def write(self, samples) -> int:
+        a = np.ascontiguousarray(samples, dtype=np.float32)
+        return self._lib.ring_write(
+            self._handle, a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            a.size)
+
+    def read(self, n: int) -> np.ndarray:
+        out = np.empty(n, dtype=np.float32)
+        got = self._lib.ring_read(
+            self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
+        return out[:got]

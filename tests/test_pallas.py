@@ -1,0 +1,32 @@
+"""Pallas-vs-XLA equivalence (the analog of the reference's SIMD
+dispatch tests, `dispatch_*_test.go`). Runs the kernel in interpreter
+mode on CPU; the same code path compiles on TPU."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from algodsp_tpu.ops.envscan import envelope_scan
+from algodsp_tpu.ops.pallas_kernels import envelope_scan_pallas
+from tests.conftest import snr_db
+
+
+def test_envelope_pallas_matches_scan():
+    rng = np.random.default_rng(1)
+    x = np.abs(rng.standard_normal((4, 1500)))  # non-multiple of chunk
+    env0 = rng.uniform(0, 1, 4)
+    ef_ref, traj_ref = envelope_scan(jnp.asarray(x), jnp.asarray(env0),
+                                     0.3, 0.05)
+    ef_p, traj_p = envelope_scan_pallas(jnp.asarray(x, jnp.float32),
+                                        jnp.asarray(env0, jnp.float32),
+                                        0.3, 0.05)
+    assert snr_db(np.asarray(traj_ref), np.asarray(traj_p)) > 100
+    np.testing.assert_allclose(np.asarray(ef_p), np.asarray(ef_ref), rtol=1e-5)
+
+
+def test_envelope_pallas_multi_chunk():
+    rng = np.random.default_rng(2)
+    x = np.abs(rng.standard_normal((2, 3000)))
+    ef_ref, traj_ref = envelope_scan(jnp.asarray(x), jnp.zeros(2), 0.5, 0.01)
+    ef_p, traj_p = envelope_scan_pallas(jnp.asarray(x, jnp.float32),
+                                        jnp.zeros(2, jnp.float32), 0.5, 0.01)
+    assert snr_db(np.asarray(traj_ref), np.asarray(traj_p)) > 100
