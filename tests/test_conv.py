@@ -239,3 +239,13 @@ def test_inverse_filter():
     d = np.convolve(h, inv)[:128]
     assert abs(d[0] - 1.0) < 1e-3
     assert np.max(np.abs(d[1:])) < 1e-3
+
+
+def test_partitioned_bulk_matches_scan():
+    rng = np.random.default_rng(20)
+    ir = rng.standard_normal(700)
+    x = rng.standard_normal((3, 1024))
+    pc = conv.PartitionedConvolver(ir, 7)
+    y_bulk = np.asarray(pc.process(jnp.asarray(x)))
+    y_scan = np.asarray(pc.process_scan(jnp.asarray(x)))
+    assert snr_db(y_scan, y_bulk) > 180
