@@ -116,9 +116,28 @@ class BiquadChain:
         y_out = x[..., :n] if pad else x
         return jnp.stack(new_states, axis=-2), y_out
 
-    def process(self, x, *, mode: str = "blocked"):
-        """One-shot filtering from zero state (`chain.go:74-85`)."""
+    def process(self, x, *, mode: str = "auto"):
+        """One-shot filtering from zero state (`chain.go:74-85`).
+
+        mode: "auto" picks the fused Pallas cascade kernel on TPU for
+        2-D (C, N) inputs (one HBM pass for the whole cascade, ~2x the
+        XLA engine) and the blocked XLA engine elsewhere; "blocked",
+        "scan", and "pallas" force a specific backend — the dispatch
+        analog of the reference's arch registry (`section.go:56-81`).
+        """
+        import jax
         x = jnp.asarray(x)
+        if mode == "auto":
+            # the fused kernel tiles channels to 128; below ~half a tile
+            # the padding waste outweighs the fusion win
+            if jax.default_backend() == "tpu" and x.ndim == 2 \
+                    and self.block_size == 128 and x.shape[0] >= 64:
+                mode = "pallas"
+            else:
+                mode = "blocked"
+        if mode == "pallas":
+            from algodsp_tpu.ops.pallas_kernels import biquad_cascade_pallas
+            return biquad_cascade_pallas(x, self.sos, gain=self.gain)
         state = self.init_state(x.shape[:-1], dtype=x.dtype)
         _, y = self._run(x, state, mode=mode)
         return y

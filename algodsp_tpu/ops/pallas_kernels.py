@@ -114,3 +114,125 @@ def envelope_scan_dispatch(targets, env0, attack, release):
     if jax.default_backend() == "tpu" and x.ndim == 2:
         return envelope_scan_pallas(x, env0, attack, release)
     return envelope_scan(x, env0, attack, release)
+
+
+# ---------------------------------------------------------------------------
+# Fused biquad cascade kernel
+# ---------------------------------------------------------------------------
+#
+# The XLA blocked engine (ops/linrec.py) writes every section's
+# intermediate signal to HBM (S passes over the data). This kernel runs
+# the ENTIRE cascade per 128-sample block inside VMEM: for each block,
+# section s's output feeds section s+1 immediately, with each section's
+# (x-halo, y-carry) held in scratch across the sequential grid steps.
+# Total HBM traffic: read x once, write y once — independent of S.
+#
+# Per section and block (channels tile on sublanes, time on lanes):
+#   f   = b0*x + b1*shift1(x | halo) + b2*shift2(x | halo)
+#   u   = f @ L_s^T                       (MXU, 128x128)
+#   y   = u + c0 * p_s + c1 * q_s         (carry correction columns)
+#   carry_s <- (y[:, -1], y[:, -2]) ; halo_s <- (x[:, -1], x[:, -2])
+
+_BQ_BLOCK = 128
+_BQ_CTILE = 128
+
+
+def _biquad_kernel(fir_ref, L_ref, p_ref, q_ref, x_ref, out_ref,
+                   carry, halo):
+    k = pl.program_id(1)
+    n_sections = L_ref.shape[0]
+
+    @pl.when(k == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+        halo[...] = jnp.zeros_like(halo)
+
+    x = x_ref[...]  # (CTILE, B)
+
+    def section(s, x):
+        b0 = fir_ref[s, 0]
+        b1 = fir_ref[s, 1]
+        b2 = fir_ref[s, 2]
+        h = halo[s]                     # (CTILE, 2): [x_{-1}, x_{-2}]
+        x1 = pltpu.roll(x, 1, 1)        # x shifted right by one (wraps)
+        x1 = jnp.concatenate([h[:, 0:1], x1[:, 1:]], axis=1)
+        x2 = pltpu.roll(x, 2, 1)
+        x2 = jnp.concatenate([h[:, 1:2], x1_prev_col(x, h), x2[:, 2:]], axis=1)
+        f = b0 * x + b1 * x1 + b2 * x2
+        u = jax.lax.dot_general(
+            f, L_ref[s], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        c = carry[s]                    # (CTILE, 2): [y_{-1}, y_{-2}]
+        y = u + c[:, 0:1] * p_ref[s] + c[:, 1:2] * q_ref[s]
+        halo[s] = jnp.concatenate([x[:, -1:], x[:, -2:-1]], axis=1)
+        carry[s] = jnp.concatenate([y[:, -1:], y[:, -2:-1]], axis=1)
+        return y
+
+    def x1_prev_col(x, h):
+        # second column of the shift-2 signal is x_{-1} (the halo's first)
+        return h[:, 0:1]
+
+    y = x
+    for s in range(n_sections):
+        y = section(s, y)
+    out_ref[...] = y
+
+
+def biquad_cascade_pallas(x, sos, gain: float = 1.0):
+    """Fused biquad cascade: x (C, N) -> y (C, N), zero initial state.
+
+    C and N are padded internally to multiples of (8, 128). The cascade
+    coefficient tensors (Toeplitz L, carry columns p/q) come from the
+    same host precompute as the XLA engine.
+    """
+    import numpy as np
+    from algodsp_tpu.ops import linrec
+
+    x = jnp.asarray(x)
+    if x.ndim != 2:
+        raise ValueError("biquad_cascade_pallas expects (C, N)")
+    sos_arr = np.asarray(sos, dtype=np.float64).reshape(-1, 5)
+    n_sections = sos_arr.shape[0]
+    kern = linrec.ar2_kernels(sos_arr[:, 3], sos_arr[:, 4], _BQ_BLOCK)
+
+    c, n = x.shape
+    dtype = x.dtype
+    c_pad = (-c) % _BQ_CTILE
+    n_pad = (-n) % _BQ_BLOCK
+    xp = jnp.pad(x, ((0, c_pad), (0, n_pad)))
+    if gain != 1.0:
+        xp = xp * jnp.asarray(gain, dtype)
+    cp, np_ = xp.shape
+    grid = (cp // _BQ_CTILE, np_ // _BQ_BLOCK)
+
+    fir = jnp.asarray(sos_arr[:, :3], dtype)              # (S, 3)
+    L = jnp.asarray(kern.L, dtype)                        # (S, B, B)
+    p = jnp.asarray(kern.p, dtype)                        # (S, B)
+    q = jnp.asarray(kern.q, dtype)                        # (S, B)
+
+    out = pl.pallas_call(
+        _biquad_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_sections, 3), lambda i, k: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_sections, _BQ_BLOCK, _BQ_BLOCK),
+                         lambda i, k: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_sections, _BQ_BLOCK), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_sections, _BQ_BLOCK), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BQ_CTILE, _BQ_BLOCK), lambda i, k: (i, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BQ_CTILE, _BQ_BLOCK), lambda i, k: (i, k),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cp, np_), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n_sections, _BQ_CTILE, 2), dtype),
+            pltpu.VMEM((n_sections, _BQ_CTILE, 2), dtype),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(fir, L, p, q, xp)
+    return out[:c, :n]

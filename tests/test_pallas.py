@@ -30,3 +30,25 @@ def test_envelope_pallas_multi_chunk():
     ef_p, traj_p = envelope_scan_pallas(jnp.asarray(x, jnp.float32),
                                         jnp.zeros(2, jnp.float32), 0.5, 0.01)
     assert snr_db(np.asarray(traj_ref), np.asarray(traj_p)) > 100
+
+
+def test_biquad_cascade_pallas_matches_blocked():
+    from algodsp_tpu.ops.pallas_kernels import biquad_cascade_pallas
+    from algodsp_tpu.filters import BiquadChain, design
+    sos = design.butterworth_lp(2000.0, 10, 48000.0)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((4, 1000)).astype(np.float32)  # non-multiples
+    y_ref = np.asarray(BiquadChain(sos).process(jnp.asarray(x)))
+    y_p = np.asarray(biquad_cascade_pallas(jnp.asarray(x), sos))
+    assert snr_db(y_ref.astype(np.float64), y_p.astype(np.float64)) > 100
+
+
+def test_biquad_cascade_pallas_gain_and_first_order():
+    from algodsp_tpu.ops.pallas_kernels import biquad_cascade_pallas
+    from algodsp_tpu.filters import BiquadChain, design
+    sos = design.butterworth_lp(1000.0, 3, 48000.0)  # has 1st-order tail
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, 512)).astype(np.float32)
+    y_ref = np.asarray(BiquadChain(sos, gain=0.5).process(jnp.asarray(x)))
+    y_p = np.asarray(biquad_cascade_pallas(jnp.asarray(x), sos, gain=0.5))
+    assert snr_db(y_ref.astype(np.float64), y_p.astype(np.float64)) > 100
