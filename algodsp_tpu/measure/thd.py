@@ -187,3 +187,90 @@ def calculate_from_magnitude(mag_squared, cfg: THDConfig) -> THDResult:
         noise=noise_abs / fundamental, rubnbuzz=rub_abs / fundamental,
         harmonics=tuple(harmonics),
         sinad=(20.0 * math.log10(1.0 / thdn_r) if thdn_r > 0 else math.inf))
+
+
+def analyze_channels(x, cfg: THDConfig, *, max_harmonics: int = 32):
+    """Pod-scale batched THD/SINAD: (C, N) -> per-channel metric arrays,
+    computed entirely on device with no host loops — shard the channel
+    axis over a mesh for the BASELINE config-5 workload (1024-channel
+    sweep analysis across hosts).
+
+    Returns a dict of (C,) arrays: fundamental_freq, fundamental_level,
+    thd, thdn, thd_db, thdn_db, odd_hd, even_hd, noise, sinad.
+    Semantics follow `calculate_from_magnitude` with a static harmonic
+    cap (masked, not truncated mid-band).
+    """
+    x = jnp.asarray(x)
+    if x.ndim != 2:
+        raise ValueError("analyze_channels expects (C, N)")
+    c, n = x.shape
+    fft_size = cfg.fft_size if cfg.fft_size > 0 else next_pow2(n)
+    sample_rate = cfg.sample_rate if cfg.sample_rate > 0 else float(fft_size)
+    coeffs = jnp.asarray(win.generate(cfg.window_type, n), x.dtype)
+    spec = jnp.fft.rfft(x * coeffs, fft_size)
+    mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2)  # (C, bins)
+    bins = mag.shape[-1]
+    max_bin = bins - 1
+    bin_hz = sample_rate / fft_size
+
+    lower = min(max(int(round(cfg.range_lower_freq / bin_hz)), 1), max_bin)
+    upper = min(max(int(round(cfg.range_upper_freq / bin_hz)), lower), max_bin)
+
+    if cfg.fundamental_freq > 0:
+        fund_bin = jnp.full((c,), min(max(int(round(
+            cfg.fundamental_freq / bin_hz)), lower), upper), jnp.int32)
+    else:
+        band = mag[:, lower:upper + 1]
+        fund_bin = (jnp.argmax(band, axis=-1) + lower).astype(jnp.int32)
+
+    capture = cfg.capture_bins if cfg.capture_bins > 0 else _auto_capture_bins(
+        dataclasses.replace(cfg, fft_size=fft_size))
+    capture = int(capture)
+
+    def capture_sum(bin_idx):
+        """Sum of magnitudes over bin_idx ± capture, per channel."""
+        offs = jnp.arange(-capture, capture + 1)
+        idx = jnp.clip(bin_idx[:, None] + offs[None, :], 0, max_bin)
+        vals = jnp.take_along_axis(mag, idx, axis=-1)
+        valid = (bin_idx[:, None] + offs[None, :] >= 0) & \
+                (bin_idx[:, None] + offs[None, :] <= max_bin)
+        return jnp.sum(jnp.where(valid, vals, 0.0), axis=-1)
+
+    fundamental = capture_sum(fund_bin)
+
+    ks = jnp.arange(2, max_harmonics + 2)
+    harm_bins = fund_bin[:, None] * ks[None, :]            # (C, K)
+    in_range = (harm_bins >= lower) & (harm_bins <= jnp.minimum(upper, max_bin))
+    hb = jnp.clip(harm_bins, 0, max_bin)
+    offs = jnp.arange(-capture, capture + 1)
+    idx = jnp.clip(hb[:, :, None] + offs[None, None, :], 0, max_bin)
+    hvals = jnp.take_along_axis(
+        jnp.broadcast_to(mag[:, None, :], (c, ks.size, bins)), idx, axis=-1)
+    hsum = jnp.sum(hvals, axis=-1) * in_range              # (C, K)
+
+    thd_abs = jnp.sum(hsum, axis=-1)
+    even_abs = jnp.sum(hsum * (ks[None, :] % 2 == 0), axis=-1)
+    odd_abs = thd_abs - even_abs
+    total_abs = jnp.sum(mag[:, lower:upper + 1], axis=-1)
+    thdn_abs = jnp.maximum(total_abs - fundamental, 0.0)
+    noise_abs = jnp.maximum(thdn_abs - thd_abs, 0.0)
+
+    safe = jnp.where(fundamental > 0, fundamental, 1.0)
+    thd_r = thd_abs / safe
+    thdn_r = thdn_abs / safe
+
+    def ratio_db(v):
+        return jnp.where(v > 0, 20.0 * jnp.log10(jnp.maximum(v, 1e-30)),
+                         -jnp.inf)
+
+    return {
+        "fundamental_freq": fund_bin.astype(x.dtype) * bin_hz,
+        "fundamental_level": fundamental,
+        "thd": thd_r, "thdn": thdn_r,
+        "thd_db": ratio_db(thd_r), "thdn_db": ratio_db(thdn_r),
+        "odd_hd": odd_abs / safe, "even_hd": even_abs / safe,
+        "noise": noise_abs / safe,
+        "sinad": jnp.where(thdn_r > 0,
+                           20.0 * jnp.log10(1.0 / jnp.maximum(thdn_r, 1e-30)),
+                           jnp.inf),
+    }

@@ -278,3 +278,49 @@ def test_frequency_stats():
     # white spectrum: flatness ~ 1
     s2 = calculate_frequency(jnp.ones(1024), SR)
     assert s2.flatness > 0.99
+
+
+def test_thd_analyze_channels_matches_scalar():
+    from algodsp_tpu.measure.thd import analyze_channels
+    n = 1 << 13
+    t = np.arange(n) / SR
+    xs = np.stack([
+        np.sin(2 * np.pi * 1000.0 * t) + 0.01 * np.sin(2 * np.pi * 2000.0 * t),
+        np.sin(2 * np.pi * 2500.0 * t) + 0.02 * np.sin(2 * np.pi * 5000.0 * t),
+        0.5 * np.sin(2 * np.pi * 500.0 * t),
+    ])
+    cfg = THDConfig(sample_rate=SR)
+    batch = analyze_channels(jnp.asarray(xs), cfg)
+    for ch in range(3):
+        ref = analyze_signal(xs[ch], cfg)
+        assert abs(float(batch["fundamental_freq"][ch]) - ref.fundamental_freq) < 1e-6
+        assert abs(float(batch["thd"][ch]) - ref.thd) < 1e-6, ch
+        assert abs(float(batch["even_hd"][ch]) - ref.even_hd) < 1e-6
+        assert abs(float(batch["noise"][ch]) - ref.noise) < 1e-5
+
+
+def test_thd_channels_sharded_config5():
+    """BASELINE config 5: many-channel THD with channels sharded over the
+    mesh; results identical to unsharded."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from algodsp_tpu.parallel import make_mesh
+    from algodsp_tpu.measure.thd import analyze_channels
+    n = 1 << 12
+    t = np.arange(n) / SR
+    rng = np.random.default_rng(11)
+    freqs = rng.uniform(200, 4000, 64)
+    dist = rng.uniform(0.001, 0.05, 64)
+    xs = np.sin(2 * np.pi * freqs[:, None] * t[None, :]) \
+        + dist[:, None] * np.sin(2 * np.pi * 2 * freqs[:, None] * t[None, :])
+    cfg = THDConfig(sample_rate=SR)
+
+    mesh = make_mesh({"channel": 8})
+    xsh = jax.device_put(jnp.asarray(xs),
+                         NamedSharding(mesh, P("channel", None)))
+    out_sh = jax.jit(lambda x: analyze_channels(x, cfg))(xsh)
+    out_ref = analyze_channels(jnp.asarray(xs), cfg)
+    np.testing.assert_allclose(np.asarray(out_sh["thd"]),
+                               np.asarray(out_ref["thd"]), rtol=1e-6)
+    # measured THD tracks injected distortion (amplitude convention)
+    np.testing.assert_allclose(np.asarray(out_ref["thd"]), dist, rtol=0.15)
