@@ -124,3 +124,25 @@ def points_needed(mode: Mode, sinc_half_width: int = 8) -> tuple[int, int]:
     if mode == Mode.SINC:
         return sinc_half_width - 1, 2 * sinc_half_width
     raise ValueError(f"unknown mode {mode}")
+
+
+class LagrangeInterpolator:
+    """Configurable-order fractional interpolator (the legacy wrapper,
+    `interp.go:188-228`): order 1 = linear over samples[0:2]; order 3 =
+    4-point Hermite-style over samples[0:4] (bracket samples[1:3]);
+    other orders fall back to linear, matching the reference."""
+
+    def __init__(self, order: int = 3):
+        self.order = order
+
+    def interpolate(self, samples, frac):
+        samples = jnp.asarray(samples)
+        n = samples.shape[-1]
+        if n == 0:
+            raise ValueError("interp: empty samples")
+        if self.order == 3 and n >= 4:
+            return hermite4(frac, samples[..., 0], samples[..., 1],
+                            samples[..., 2], samples[..., 3])
+        if n < 2:
+            return samples[..., 0]
+        return linear2(frac, samples[..., 0], samples[..., 1])

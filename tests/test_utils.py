@@ -88,3 +88,40 @@ def test_measure_op_and_flop_models():
     assert m.flops_roofline_pct is not None
     assert biquad_cascade_flops(8, 48000, 10) == 2 * 8 * 48000 * 10 * 128
     assert fft_conv_flops(8, 1 << 17, 2048) > 0
+
+
+def test_testutil_helpers():
+    from algodsp_tpu import testutil
+    s = testutil.sine(1000.0, 48000.0, 480)
+    assert abs(s[12]) <= 1.0
+    n1 = testutil.seeded_noise(64, seed=5)
+    n2 = testutil.seeded_noise(64, seed=5)
+    np.testing.assert_array_equal(n1, n2)
+    assert testutil.impulse(8, 3)[3] == 1.0
+    assert testutil.snr_db(s, s) == np.inf
+    assert testutil.max_abs_diff([1.0], [1.5]) == 0.5
+    import pytest
+    with pytest.raises(AssertionError):
+        testutil.require_slice_nearly_equal([0.0], [1.0], 1e-9)
+
+
+def test_lagrange_interpolator_wrapper():
+    from algodsp_tpu.interp import LagrangeInterpolator
+    li1 = LagrangeInterpolator(1)
+    assert abs(float(li1.interpolate(jnp.asarray([2.0, 4.0]), 0.25)) - 2.5) < 1e-12
+    li3 = LagrangeInterpolator(3)
+    pts = jnp.asarray([0.0, 1.0, 2.0, 3.0])
+    assert abs(float(li3.interpolate(pts, 0.5)) - 1.5) < 1e-12
+
+
+def test_donated_jit_state_stream():
+    from algodsp_tpu.utils import donated_jit
+    from algodsp_tpu.filters import BiquadChain, design
+    chain = BiquadChain(design.lowpass(1000.0, 1.0, 48000.0))
+    proc = donated_jit(chain.process_stream)
+    state = chain.init_state((2,), dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 256)),
+                    jnp.float32)
+    state, y1 = proc(state, x)
+    state, y2 = proc(state, x)
+    assert np.asarray(y2).shape == (2, 256)
