@@ -23,6 +23,11 @@ from algodsp_tpu.chain.registry import Registry, Context, default_registry, Node
 class Chain:
     def __init__(self, sample_rate: float, *, block_size: int = 512,
                  registry: Registry | None = None):
+        if not isinstance(sample_rate, (int, float)) or not sample_rate > 0:
+            raise ValueError(
+                f"chain: sample_rate must be a positive number, got "
+                f"{sample_rate!r} — construct with Chain(sample_rate) and "
+                f"pass the graph JSON to load_graph()")
         self.ctx = Context(sample_rate=sample_rate, block_size=block_size)
         self.registry = registry or default_registry()
         self.graph: CompiledGraph = parse_graph("")

@@ -14,9 +14,12 @@ TPU-first split:
     shifter) vectorize completely: LFO trajectories are closed-form in
     the sample index, delays become interpolated gathers, smoothing
     one-poles ride the linear-recurrence engine.
-  * Feedback effects (flanger, phaser) and the time-varying-coefficient
-    autowah filter run as per-sample `lax.scan`s with channels on VPU
-    lanes — exactly the Go recurrences.
+  * The flanger's feedback loop is blocked (see Flanger): its lag never
+    drops below base_delay, so 64-sample blocks need no in-block
+    recurrence.
+  * Zero-delay feedback effects (phaser) and the time-varying-
+    coefficient autowah filter run as per-sample `lax.scan`s with
+    channels on VPU lanes — exactly the Go recurrences.
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from algodsp_tpu.ops import linrec
+from algodsp_tpu.ops import linrec, ring
 from algodsp_tpu.ops.envscan import envelope_scan
 from algodsp_tpu.delayline import DelayLine, fractional_read
 from algodsp_tpu.interp import Mode
@@ -171,8 +174,16 @@ class RingModulator:
 
 
 class Flanger:
-    """Modulated delay with feedback (`flanger.go:259-282`): per-sample
-    scan with the ring buffer in the carry."""
+    """Modulated delay with feedback (`flanger.go:259-282`).
+
+    TPU design: the modulated lag never drops below base_delay (the LFO
+    term is >= 0), so blocks of B <= base_delay*sr - 2 samples only read
+    values written in earlier blocks.  The LFO trajectory is closed-form
+    and input-independent, so per block the fractional read is a small
+    static set of contiguous dynamic slices (the read index walks
+    +1/sample with a tiny wobble) and the write is a concat-shift.
+    Falls back to the per-sample scan when base_delay is too short to
+    block (< ~0.4 ms at 48 kHz)."""
 
     def __init__(self, sample_rate: float, *, rate_hz: float = 0.25,
                  depth_seconds: float = 0.002, base_delay_seconds: float = 0.002,
@@ -189,39 +200,95 @@ class Flanger:
         self.mix = mix
         self.buf_len = int(math.ceil((base_delay_seconds + depth_seconds)
                                      * sample_rate)) + 4
+        inc = TWO_PI * rate_hz / sample_rate
+        min_d = max(base_delay_seconds * sample_rate, 1.0)
+        B = int(min(128, math.floor(min_d) - 2))
+        drift = depth_seconds * sample_rate * inc   # max |d lag/dt|
+        while B > 16 and drift * B > 8.0:
+            B //= 2
+        self._block = B
+        self._nshift = int(math.ceil(max(drift, 0.0) * B)) + 3 if B >= 16 else 0
 
     def init_state(self, batch_shape=(), dtype=jnp.float32):
         return {"buf": jnp.zeros(batch_shape + (self.buf_len,), dtype),
                 "phase": jnp.zeros((), dtype),
                 "write": jnp.zeros((), jnp.int32)}
 
-    def process(self, state, x):
-        x = jnp.asarray(x)
-        dtype = x.dtype
+    def _lags(self, phase0, n, dtype):
+        """Closed-form modulated-lag trajectory for n samples."""
         inc = TWO_PI * self.rate_hz / self.sample_rate
-        L = self.buf_len
-        xs = jnp.moveaxis(x, -1, 0)
+        phases = jnp.mod(phase0 + inc * jnp.arange(n, dtype=dtype), TWO_PI)
+        mod = 0.5 * (1.0 + jnp.sin(phases))
+        return jnp.maximum((self.base_delay + self.depth * mod)
+                           * self.sample_rate, 1.0).astype(dtype)
 
-        def step(carry, xv):
-            buf, phase, w = carry
-            mod = 0.5 * (1.0 + jnp.sin(phase))
-            d = jnp.maximum((self.base_delay + self.depth * mod)
-                            * self.sample_rate, 1.0).astype(dtype)
-            pos = w.astype(dtype) - d
+    def _sample_scan(self, buf, w, x, d):
+        L = self.buf_len
+        dtype = x.dtype
+
+        def step(carry, xs):
+            buf, w = carry
+            xv, dv = xs
+            pos = w.astype(dtype) - dv
             i0 = jnp.floor(pos).astype(jnp.int32)
             frac = pos - i0
             i0 = jnp.mod(i0, L)
             i1 = jnp.mod(i0 + 1, L)
             delayed = buf[..., i0] * (1 - frac) + buf[..., i1] * frac
             buf = buf.at[..., jnp.mod(w, L)].set(xv + delayed * self.feedback)
-            phase = jnp.mod(phase + inc, TWO_PI)
             y = xv * (1.0 - self.mix) + delayed * self.mix
-            return (buf, phase, w + 1), y
+            return (buf, w + 1), y
 
-        (buf, phase, w), ys = jax.lax.scan(
-            step, (state["buf"], state["phase"], state["write"]), xs)
-        return ({"buf": buf, "phase": phase, "write": w},
-                jnp.moveaxis(ys, 0, -1))
+        (buf, w), ys = jax.lax.scan(step, (buf, w),
+                                    (jnp.moveaxis(x, -1, 0), d))
+        return buf, w, jnp.moveaxis(ys, 0, -1)
+
+    def process(self, state, x):
+        x = jnp.asarray(x)
+        dtype = x.dtype
+        N = x.shape[-1]
+        L = self.buf_len
+        B = self._block
+        d = self._lags(state["phase"], N, dtype)
+        inc = TWO_PI * self.rate_hz / self.sample_rate
+        new_phase = jnp.mod(state["phase"] + inc * N, TWO_PI)
+        buf, w = state["buf"], state["write"]
+        nb, rem = divmod(N, B) if B >= 16 else (0, N)
+        ys = []
+        if nb:
+            lin = ring.ring_to_linear(buf, w)
+
+            def bstep(carry, xs):
+                lin, w = carry
+                xbv, db = xs                          # (..., B), (B,)
+                t = jnp.arange(B)
+                pos = (L + t).astype(dtype) - db
+                i0 = jnp.floor(pos).astype(jnp.int32)
+                frac = pos - i0
+                ci = jnp.min(i0 - t)
+                e = i0 - t - ci
+                delayed = jnp.zeros(lin.shape[:-1] + (B,), dtype)
+                for s in range(self._nshift):
+                    sl = jax.lax.dynamic_slice_in_dim(lin, ci + s, B, axis=-1)
+                    ws = (1 - frac) * (e == s) + frac * (e == s - 1)
+                    delayed = delayed + ws * sl
+                lin = jnp.concatenate(
+                    [lin[..., B:], xbv + delayed * self.feedback], axis=-1)
+                y = xbv * (1.0 - self.mix) + delayed * self.mix
+                return (lin, w + B), y
+
+            shape = x.shape[:-1]
+            xb = jnp.moveaxis(x[..., :nb * B].reshape(shape + (nb, B)), -2, 0)
+            db = d[:nb * B].reshape(nb, B)
+            (lin, w), yb = jax.lax.scan(bstep, (lin, w), (xb, db))
+            buf = ring.linear_to_ring(lin, w)
+            ys.append(jnp.moveaxis(yb, 0, -2).reshape(shape + (nb * B,)))
+        if rem:
+            buf, w, yt = self._sample_scan(buf, w, x[..., N - rem:],
+                                           d[N - rem:])
+            ys.append(yt)
+        y = ys[0] if len(ys) == 1 else jnp.concatenate(ys, axis=-1)
+        return {"buf": buf, "phase": new_phase, "write": w}, y
 
 
 class Phaser:
@@ -288,8 +355,10 @@ class AutoWah:
     """Envelope-driven bandpass wah (`auto_wah.go:315-334,455-482`).
 
     The envelope runs via the shared branching scan; the time-varying
-    RBJ bandpass runs as a per-sample DF2T scan with per-sample
-    coefficients computed vectorized up front.
+    RBJ bandpass coefficients are computed vectorized up front (they
+    depend only on the input envelope), and the filter itself runs as a
+    log-depth time-varying affine scan (`linrec.affine2_scan`) instead
+    of a per-sample loop.
     """
 
     def __init__(self, sample_rate: float, *, min_freq_hz: float = 350.0,
@@ -328,21 +397,21 @@ class AutoWah:
         a1 = -2.0 * cw * inv_a0
         a2 = (1.0 - alpha) * inv_a0
 
-        seq = jnp.moveaxis(jnp.stack([x, b0, b2, a1, a2], axis=-1), -2, 0)
-
-        def step(carry, row):
-            z1, z2 = carry
-            xv, b0v, b2v, a1v, a2v = (row[..., 0], row[..., 1], row[..., 2],
-                                      row[..., 3], row[..., 4])
-            out = b0v * xv + z1
-            z1 = -a1v * out + z2            # b1 = 0
-            z2 = b2v * xv - a2v * out
-            return (z1, z2), out
-
-        (z1, z2), wet = jax.lax.scan(step, (state["z1"], state["z2"]), seq)
-        wet = jnp.moveaxis(wet, 0, -1)
+        # DF2T with per-sample coefficients.  Substituting
+        # out = b0 x + z1 into the state updates gives the affine
+        # recurrence (b1 = 0):
+        #   z1' = -a1 z1 + z2 - a1 b0 x
+        #   z2' = -a2 z1      + (b2 - a2 b0) x
+        # whose coefficients depend only on the input envelope, so it
+        # runs as one log-depth time-varying affine scan, not N steps.
+        A = jnp.stack([-a1, jnp.ones_like(a1), -a2, jnp.zeros_like(a1)],
+                      axis=-1)                                # (..., N, 4)
+        w = jnp.stack([-a1 * b0 * x, (b2 - a2 * b0) * x], axis=-1)
+        s0 = jnp.stack([state["z1"], state["z2"]], axis=-1)
+        entry, final = linrec.affine2_scan(A, w, s0)
+        wet = b0 * x + entry[..., 0]
         y = x * (1.0 - self.mix) + wet * self.mix
-        return {"env": env_f, "z1": z1, "z2": z2}, y
+        return {"env": env_f, "z1": final[..., 0], "z2": final[..., 1]}, y
 
 
 class FrequencyShifter:

@@ -7,9 +7,16 @@ feedback gains 10^(-3*delay_sec/rt60), one-pole damping in the loop,
 sinusoidal per-line delay modulation with 2*pi*i/8 phase offsets, and
 fractional pre-delay.
 
-Runs as one `lax.scan`: per step, 8 fractional delay reads (linear
-interp), an 8-wide Hadamard mix, damping, and 8 writes — all fused;
-channels batch in the carry.
+TPU design — blocked feedback processing: every feedback read lags by
+at least the shortest line delay (1537 samples at 44.1 kHz, scaled), so
+a block of B=128 samples never reads a value written inside the same
+block.  Per block: the 8 modulated fractional reads become two batched
+gathers, the Hadamard mix an 8x8 matmul over the whole block, and the
+in-loop damping one-pole an exact 128x128 lower-triangular Toeplitz
+matmul plus carry term.  The pre-delay is a pure input delay (no
+feedback), so it is applied to the whole call vectorized, outside the
+scan.  ~128x fewer sequential steps than the per-sample `lax.scan`
+(`process_scan`, kept for parity testing); results are exact.
 """
 
 from __future__ import annotations
@@ -19,6 +26,8 @@ import math
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from ...ops import ring
 
 FDN_SIZE = 8
 _DELAYS_441 = np.array([1537, 1753, 1999, 2251, 2473, 2689, 2851, 3067],
@@ -59,6 +68,24 @@ class FDNReverb:
         self.line_len = int(np.ceil(self.base_delays.max() + self.mod_depth)) + 4
         self.pre_len = max(int(np.ceil(self.pre_delay)) + 4, 4)
         self.hadamard = _hadamard8() * self.gain
+        # block size: in-block feedback reads must only hit earlier
+        # blocks, so B < min line delay; larger B = fewer sequential
+        # steps (the damping Toeplitz matmul is MXU work either way)
+        B = int(min(1024, np.floor(self.base_delays.min()) - 2))
+        # modulated reads run as a few contiguous dynamic slices, not a
+        # gather: the read index walks +1/sample, wobbling by at most
+        # drift = |d delay/dt| <= mod_depth * dphase per sample; keep
+        # the wobble over a block small enough for a static shift set
+        drift = self.mod_depth * 2.0 * np.pi * self.mod_rate / sample_rate
+        while B > 16 and drift * B > 8.0:
+            B //= 2
+        self._block = B
+        self._nshift = int(np.ceil(drift * B)) + 3
+        da, db = self.damp, 1.0 - self.damp
+        t = np.arange(max(self._block, 1))
+        lag = t[:, None] - t[None, :]
+        self._damp_T = np.where(lag >= 0, db * da ** np.maximum(lag, 0), 0.0)
+        self._damp_p = da ** (t + 1.0)
 
     def init_state(self, batch_shape=(), dtype=jnp.float32):
         return {
@@ -80,7 +107,156 @@ class FDNReverb:
         i1 = jnp.mod(i0 + 1, L)
         return buf[..., i0] * (1 - frac) + buf[..., i1] * frac
 
+    # ------------------------------------------------------------------
+    # pre-delay: pure input delay -> whole-call vectorized FIR
+    # ------------------------------------------------------------------
+    def _apply_pre_delay(self, pre, n0, x):
+        """Returns (new_pre_ring, pre_delayed_input) for the whole call."""
+        if self.pre_delay <= 0:
+            return pre, x
+        P, N = self.pre_len, x.shape[-1]
+        dtype = x.dtype
+        # ring -> linear history (oldest..newest), then extend with x
+        hist = ring.ring_to_linear(pre, n0)
+        ext = jnp.concatenate([hist, x], axis=-1)
+        # sample n reads input at global lag pre_delay -> ext index
+        # n + (P - pre_delay), a constant offset: two static slices
+        c = P - self.pre_delay                 # >= 4 by pre_len construction
+        i00 = int(math.floor(c))
+        frac = jnp.asarray(c - i00, dtype)
+        inp = (ext[..., i00:i00 + N] * (1 - frac)
+               + ext[..., i00 + 1:i00 + 1 + N] * frac)
+        # the new ring holds the last P input samples
+        new_pre = ring.linear_to_ring(ext[..., -P:], n0 + N)
+        return new_pre, inp
+
+    # ------------------------------------------------------------------
+    # blocked feedback loop
+    # ------------------------------------------------------------------
+    def _block_step(self, carry, xs):
+        xb, inpb = xs                                   # (..., B) each
+        lines, fstate, lfo, n0 = carry
+        dtype = xb.dtype
+        B = xb.shape[-1]
+        L = self.line_len
+        had = jnp.asarray(self.hadamard, dtype)
+        fb_g = jnp.asarray(self.feedback_gains, dtype)
+        base = jnp.asarray(self.base_delays, dtype)
+        T = jnp.asarray(self._damp_T[:B, :B], dtype)
+        p = jnp.asarray(self._damp_p[:B], dtype)
+        phase_off = jnp.asarray(2.0 * np.pi * np.arange(FDN_SIZE) / FDN_SIZE,
+                                dtype)
+        dphase = 2.0 * np.pi * self.mod_rate / self.sample_rate
+        t = jnp.arange(B)
+
+        lfo_t = jnp.mod(lfo + dphase * t.astype(dtype), 2.0 * np.pi)
+        mod = 0.5 * (1.0 + jnp.sin(lfo_t[:, None] + phase_off))   # (B,8)
+        delays = base + self.mod_depth * mod                      # (B,8)
+        # shift-register layout: lines[..., i, L-1] is the newest
+        # sample (block start - 1); sample n0+t-delay sits at linear
+        # index L + t - delay, always in [0, L-2] since B < min delay.
+        # The index walks ~+1/sample with a small LFO wobble, so the
+        # fractional read is a static set of contiguous dynamic slices
+        # combined by selection weights — no TPU gather.
+        pos = (L + t[:, None]).astype(dtype) - delays
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        frac = jnp.asarray(pos - i0, dtype)                       # (B,8)
+        reads = []
+        for i in range(FDN_SIZE):
+            ci = jnp.min(i0[:, i] - t)                            # scalar
+            e = i0[:, i] - t - ci                                 # (B,) small
+            acc = jnp.zeros(lines.shape[:-2] + (B,), dtype)
+            for s in range(self._nshift):
+                sl = jax.lax.dynamic_slice_in_dim(
+                    lines[..., i, :], ci + s, B, axis=-1)         # (...,B)
+                w = ((1 - frac[:, i]) * (e == s)
+                     + frac[:, i] * (e == s - 1))
+                acc = acc + w * sl
+            reads.append(acc)
+        d = jnp.stack(reads, axis=-2)                             # (...,8,B)
+        feedback = jnp.einsum("ij,...jt->...it", had, d,
+                              precision=jax.lax.Precision.HIGHEST)
+        filtered = (jnp.einsum("...ck,tk->...ct", feedback, T,
+                               precision=jax.lax.Precision.HIGHEST)
+                    + fstate[..., None] * p)                      # (...,8,B)
+        write = inpb[..., None, :] * self.gain + filtered * fb_g[:, None]
+        lines = jnp.concatenate([lines[..., B:], write], axis=-1)
+        out = jnp.sum(d, axis=-2) * self.gain
+        y = xb * self.dry + out * self.wet
+        lfo = jnp.mod(lfo + dphase * B, 2.0 * np.pi)
+        return (lines, filtered[..., :, -1], lfo, n0 + B), y
+
+    # ------------------------------------------------------------------
+    # per-sample feedback loop (tail / reference)
+    # ------------------------------------------------------------------
+    def _sample_scan(self, carry, xs_pair):
+        dtype = xs_pair[0].dtype
+        had = jnp.asarray(self.hadamard, dtype)
+        fb_g = jnp.asarray(self.feedback_gains, dtype)
+        base = jnp.asarray(self.base_delays, dtype)
+        damp = jnp.asarray(self.damp, dtype)
+        phase_off = jnp.asarray(2.0 * np.pi * np.arange(FDN_SIZE) / FDN_SIZE,
+                                dtype)
+        dphase = 2.0 * np.pi * self.mod_rate / self.sample_rate
+
+        def step(carry, xs):
+            xv, inp = xs
+            lines, fstate, lfo, n = carry
+            mod = 0.5 * (1.0 + jnp.sin(lfo + phase_off))     # (8,)
+            delays = base + self.mod_depth * mod             # (8,)
+            wp_l = jnp.mod(n, self.line_len)
+            reads = []
+            for i in range(FDN_SIZE):
+                reads.append(self._frac_read(lines[..., i, :],
+                                             wp_l.astype(dtype), delays[i]))
+            d = jnp.stack(reads, axis=-1)                    # (..., 8)
+            feedback = jnp.einsum("ij,...j->...i", had, d)
+            filtered = feedback * (1 - damp) + fstate * damp
+            write = inp[..., None] * self.gain + filtered * fb_g
+            lines = lines.at[..., :, wp_l].set(write)
+            out = jnp.sum(d, axis=-1) * self.gain
+            y = xv * self.dry + out * self.wet
+            lfo = jnp.mod(lfo + dphase, 2.0 * np.pi)
+            return (lines, filtered, lfo, n + 1), y
+
+        return jax.lax.scan(step, carry, xs_pair)
+
     def process(self, state, x):
+        x = jnp.asarray(x)
+        N = x.shape[-1]
+        B = self._block
+        pre, inp = self._apply_pre_delay(state["pre"], state["step"], x)
+        carry = (state["lines"], state["filter"], state["lfo_phase"],
+                 state["step"])
+        ys = []
+        nb, rem = divmod(N, B) if B >= 16 else (0, N)
+        if nb:
+            # ring -> shift-register layout (two contiguous copies)
+            step0 = state["step"]
+            lines, fstate, lfo, _ = carry
+            carry = (ring.ring_to_linear(lines, step0), fstate, lfo, step0)
+
+            def to_blocks(a):
+                return jnp.moveaxis(
+                    a[..., :nb * B].reshape(a.shape[:-1] + (nb, B)), -2, 0)
+            carry, yb = jax.lax.scan(self._block_step, carry,
+                                     (to_blocks(x), to_blocks(inp)))
+            lines, fstate, lfo, step1 = carry
+            carry = (ring.linear_to_ring(lines, step1), fstate, lfo, step1)
+            ys.append(jnp.moveaxis(yb, 0, -2).reshape(x.shape[:-1] + (nb * B,)))
+        if rem:
+            xs = (jnp.moveaxis(x[..., N - rem:], -1, 0),
+                  jnp.moveaxis(inp[..., N - rem:], -1, 0))
+            carry, yt = self._sample_scan(carry, xs)
+            ys.append(jnp.moveaxis(yt, 0, -1))
+        lines, fstate, lfo, n = carry
+        y = ys[0] if len(ys) == 1 else jnp.concatenate(ys, axis=-1)
+        return ({"lines": lines, "pre": pre, "filter": fstate,
+                 "lfo_phase": lfo, "step": n}, y)
+
+    def process_scan(self, state, x):
+        """Per-sample reference implementation (kept for parity tests);
+        matches fdn_reverb.go:196-259 order of operations exactly."""
         x = jnp.asarray(x)
         dtype = x.dtype
         had = jnp.asarray(self.hadamard, dtype)
@@ -93,23 +269,20 @@ class FDNReverb:
 
         def step(carry, xv):
             lines, pre, fstate, lfo, n = carry
-            # pre-delay
             if self.pre_delay > 0:
                 wp = jnp.mod(n, self.pre_len)
                 pre = pre.at[..., wp].set(xv)
                 inp = self._frac_read(pre, wp.astype(dtype), self.pre_delay)
             else:
                 inp = xv
-            # modulated fractional reads from all 8 lines
-            mod = 0.5 * (1.0 + jnp.sin(lfo + phase_off))     # (8,)
-            delays = base + self.mod_depth * mod             # (8,)
+            mod = 0.5 * (1.0 + jnp.sin(lfo + phase_off))
+            delays = base + self.mod_depth * mod
             wp_l = jnp.mod(n, self.line_len)
             reads = []
             for i in range(FDN_SIZE):
                 reads.append(self._frac_read(lines[..., i, :],
                                              wp_l.astype(dtype), delays[i]))
-            d = jnp.stack(reads, axis=-1)                    # (..., 8)
-            # Hadamard feedback mix + damping one-pole
+            d = jnp.stack(reads, axis=-1)
             feedback = jnp.einsum("ij,...j->...i", had, d)
             filtered = feedback * (1 - damp) + fstate * damp
             write = inp[..., None] * self.gain + filtered * fb_g

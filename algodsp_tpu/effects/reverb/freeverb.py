@@ -5,21 +5,38 @@ feedback combs (damping one-pole in the loop, denormal squelch at
 1e-23) + 4 serial allpasses, legacy 44.1 kHz tunings, fixed input gain
 0.015, wet/dry/room-size/damp controls.
 
-TPU note: the comb/allpass loops are feedback recurrences at audio
-rate, so they run as one `lax.scan` with every ring buffer in the
-carry; all channels advance together on VPU lanes. All 8 comb + 4
-allpass updates happen inside a single fused scan step.
+TPU design — blocked feedback processing: every feedback path runs
+through a delay of >= 225 samples (shortest allpass), so a block of
+B=128 consecutive samples never reads a value written inside the same
+block.  That turns the per-sample recurrence into a per-block scan:
+
+  * buffers run in shift-register layout (ring <-> linear conversion is
+    two contiguous copies per call), so comb reads are pure slices and
+    writes are concat-shifts — no TPU gather or scatter anywhere,
+  * the in-loop damping one-pole -> an exact 128x128 lower-triangular
+    Toeplitz matmul (db*da^(t-k)) plus a carry term da^(t+1)*fs0 — MXU
+    work instead of 128 sequential VPU steps,
+  * the 4 serial allpasses -> pure vector ops (no in-block recurrence).
+
+~128x fewer sequential steps than the naive per-sample `lax.scan`
+(`process_scan`, kept for parity testing).  Exact up to the denormal
+squelch, which is applied per-block instead of per-sample: values the
+reference would flush mid-recurrence differ by < 1e-23 (-460 dBFS).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
+
+from ...ops import ring
 
 COMB_TUNINGS = (1116, 1188, 1277, 1356, 1422, 1491, 1557, 1617)
 ALLPASS_TUNINGS = (556, 441, 341, 225)
 FIXED_GAIN = 0.015
 _DENORMAL = 1e-23
+_BLOCK = 128  # must be <= min(ALLPASS_TUNINGS)
 
 
 class Freeverb:
@@ -33,6 +50,15 @@ class Freeverb:
         # in the Go setter; legacy maps roomsize directly)
         self.comb_feedback = self.room_size
         self.allpass_feedback = 0.5
+        # Blocked damping kernels (host float64):
+        #   fs[t] = db*out[t] + da*fs[t-1]
+        #   fs = out @ T^T + fs0 * p,  T[t,k] = db*da^(t-k) (t>=k),
+        #   p[t] = da^(t+1)
+        da, db = self.damp, 1.0 - self.damp
+        t = np.arange(_BLOCK)
+        lag = t[:, None] - t[None, :]
+        self._damp_T = np.where(lag >= 0, db * da ** np.maximum(lag, 0), 0.0)
+        self._damp_p = da ** (t + 1.0)
 
     def init_state(self, batch_shape=(), dtype=jnp.float32):
         return {
@@ -43,15 +69,52 @@ class Freeverb:
             "step": jnp.zeros((), jnp.int32),
         }
 
-    def process(self, state, x):
-        """(state, x:(..., N)) -> (state, y)."""
-        x = jnp.asarray(x)
-        damp_a = jnp.asarray(self.damp, x.dtype)
-        damp_b = jnp.asarray(1.0 - self.damp, x.dtype)
-        fb = jnp.asarray(self.comb_feedback, x.dtype)
-        apfb = jnp.asarray(self.allpass_feedback, x.dtype)
+    # ------------------------------------------------------------------
+    # blocked path
+    # ------------------------------------------------------------------
+    def _block_step(self, carry, xb):
+        """One 128-sample block; xb: (..., B).  Buffers are in
+        shift-register layout (oldest first, newest last), so a comb of
+        length D reads its D-lag output as the oldest B slots — a pure
+        slice — and writes by concat-shifting.  No gather/scatter."""
+        combs, fstore, allp, n0 = carry
+        dtype = xb.dtype
+        B = xb.shape[-1]
+        fb = jnp.asarray(self.comb_feedback, dtype)
+        apfb = jnp.asarray(self.allpass_feedback, dtype)
+        T = jnp.asarray(self._damp_T, dtype)
+        p = jnp.asarray(self._damp_p, dtype)
 
-        xs = jnp.moveaxis(x, -1, 0)
+        inp = FIXED_GAIN * xb
+        out = jnp.stack([c[..., :B] for c in combs], axis=-2)      # (...,8,B)
+        # damping one-pole, blocked-exact
+        fs = (jnp.einsum("...ck,tk->...ct", out, T,
+                         precision=jax.lax.Precision.HIGHEST)
+              + fstore[..., None] * p)
+        fs = jnp.where(jnp.abs(fs) < _DENORMAL, 0.0, fs)
+        wr = inp[..., None, :] + fs * fb                           # (...,8,B)
+        new_combs = [jnp.concatenate([combs[i][..., B:], wr[..., i, :]], axis=-1)
+                     for i in range(len(COMB_TUNINGS))]
+        acc = jnp.sum(out, axis=-2)
+        # serial allpasses: delay >= 225 >= B, so in-block reads hit
+        # previous blocks only -> pure vector ops
+        new_allp = []
+        for j, A in enumerate(ALLPASS_TUNINGS):
+            buf_out = allp[j][..., :B]
+            new_allp.append(jnp.concatenate(
+                [allp[j][..., B:], acc + buf_out * apfb], axis=-1))
+            acc = buf_out - acc
+        y = acc * self.wet + xb * self.dry
+        return (new_combs, fs[..., :, -1], new_allp, n0 + B), y
+
+    # ------------------------------------------------------------------
+    # per-sample reference path (reverb.go:118-166 order of operations)
+    # ------------------------------------------------------------------
+    def _sample_scan(self, carry, xs):
+        damp_a = jnp.asarray(self.damp, xs.dtype)
+        damp_b = jnp.asarray(1.0 - self.damp, xs.dtype)
+        fb = jnp.asarray(self.comb_feedback, xs.dtype)
+        apfb = jnp.asarray(self.allpass_feedback, xs.dtype)
 
         def step(carry, xv):
             combs, fstore, allp, n = carry
@@ -77,9 +140,50 @@ class Freeverb:
             y = acc * self.wet + xv * self.dry
             return (new_combs, jnp.stack(new_fstore, axis=-1), new_allp, n + 1), y
 
-        carry0 = (state["combs"], state["filter_store"], state["allpasses"],
-                  state["step"])
-        (combs, fstore, allp, n), ys = jax.lax.scan(step, carry0, xs)
+        return jax.lax.scan(step, carry, xs)
+
+    def process(self, state, x):
+        """(state, x:(..., N)) -> (state, y).  Full 128-sample blocks run
+        the blocked path; any tail runs the per-sample scan."""
+        x = jnp.asarray(x)
+        n = x.shape[-1]
+        nb, rem = divmod(n, _BLOCK)
+        carry = (state["combs"], state["filter_store"], state["allpasses"],
+                 state["step"])
+        ys = []
+        if nb:
+            # ring -> shift-register layout (contiguous copies), run
+            # the blocked scan, convert back for state compatibility
+            step0 = state["step"]
+            combs, fstore, allp, _ = carry
+            combs = [ring.ring_to_linear(c, step0) for c in combs]
+            allp = [ring.ring_to_linear(a, step0) for a in allp]
+            carry = (combs, fstore, allp, step0)
+            xb = jnp.moveaxis(
+                x[..., :nb * _BLOCK].reshape(x.shape[:-1] + (nb, _BLOCK)),
+                -2, 0)                                   # (nb, ..., B)
+            carry, yb = jax.lax.scan(self._block_step, carry, xb)
+            combs, fstore, allp, step1 = carry
+            combs = [ring.linear_to_ring(c, step1) for c in combs]
+            allp = [ring.linear_to_ring(a, step1) for a in allp]
+            carry = (combs, fstore, allp, step1)
+            ys.append(jnp.moveaxis(yb, 0, -2).reshape(x.shape[:-1] + (nb * _BLOCK,)))
+        if rem:
+            xs = jnp.moveaxis(x[..., nb * _BLOCK:], -1, 0)
+            carry, yt = self._sample_scan(carry, xs)
+            ys.append(jnp.moveaxis(yt, 0, -1))
+        combs, fstore, allp, step = carry
         new_state = {"combs": combs, "filter_store": fstore,
-                     "allpasses": allp, "step": n}
-        return new_state, jnp.moveaxis(ys, 0, -1)
+                     "allpasses": allp, "step": step}
+        y = ys[0] if len(ys) == 1 else jnp.concatenate(ys, axis=-1)
+        return new_state, y
+
+    def process_scan(self, state, x):
+        """Per-sample reference implementation (kept for parity tests)."""
+        x = jnp.asarray(x)
+        carry = (state["combs"], state["filter_store"], state["allpasses"],
+                 state["step"])
+        carry, ys = self._sample_scan(carry, jnp.moveaxis(x, -1, 0))
+        combs, fstore, allp, step = carry
+        return ({"combs": combs, "filter_store": fstore,
+                 "allpasses": allp, "step": step}, jnp.moveaxis(ys, 0, -1))

@@ -270,3 +270,44 @@ def _affine_scan_banded(G, w):
 
     _, c = jax.lax.associative_scan(combine, (A, w), axis=-2)
     return c
+
+
+def affine2_scan(A, w, s0):
+    """Inclusive scan of the TIME-VARYING affine recurrence
+    s_n = A_n s_{n-1} + w_n over axis -2.
+
+    A: (..., N, 4) per-step 2x2 matrices packed [m00, m01, m10, m11];
+    w: (..., N, 2); s0: (..., 2) initial state.  Returns
+    (entry, final): `entry[..., n, :]` is the state BEFORE step n
+    (entry[..., 0, :] == s0) and `final` is the state after step N-1.
+
+    Log-depth `associative_scan` over (matrix, vector) pairs — the
+    engine for filters whose coefficients vary per sample but are known
+    upfront (input-driven modulation), e.g. the auto-wah bandpass.
+    """
+    s0b = jnp.broadcast_to(s0, A.shape[:-2] + (2,))
+    # fold the initial state into the first step's offset
+    w0 = jnp.stack([
+        A[..., 0, 0] * s0b[..., 0] + A[..., 0, 1] * s0b[..., 1],
+        A[..., 0, 2] * s0b[..., 0] + A[..., 0, 3] * s0b[..., 1],
+    ], axis=-1) + w[..., 0, :]
+    w = jnp.concatenate([w0[..., None, :], w[..., 1:, :]], axis=-2)
+
+    def combine(left, right):
+        a_l, b_l = left
+        a_r, b_r = right
+        a = jnp.stack([
+            a_r[..., 0] * a_l[..., 0] + a_r[..., 1] * a_l[..., 2],
+            a_r[..., 0] * a_l[..., 1] + a_r[..., 1] * a_l[..., 3],
+            a_r[..., 2] * a_l[..., 0] + a_r[..., 3] * a_l[..., 2],
+            a_r[..., 2] * a_l[..., 1] + a_r[..., 3] * a_l[..., 3],
+        ], axis=-1)
+        b = jnp.stack([
+            a_r[..., 0] * b_l[..., 0] + a_r[..., 1] * b_l[..., 1],
+            a_r[..., 2] * b_l[..., 0] + a_r[..., 3] * b_l[..., 1],
+        ], axis=-1) + b_r
+        return a, b
+
+    _, after = jax.lax.associative_scan(combine, (A, w), axis=-2)
+    entry = jnp.concatenate([s0b[..., None, :], after[..., :-1, :]], axis=-2)
+    return entry, after[..., -1, :]

@@ -243,3 +243,92 @@ def test_frequency_shifter_shifts():
     p = np.asarray(goertzel_power(jnp.asarray(tail_d),
                                   [850.0, 1000.0, 1150.0], SR))
     assert p[0] > 50 * p[1]  # energy moved to 850
+
+def test_delay_blocked_matches_sample_path():
+    # one-shot 1000-sample call takes the blocked path; 100-sample
+    # chunks (nb == 0) take the per-sample path — must agree
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 1000))
+    dl = Delay(SR, delay_seconds=0.25, feedback=0.6, mix=0.4)
+    s1 = dl.init_state((2,), dtype=jnp.float64)
+    s2 = dl.init_state((2,), dtype=jnp.float64)
+    _, y1 = dl.process(s1, jnp.asarray(x), target_delay_samples=6000.0)
+    outs = []
+    for k in range(10):
+        s2, yk = dl.process(s2, jnp.asarray(x[:, k * 100:(k + 1) * 100]),
+                            target_delay_samples=6000.0)
+        outs.append(np.asarray(yk))
+    np.testing.assert_allclose(np.asarray(y1), np.concatenate(outs, axis=1),
+                               atol=1e-9)
+
+
+def test_delay_short_lag_falls_back_to_scan():
+    # 1 ms delay (48 samples < block+2): cond must pick the exact scan
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal(600)
+    dl = Delay(SR, delay_seconds=0.001, feedback=0.5, mix=0.5, smooth_ms=0.0)
+    state = dl.init_state(dtype=jnp.float64)
+    _, y = dl.process(state, jnp.asarray(x))
+    L = dl.buf_len
+    buf = np.zeros(L)
+    w = 0
+    d = round(0.001 * SR)
+    expected = np.empty_like(x)
+    for i, v in enumerate(x):
+        pos = (w - d) % L
+        i0 = math.floor(pos)
+        frac = pos - i0
+        delayed = buf[i0 % L] * (1 - frac) + buf[(i0 + 1) % L] * frac
+        buf[w % L] = v + delayed * 0.5
+        w += 1
+        expected[i] = v * 0.5 + delayed * 0.5
+    assert snr_db(expected, np.asarray(y)) > 140
+
+
+def test_flanger_blocked_matches_chunked_sample_path():
+    fl = Flanger(SR, rate_hz=0.5, depth_seconds=0.001,
+                 base_delay_seconds=0.003, feedback=0.4, mix=0.5)
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, 960))
+    s1 = fl.init_state((2,), dtype=jnp.float64)
+    s2 = fl.init_state((2,), dtype=jnp.float64)
+    _, y1 = fl.process(s1, jnp.asarray(x))     # blocked path
+    outs = []
+    for k in range(32):                        # 30-sample chunks: scan path
+        s2, yk = fl.process(s2, jnp.asarray(x[:, k * 30:(k + 1) * 30]))
+        outs.append(np.asarray(yk))
+    np.testing.assert_allclose(np.asarray(y1), np.concatenate(outs, axis=1),
+                               atol=1e-9)
+
+
+def test_autowah_affine_scan_matches_sample_loop():
+    aw = AutoWah(SR, sensitivity=8.0, mix=1.0)
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal(800) * 0.5
+    state = aw.init_state(dtype=jnp.float64)
+    _, y = aw.process(state, jnp.asarray(x))
+
+    # float64 per-sample port of auto_wah.go:315-334 (env + DF2T)
+    env = 0.0
+    z1 = z2 = 0.0
+    expected = np.empty_like(x)
+    for i, v in enumerate(x):
+        a = abs(v)
+        c = aw.attack_coeff if a > env else aw.release_coeff
+        env = env + c * (a - env)
+        en = min(env * aw.sensitivity, 1.0)
+        freq = np.clip(aw.min_freq + en * (aw.max_freq - aw.min_freq),
+                       1.0, 0.49 * SR)
+        w0 = 2 * np.pi * freq / SR
+        sw, cw = np.sin(w0), np.cos(w0)
+        alpha = sw / (2 * aw.q)
+        inv_a0 = 1.0 / (1.0 + alpha)
+        b0 = alpha * inv_a0
+        b2 = -alpha * inv_a0
+        a1 = -2.0 * cw * inv_a0
+        a2 = (1.0 - alpha) * inv_a0
+        out = b0 * v + z1
+        z1 = -a1 * out + z2
+        z2 = b2 * v - a2 * out
+        expected[i] = out
+    assert snr_db(expected, np.asarray(y)) > 200

@@ -124,3 +124,37 @@ def test_convolution_reverb_wet_dry():
     state = rv.init_state(dtype=jnp.float64)
     _, y = rv.process(state, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(y), x, rtol=1e-9)
+
+
+def test_freeverb_blocked_matches_scan_streaming():
+    rv = Freeverb()
+    rng = np.random.default_rng(11)
+    x1 = jnp.asarray(rng.standard_normal((3, 1000)))
+    x2 = jnp.asarray(rng.standard_normal((3, 555)))
+    s1, s2 = rv.init_state((3,), jnp.float64), rv.init_state((3,), jnp.float64)
+    s1, y1 = rv.process(s1, x1)
+    s2, y2 = rv.process_scan(s2, x1)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-12)
+    s1, y1 = rv.process(s1, x2)
+    s2, y2 = rv.process_scan(s2, x2)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s1["filter_store"]),
+                               np.asarray(s2["filter_store"]), atol=1e-12)
+
+
+def test_fdn_blocked_matches_scan_streaming():
+    for sr, pre in [(48000.0, 0.01), (44100.0, 0.0), (48000.0, 0.0005)]:
+        rv = FDNReverb(sr, pre_delay_seconds=pre)
+        rng = np.random.default_rng(12)
+        x1 = jnp.asarray(rng.standard_normal((2, 777)))
+        x2 = jnp.asarray(rng.standard_normal((2, 300)))
+        s1 = rv.init_state((2,), jnp.float64)
+        s2 = rv.init_state((2,), jnp.float64)
+        s1, y1 = rv.process(s1, x1)
+        s2, y2 = rv.process_scan(s2, x1)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-12)
+        s1, y1 = rv.process(s1, x2)
+        s2, y2 = rv.process_scan(s2, x2)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(s1["lines"]),
+                                   np.asarray(s2["lines"]), atol=1e-12)
