@@ -292,7 +292,18 @@ class Flanger:
 
 
 class Phaser:
-    """Allpass-cascade phaser with feedback (`phaser.go:268-285`)."""
+    """Allpass-cascade phaser with feedback (`phaser.go:268-285`).
+
+    TPU design: the whole S-stage allpass cascade plus its feedback
+    path is LINEAR in the state (x1_i, y1_i, fb) and the input — only
+    the allpass coefficient varies per sample, and it is LFO-driven
+    (input-independent).  Each sample is therefore one (2S+1)-dim
+    affine map, built in closed form and scanned with the log-depth
+    `linrec.affine_scan_nd` instead of N sequential steps.  The matrix
+    half of the scan is channel-independent, so its cost does not grow
+    with the channel count.  `process_scan` keeps the per-sample
+    reference loop for parity testing.
+    """
 
     def __init__(self, sample_rate: float, *, rate_hz: float = 0.5,
                  min_freq_hz: float = 300.0, max_freq_hz: float = 1600.0,
@@ -317,7 +328,57 @@ class Phaser:
                 "fb": jnp.zeros(batch_shape, dtype),
                 "phase": jnp.zeros((), dtype)}
 
+    def _allpass_coeffs(self, phase0, n, dtype):
+        """Per-sample first-order allpass coefficient trajectory (N,)."""
+        inc = TWO_PI * self.rate_hz / self.sample_rate
+        max_safe = 0.45 * self.sample_rate
+        phases = jnp.mod(phase0 + inc * jnp.arange(n, dtype=dtype), TWO_PI)
+        mod = 0.5 * (1.0 + jnp.sin(phases))
+        freq = jnp.clip(self.min_freq + (self.max_freq - self.min_freq) * mod,
+                        1.0, max_safe)
+        g = jnp.tan(jnp.pi * freq / self.sample_rate)
+        return ((g - 1.0) / (g + 1.0)).astype(dtype)
+
     def process(self, state, x):
+        x = jnp.asarray(x)
+        dtype = x.dtype
+        N = x.shape[-1]
+        S = self.stages
+        d = 2 * S + 1                       # state = [x1_0.., y1_0.., fb]
+        a = self._allpass_coeffs(state["phase"], N, dtype)       # (N,)
+        inc = TWO_PI * self.rate_hz / self.sample_rate
+        new_phase = jnp.mod(state["phase"] + inc * N, TWO_PI)
+
+        # Build each sample's affine map by composing the stage updates
+        # symbolically: alpha_i = coefficients of stage input v_i over
+        # [state, x] (dim d+1).  v_0 = x + feedback*fb;
+        # v_{i+1} = a v_i + x1_i - a y1_i.
+        alpha = jnp.zeros((N, d + 1), dtype)
+        alpha = alpha.at[:, d].set(1.0)
+        alpha = alpha.at[:, d - 1].set(self.feedback)
+        alphas = [alpha]
+        for i in range(S):
+            nxt = a[:, None] * alphas[-1]
+            nxt = nxt.at[:, i].add(1.0)
+            nxt = nxt.at[:, S + i].add(-a)
+            alphas.append(nxt)
+        # rows: x1_i' = v_i, y1_i' = v_{i+1}, fb' = v_S
+        M = jnp.stack([alphas[i] for i in range(S)]
+                      + [alphas[i + 1] for i in range(S)]
+                      + [alphas[S]], axis=1)                     # (N, d, d+1)
+        A, b = M[..., :d], M[..., d]                             # (N,d,d),(N,d)
+
+        s0 = jnp.concatenate([state["x1"], state["y1"],
+                              state["fb"][..., None]], axis=-1)  # (..., d)
+        w = b * x[..., None]                                     # (..., N, d)
+        after, final = linrec.affine_scan_nd(A, w, s0)
+        v_last = after[..., :, d - 1]                            # fb' = v_S
+        y_out = x * (1.0 - self.mix) + v_last * self.mix
+        return ({"x1": final[..., :S], "y1": final[..., S:2 * S],
+                 "fb": final[..., d - 1], "phase": new_phase}, y_out)
+
+    def process_scan(self, state, x):
+        """Per-sample reference loop (phaser.go:268-285 order)."""
         x = jnp.asarray(x)
         dtype = x.dtype
         inc = TWO_PI * self.rate_hz / self.sample_rate

@@ -18,12 +18,21 @@ import jax.numpy as jnp
 import jax
 
 
+# above this tap count the FFT path beats direct MXU convolution
+_FFT_TAPS = 64
+
+
 def _causal_conv(x, h):
     """y[n] = sum_k h[k] x[n-k] over the last axis, zero initial history.
 
-    x: (..., N); h: (T,). Uses XLA conv_general_dilated (MXU-friendly).
+    x: (..., N); h: (T,). Direct XLA conv (MXU-friendly) for short
+    kernels; FFT convolution for T > 64 (the long-kernel analog of the
+    reference's 32-tap SIMD switch, `filter.go:61-105`).
     """
     t = h.shape[0]
+    if t > _FFT_TAPS:
+        from algodsp_tpu.conv import fftconvolve
+        return fftconvolve(x, h, mode="full")[..., :x.shape[-1]]
     batch_shape = x.shape[:-1]
     n = x.shape[-1]
     xb = x.reshape((-1, 1, n))

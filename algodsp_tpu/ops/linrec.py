@@ -311,3 +311,33 @@ def affine2_scan(A, w, s0):
     _, after = jax.lax.associative_scan(combine, (A, w), axis=-2)
     entry = jnp.concatenate([s0b[..., None, :], after[..., :-1, :]], axis=-2)
     return entry, after[..., -1, :]
+
+
+def affine_scan_nd(A, w, s0):
+    """Inclusive scan of s_n = A_n s_{n-1} + w_n for d-dimensional state.
+
+    A: (N, d, d) per-step matrices, shared across batch (coefficients
+    that vary in time but not per channel, e.g. LFO-driven);
+    w: (..., N, d) per-step offsets (input-dependent); s0: (..., d).
+    Returns (after, final): `after[..., n, :]` is the state AFTER step n.
+
+    Log-depth associative scan; the matrix-product half is
+    batch-independent so its cost is O(N log N d^3) regardless of the
+    channel count.
+    """
+    d = A.shape[-1]
+    wt = jnp.moveaxis(w, -2, 0)                       # (N, ..., d)
+    # fold the initial state into step 0's offset
+    w0 = jnp.einsum("ij,...j->...i", A[0], jnp.broadcast_to(s0, wt.shape[1:]))
+    wt = wt.at[0].add(w0)
+
+    def combine(left, right):
+        a_l, b_l = left
+        a_r, b_r = right
+        a = jnp.einsum("nij,njk->nik", a_r, a_l)
+        b = jnp.einsum("nij,n...j->n...i", a_r, b_l) + b_r
+        return a, b
+
+    _, after_t = jax.lax.associative_scan(combine, (A, wt), axis=0)
+    after = jnp.moveaxis(after_t, 0, -2)              # (..., N, d)
+    return after, after[..., -1, :]

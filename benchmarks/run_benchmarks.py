@@ -127,6 +127,23 @@ def main():
     row("Goertzel matmul, 64 freqs x 64ch x 48000",
         bench(f_g, gs, x), 64 * 48000)
 
+    # 9. blocked feedback effects
+    from algodsp_tpu.effects.reverb import Freeverb, FDNReverb
+    from algodsp_tpu.effects.delay_effect import Delay
+    x = jnp.asarray(rng.standard_normal((64, 2048)), jnp.float32)
+    fv = Freeverb()
+    f_fv = jax.jit(fv.process)
+    row("Freeverb (blocked feedback), 64ch x 2048",
+        bench(f_fv, fv.init_state((64,)), x), 64 * 2048)
+    fdn = FDNReverb(sr)
+    f_fdn = jax.jit(fdn.process)
+    row("FDN reverb (blocked, modulated), 64ch x 2048",
+        bench(f_fdn, fdn.init_state((64,)), x), 64 * 2048)
+    dl = Delay(sr)
+    f_dl = jax.jit(dl.process)
+    row("feedback delay 250ms (blocked), 64ch x 2048",
+        bench(f_dl, dl.init_state((64,)), x), 64 * 2048)
+
     print(f"\nBackend: {jax.default_backend()}, devices: {jax.devices()}\n")
     print("| Benchmark | ms/call | Msamples/s | Notes |")
     print("|---|---:|---:|---|")

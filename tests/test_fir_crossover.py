@@ -117,3 +117,22 @@ def test_multiband_validation():
         MultiBand([], 4, SR)
     with pytest.raises(ValueError):
         MultiBand([1000.0, 500.0], 4, SR)  # not ascending
+
+
+def test_fir_long_kernel_fft_path_matches_direct():
+    # > 128 taps routes through fftconvolve; must equal the direct conv
+    rng = np.random.default_rng(3)
+    h = rng.standard_normal(200)
+    x = jnp.asarray(rng.standard_normal((3, 1000)))
+    from algodsp_tpu.filters.fir import _causal_conv, _FFT_TAPS
+    assert len(h) > _FFT_TAPS
+    f = FIRFilter(h)
+    y_fft = np.asarray(f.process(x))
+    y_ref = np.stack([np.convolve(np.asarray(x)[c], h)[:1000] for c in range(3)])
+    assert snr_db(y_ref, y_fft) > 200
+    # streaming must agree with one-shot across the fft path
+    st = f.init_state((3,), dtype=jnp.float64)
+    st, y1 = f.process_stream(st, x[..., :400])
+    st, y2 = f.process_stream(st, x[..., 400:])
+    y_stream = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
+    assert snr_db(y_ref, y_stream) > 200

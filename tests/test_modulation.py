@@ -332,3 +332,33 @@ def test_autowah_affine_scan_matches_sample_loop():
         z2 = b2 * v - a2 * out
         expected[i] = out
     assert snr_db(expected, np.asarray(y)) > 200
+
+
+def test_phaser_affine_scan_matches_sample_loop():
+    ph = Phaser(SR, rate_hz=1.3, stages=4, feedback=0.6, mix=0.7)
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 700))
+    s1 = ph.init_state((2,), dtype=jnp.float64)
+    s2 = ph.init_state((2,), dtype=jnp.float64)
+    s1, y1 = ph.process(s1, jnp.asarray(x))
+    s2, y2 = ph.process_scan(s2, jnp.asarray(x))
+    assert snr_db(np.asarray(y2), np.asarray(y1)) > 200
+    # streaming continuation stays aligned
+    x2 = rng.standard_normal((2, 301))
+    s1, y1b = ph.process(s1, jnp.asarray(x2))
+    s2, y2b = ph.process_scan(s2, jnp.asarray(x2))
+    assert snr_db(np.asarray(y2b), np.asarray(y1b)) > 180
+    for k in ("x1", "y1", "fb"):
+        np.testing.assert_allclose(np.asarray(s1[k]), np.asarray(s2[k]),
+                                   atol=1e-10)
+
+
+def test_phaser_stages_range():
+    for stages in (1, 2, 6):
+        ph = Phaser(SR, stages=stages)
+        s1 = ph.init_state((1,), dtype=jnp.float64)
+        s2 = ph.init_state((1,), dtype=jnp.float64)
+        x = jnp.asarray(np.random.default_rng(12).standard_normal((1, 256)))
+        _, y1 = ph.process(s1, x)
+        _, y2 = ph.process_scan(s2, x)
+        assert snr_db(np.asarray(y2), np.asarray(y1)) > 200
