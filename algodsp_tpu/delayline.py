@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+import jax
 from algodsp_tpu import interp as _interp
 from algodsp_tpu.interp import Mode
 
@@ -67,6 +68,82 @@ def fractional_read(x, positions, mode: Mode = Mode.LINEAR,
         eta = _interp.allpass_coeff(t)
         return pts[..., 1] + eta * (pts[..., 0] - pts[..., 1])
     raise ValueError(f"unknown mode {mode}")
+
+
+
+
+def walking_read(x, pos, drift: float, mode: Mode = Mode.HERMITE):
+    """Fractional read at positions that WALK: pos[t] = c + t + wobble(t)
+    with |wobble'(t)| <= drift per sample (modulated delay lines whose
+    lag changes slowly — chorus/vibrato LFOs).
+
+    x: (..., T) known timeline (no feedback); pos: (N,) positions shared
+    across the batch; drift: static bound on the per-sample wobble rate.
+    Caller must guarantee pos stays >= max_stencil_reach inside x
+    (i.e. pos[t] - 1 >= 0 and pos[t] + 2 <= T - 1 for Hermite).
+
+    TPU note: a plain interpolated gather lowers to a slow elementwise
+    gather.  Because the read index advances ~+1/sample, each block of B
+    samples touches only a narrow index band: the read decomposes into a
+    static set of CONTIGUOUS dynamic slices combined with selection
+    weights — memcpy-speed HLO instead of a gather.  Falls back to
+    `fractional_read` for modes without a small stencil.
+    """
+    if mode == Mode.LINEAR:
+        k0, ntaps = 0, 2
+    elif mode in (Mode.HERMITE, Mode.LAGRANGE3):
+        k0, ntaps = -1, 4
+    else:
+        return fractional_read(x, jnp.broadcast_to(pos, x.shape[:-1] + pos.shape),
+                               mode)
+    x = jnp.asarray(x)
+    pos = jnp.asarray(pos, x.dtype)
+    n = pos.shape[-1]
+    B = n
+    while B > 64 and drift * B > 6.0:
+        B = (B + 1) // 2
+    nb = -(-n // B)
+    padded = nb * B
+    if padded != n:
+        pos = jnp.concatenate([pos, jnp.broadcast_to(pos[-1:], (padded - n,))])
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    frac = pos - i0
+    # per-tap interpolation weights (ntaps, padded)
+    if mode == Mode.LINEAR:
+        W = jnp.stack([1.0 - frac, frac])
+    elif mode == Mode.HERMITE:
+        t2, t3 = frac * frac, frac * frac * frac
+        W = jnp.stack([-0.5 * frac + t2 - 0.5 * t3,
+                       1.0 - 2.5 * t2 + 1.5 * t3,
+                       0.5 * frac + 2.0 * t2 - 1.5 * t3,
+                       -0.5 * t2 + 0.5 * t3])
+    else:  # LAGRANGE3 (lagrange4 kernel)
+        d0, d1, d2 = frac, frac - 1.0, frac + 1.0
+        W = jnp.stack([-d0 * d1 * (frac - 2.0) / 6.0,
+                       d2 * d1 * (frac - 2.0) / 2.0,
+                       -d2 * d0 * (frac - 2.0) / 2.0,
+                       d2 * d0 * d1 / 6.0])
+    nshift = int(np.ceil(drift * B)) + ntaps + 2
+    tl = jnp.arange(B)
+    i0b = jnp.moveaxis(i0.reshape(nb, B), 0, 0)           # (nb, B)
+    Wb = jnp.moveaxis(W.reshape(ntaps, nb, B), 1, 0)      # (nb, ntaps, B)
+
+    def block(_, xs):
+        ib, wb = xs                                       # (B,), (ntaps, B)
+        base = jnp.min(ib - tl) + k0                      # scalar
+        e = ib - tl - (base - k0)                         # (B,) in [0, ...]
+        acc = jnp.zeros(x.shape[:-1] + (B,), x.dtype)
+        for s in range(nshift):
+            sl = jax.lax.dynamic_slice_in_dim(x, base + s, B, axis=-1)
+            w = jnp.zeros((B,), x.dtype)
+            for k in range(ntaps):
+                w = w + wb[k] * (e + (k0 + k) - k0 == s - 0)
+            acc = acc + w * sl
+        return None, acc
+
+    _, ys = jax.lax.scan(block, None, (i0b, Wb))          # (nb, ..., B)
+    y = jnp.moveaxis(ys, 0, -2).reshape(x.shape[:-1] + (padded,))
+    return y[..., :n]
 
 
 def delayed(x, delay, mode: Mode = Mode.LINEAR, **kwargs):

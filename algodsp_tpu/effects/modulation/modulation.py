@@ -12,7 +12,8 @@ via the polyphase Hilbert transformer, `frequency_shifter.go:78-210`).
 TPU-first split:
   * Feedback-free effects (chorus, tremolo, ring mod, frequency
     shifter) vectorize completely: LFO trajectories are closed-form in
-    the sample index, delays become interpolated gathers, smoothing
+    the sample index, modulated delays run as contiguous-slice walking
+    reads (`delayline.walking_read` — no TPU gather), smoothing
     one-poles ride the linear-recurrence engine.
   * The flanger's feedback loop is blocked (see Flanger): its lag never
     drops below base_delay, so 64-sample blocks need no in-block
@@ -32,7 +33,7 @@ import jax.numpy as jnp
 
 from algodsp_tpu.ops import linrec, ring
 from algodsp_tpu.ops.envscan import envelope_scan
-from algodsp_tpu.delayline import DelayLine, fractional_read
+from algodsp_tpu.delayline import DelayLine, fractional_read, walking_read
 from algodsp_tpu.interp import Mode
 from algodsp_tpu.filters.hilbert import HilbertTransformer
 
@@ -82,14 +83,21 @@ class Chorus:
         depth = self.depth * self.sample_rate
         h = state["buf"].shape[-1]
         ext = jnp.concatenate([state["buf"].astype(x.dtype), x], axis=-1)
+        # read positions walk +1/sample with LFO wobble bounded by
+        # depth * dphase -> contiguous-slice read, no TPU gather
+        drift = depth * TWO_PI * self.speed_hz / self.sample_rate
+        use_walking = base >= 4.0          # Hermite stencil must fit
         wet = jnp.zeros_like(x)
         for i in range(self.stages):
             off = TWO_PI * i / self.stages
             mod = 0.5 * (1.0 + jnp.sin(phases + off))
             delay = base + depth * mod
             pos = h + jnp.arange(n, dtype=x.dtype) - delay
-            wet = wet + fractional_read(ext, jnp.broadcast_to(pos, x.shape),
-                                        Mode.HERMITE)
+            if use_walking:
+                wet = wet + walking_read(ext, pos, drift, Mode.HERMITE)
+            else:
+                wet = wet + fractional_read(
+                    ext, jnp.broadcast_to(pos, x.shape), Mode.HERMITE)
         wet = wet / self.stages
         new_state = {"buf": ext[..., -h:], "phase": phase_f}
         return new_state, x * (1.0 - self.mix) + wet * self.mix

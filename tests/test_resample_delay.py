@@ -186,3 +186,23 @@ def test_delayline_modulated():
     _, y = dl.process(state, jnp.asarray(x), jnp.asarray(d))
     assert y.shape == (200,)
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_walking_read_matches_gather():
+    from algodsp_tpu.delayline import walking_read, fractional_read
+    from algodsp_tpu.interp import Mode
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((3, 3000)))
+    n = 2000
+    t = np.arange(n)
+    pos = 960.0 + t - (100.0 + 90.0 * np.sin(2 * np.pi * 0.8 * t / 48000.0 + 0.3))
+    drift = 90.0 * 2 * np.pi * 0.8 / 48000.0
+    for mode in (Mode.LINEAR, Mode.HERMITE, Mode.LAGRANGE3):
+        yw = walking_read(x, jnp.asarray(pos), drift, mode)
+        yg = fractional_read(x, jnp.broadcast_to(jnp.asarray(pos), (3, n)), mode)
+        np.testing.assert_allclose(np.asarray(yw), np.asarray(yg), atol=1e-12)
+    # non-divisible length + fast wobble exercises padding and small blocks
+    yw = walking_read(x, jnp.asarray(pos[:1999]), 0.5, Mode.HERMITE)
+    yg = fractional_read(x, jnp.broadcast_to(jnp.asarray(pos[:1999]), (3, 1999)),
+                         Mode.HERMITE)
+    np.testing.assert_allclose(np.asarray(yw), np.asarray(yg), atol=1e-12)
