@@ -86,11 +86,16 @@ def main():
           * np.exp(-np.arange(1 << 17) / 20000)).astype(np.float32)
     pc = PartitionedConvolver(ir, min_block_order=10)
     f_pc = jax.jit(pc.process)
+    f_ps = jax.jit(pc.process_stream)
     for ch in (8, 64):
         x = jnp.asarray(rng.standard_normal((ch, 1 << 17)), jnp.float32)
         t = bench(f_pc, x, reps=3)
         row(f"partitioned conv reverb 2^17-tap IR, {ch}ch x 2^17 "
-            "(latency 1024)", t, ch * (1 << 17))
+            "(bulk one-shot)", t, ch * (1 << 17))
+        st = pc.init_state((ch,), jnp.float32)
+        t = bench(f_ps, st, x, reps=3)
+        row(f"partitioned conv reverb 2^17-tap IR, {ch}ch x 2^17 "
+            "(streaming FDL, latency 1024)", t, ch * (1 << 17))
     f_fft = jax.jit(lambda x: fftconvolve(x, jnp.asarray(ir)))
     x8 = jnp.asarray(rng.standard_normal((8, 1 << 17)), jnp.float32)
     row("one-shot fftconvolve 2^17 x 2^17, 8ch", bench(f_fft, x8), 8 * (1 << 17))

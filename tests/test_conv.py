@@ -249,3 +249,29 @@ def test_partitioned_bulk_matches_scan():
     y_bulk = np.asarray(pc.process(jnp.asarray(x)))
     y_scan = np.asarray(pc.process_scan(jnp.asarray(x)))
     assert snr_db(y_scan, y_bulk) > 180
+
+
+def test_partitioned_process_stream_matches_blocks():
+    rng = np.random.default_rng(20)
+    ir = rng.standard_normal(5000)
+    pc = conv.PartitionedConvolver(ir, min_block_order=9)
+    x1 = jnp.asarray(rng.standard_normal((2, 2048)))
+    x2 = jnp.asarray(rng.standard_normal((2, 1536)))
+    sA = pc.init_state((2,), jnp.float64)
+    sB = pc.init_state((2,), jnp.float64)
+    ya = []
+    yb = []
+    for xx in (x1, x2):
+        sA, y = pc.process_stream(sA, xx)
+        ya.append(np.asarray(y))
+        for b in range(xx.shape[-1] // 512):
+            sB, y = pc.process_block(sB, xx[..., b * 512:(b + 1) * 512])
+            yb.append(np.asarray(y))
+    ya = np.concatenate(ya, axis=-1)
+    yb = np.concatenate(yb, axis=-1)
+    np.testing.assert_allclose(ya, yb, atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(sA["fdl"]), np.asarray(sB["fdl"]))
+    full = np.stack([np.convolve(
+        np.concatenate([np.asarray(x1)[c], np.asarray(x2)[c]]), ir)[:3584]
+        for c in range(2)])
+    assert snr_db(full, ya) > 200
