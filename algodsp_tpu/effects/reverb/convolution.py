@@ -32,18 +32,9 @@ class ConvolutionReverb:
         return state, self.dry * jnp.asarray(x) + self.wet * rev
 
     def process(self, state, x):
-        """Arbitrary multiple-of-block lengths via a block scan."""
-        import jax
+        """Arbitrary multiple-of-block lengths; runs the engine's
+        vectorized streaming path (block-axis depthwise FIR) — exact
+        per-block semantics without a sequential block scan."""
         x = jnp.asarray(x)
-        n = x.shape[-1]
-        b = self.engine.block
-        if n % b:
-            raise ValueError(f"conv reverb: length {n} not a multiple of block {b}")
-        k = n // b
-        blocks = jnp.moveaxis(x.reshape(x.shape[:-1] + (k, b)), -2, 0)
-
-        def step(st, blk):
-            return self.process_block(st, blk)
-
-        state, ys = jax.lax.scan(step, state, blocks)
-        return state, jnp.moveaxis(ys, 0, -2).reshape(x.shape[:-1] + (n,))
+        state, rev = self.engine.process_stream(state, x)
+        return state, self.dry * x + self.wet * rev
