@@ -121,8 +121,18 @@ def downward_expansion_gain(level, threshold_log2, knee_db, knee_width_log2,
 def dynamics_env_scan(src, env0, attack_coeff, release_coeff, *, unroll: int = 8):
     """The core envelope recurrence (`core.go:339-359`):
     rising: env += (src-env)*attack ; falling: env = src + (env-src)*release.
+
+    The falling branch rewrites to env += (src-env)*(1-release), so on
+    TPU 2-D batches this runs through the fused Pallas envelope kernel
+    with release' = 1-release — exactly the same recurrence.
     """
-    xs = jnp.moveaxis(jnp.asarray(src), -1, 0)
+    x = jnp.asarray(src)
+    if (jax.default_backend() == "tpu" and x.ndim == 2
+            and jnp.ndim(attack_coeff) == 0 and jnp.ndim(release_coeff) == 0):
+        from algodsp_tpu.ops.pallas_kernels import envelope_scan_pallas
+        return envelope_scan_pallas(x, env0, attack_coeff,
+                                    1.0 - release_coeff)
+    xs = jnp.moveaxis(x, -1, 0)
     a = jnp.asarray(attack_coeff, xs.dtype)
     r = jnp.asarray(release_coeff, xs.dtype)
 
