@@ -70,3 +70,26 @@ def test_reduce_metrics_psum():
     v = jnp.arange(8.0)
     out = np.asarray(reduce_metrics(v, mesh))
     np.testing.assert_allclose(out, 28.0)
+
+
+def test_channel_sharded_conv_reverb_stream():
+    """Streaming partitioned conv with FDL state sharded over channels."""
+    from algodsp_tpu.conv import PartitionedConvolver
+    mesh = make_mesh({"channel": 8})
+    rng = np.random.default_rng(4)
+    ir = rng.standard_normal(3000)
+    pc = PartitionedConvolver(ir, min_block_order=9)
+    x = jnp.asarray(rng.standard_normal((8, 2048)))
+    state = pc.init_state((8,), x.dtype)
+    sh = channel_sharding(mesh, 2)
+    xs = jax.device_put(x, sh)
+    ss = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, channel_sharding(mesh, a.ndim)), state)
+    proc = jax.jit(pc.process_stream)
+    ss, y1 = proc(ss, xs)
+    ss, y2 = proc(ss, xs)
+    s_ref = pc.init_state((8,), x.dtype)
+    s_ref, r1 = pc.process_stream(s_ref, x)
+    s_ref, r2 = pc.process_stream(s_ref, x)
+    assert snr_db(np.asarray(r1), np.asarray(y1)) > 200
+    assert snr_db(np.asarray(r2), np.asarray(y2)) > 200
