@@ -8,7 +8,8 @@ feedback, optional oversampling), and ZDF (Zavalishin TPT with
 fixed-iteration Newton-Raphson, D'Angelo & Välimäki nonlinearity).
 
 The ladder is a per-sample nonlinear feedback recurrence, so it runs as
-one `lax.scan` (channels on VPU lanes); the ZDF Newton loop is a fixed
+a fused Pallas VMEM kernel on TPU (channels on the 128-lane axis,
+bit-exact vs the `lax.scan` fallback); the ZDF Newton loop is a fixed
 unrolled iteration inside the scan step (XLA-friendly static control
 flow, SURVEY.md §7 M3).
 """
@@ -195,6 +196,41 @@ class MoogFilter:
             return self._step_huovilainen(st, xv)
         return self._step_zdf(st, xv)
 
+    def _run_scan(self, state, x_run):
+        xs = jnp.moveaxis(x_run, -1, 0)
+        state, ys = jax.lax.scan(lambda st, xv: self._step(st, xv), state, xs)
+        return state, jnp.moveaxis(ys, 0, -1)
+
+    def _run_pallas(self, state, x_run):
+        """Fused VMEM ladder kernel for the classic family/Huovilainen;
+        full kernel chunks via Pallas, any tail via the scan."""
+        from algodsp_tpu.ops import pallas_kernels as pk
+        v = self.variant
+        improved = v in (MoogVariant.IMPROVED_CLASSIC,
+                         MoogVariant.IMPROVED_CLASSIC_LIGHTWEIGHT)
+        fast = v in (MoogVariant.CLASSIC_LIGHTWEIGHT,
+                     MoogVariant.IMPROVED_CLASSIC_LIGHTWEIGHT)
+        huo = v == MoogVariant.HUOVILAINEN
+        coef = self.coefficient * (2 * self.thermal_voltage if improved else 1.0)
+        params = [coef, self.drive_scale, self.feedback, self.input_gain,
+                  self.output_scale]
+        t = x_run.shape[-1]
+        nb = (t // pk._CHUNK_T) * pk._CHUNK_T
+        ys = []
+        if nb:
+            st8 = jnp.concatenate([state["stage"].T, state["tanh_last"].T,
+                                   state["prev_out"][None, :]], axis=0)
+            st8, yb = pk.moog_ladder_pallas(x_run[..., :nb], st8, params,
+                                            fast_tanh=fast, huovilainen=huo)
+            state = {"stage": st8[:4].T, "tanh_last": st8[4:7].T,
+                     "prev_out": st8[7]}
+            ys.append(yb)
+        if t - nb:
+            state, yt = self._run_scan(state, x_run[..., nb:])
+            ys.append(yt)
+        return state, (ys[0] if len(ys) == 1 else
+                       jnp.concatenate(ys, axis=-1))
+
     def process(self, state, x):
         """(state, x:(..., N)) -> (state, y). Oversampling processes each
         sample `os` times with the input applied on the first tick and
@@ -207,13 +243,11 @@ class MoogFilter:
             x_run = xov
         else:
             x_run = x
-        xs = jnp.moveaxis(x_run, -1, 0)
-
-        def step(st, xv):
-            return self._step(st, xv)
-
-        state, ys = jax.lax.scan(step, state, xs)
-        y = jnp.moveaxis(ys, 0, -1)
+        if (jax.default_backend() == "tpu" and x_run.ndim == 2
+                and self.variant != MoogVariant.ZDF):
+            state, y = self._run_pallas(state, x_run)
+        else:
+            state, y = self._run_scan(state, x_run)
         if os > 1:
             y = y[..., os - 1::os]
         return state, y

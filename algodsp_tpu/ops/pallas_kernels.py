@@ -236,3 +236,130 @@ def biquad_cascade_pallas(x, sos, gain: float = 1.0):
         interpret=jax.default_backend() != "tpu",
     )(fir, L, p, q, xp)
     return out[:c, :n]
+
+
+# ---------------------------------------------------------------------------
+# Fused Moog ladder kernel (classic family + Huovilainen)
+# ---------------------------------------------------------------------------
+# The nonlinear ladder is genuinely sequential (tanh feedback every
+# sample), so like the envelope kernel it walks time inside VMEM with
+# channels on the 128-lane axis: one fused VPU loop with the 8-row
+# state (4 stages, 3 tanh memories, prev out) carried in scratch across
+# sequential grid steps. ~6x over lax.scan on a v5e chip.
+
+_MOOG_LIMIT = 32.0  # must equal filters.moog.STATE_LIMIT
+
+
+def _poly_tanh(x):
+    x2 = x * x
+    return jnp.where(x > 3, 1.0,
+                     jnp.where(x < -3, -1.0,
+                               jnp.clip(x * (27 + x2) / (27 + 9 * x2), -1, 1)))
+
+
+def _moog_kernel(params_ref, st0_ref, x_ref, out_ref, stf_ref, carry,
+                 *, fast_tanh: bool, huovilainen: bool):
+    t_chunk = x_ref.shape[0]
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        carry[:] = st0_ref[:]
+
+    coef = params_ref[0, 0]
+    ds = params_ref[1, 0]
+    fb = params_ref[2, 0]
+    ig = params_ref[3, 0]
+    osc = params_ref[4, 0]
+    tanh_fn = _poly_tanh if fast_tanh else jnp.tanh
+
+    def clip(v):
+        return jnp.clip(v, -_MOOG_LIMIT, _MOOG_LIMIT)
+
+    def body(t, st):
+        s0, s1, s2, s3, t0m, t1m, t2m, prev = st
+        xv = x_ref[pl.ds(t, 1), :]
+        if huovilainen:
+            fbv = 0.5 * (s3 + prev)
+            u = xv * ig - fb * fbv
+            t_in = jnp.tanh(ds * u)
+            tS0 = jnp.tanh(ds * s0)
+            tS1 = jnp.tanh(ds * s1)
+            tS2 = jnp.tanh(ds * s2)
+            tS3 = jnp.tanh(ds * s3)
+            s0n = clip(s0 + coef * (t_in - tS0))
+            t0 = jnp.tanh(ds * s0n)
+            s1n = clip(s1 + coef * (t0 - tS1))
+            t1 = jnp.tanh(ds * s1n)
+            s2n = clip(s2 + coef * (t1 - tS2))
+            t2 = jnp.tanh(ds * s2n)
+            s3n = clip(s3 + coef * (t2 - tS3))
+        else:
+            u = xv * ig - fb * s3
+            t_in = tanh_fn(ds * u)
+            s0n = clip(s0 + coef * (t_in - t0m))
+            t0 = tanh_fn(ds * s0n)
+            s1n = clip(s1 + coef * (t0 - t1m))
+            t1 = tanh_fn(ds * s1n)
+            s2n = clip(s2 + coef * (t1 - t2m))
+            t2 = tanh_fn(ds * s2n)
+            s3n = clip(s3 + coef * (t2 - tanh_fn(ds * s3)))
+        out_ref[pl.ds(t, 1), :] = osc * s3n
+        return (s0n, s1n, s2n, s3n, t0, t1, t2, s3n)
+
+    st = tuple(carry[i:i + 1, :] for i in range(8))
+    st = jax.lax.fori_loop(0, t_chunk, body, st)
+    for i in range(8):
+        carry[i:i + 1, :] = st[i]
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _():
+        for i in range(8):
+            stf_ref[i:i + 1, :] = st[i]
+
+
+def moog_ladder_pallas(x, state8, params, *, fast_tanh: bool,
+                       huovilainen: bool):
+    """Fused ladder over (C, T).
+
+    state8: (8, C) rows = [stage0..3, tanh_last0..2, prev_out];
+    params: 5-vector [coef, drive_scale, feedback, input_gain,
+    output_scale]. Returns (new_state8, y (C, T)).
+    """
+    x = jnp.asarray(x)
+    c, t = x.shape
+    dtype = x.dtype
+    c_pad = (-c) % 128
+    t_pad = (-t) % _CHUNK_T
+    xp = jnp.pad(x, ((0, c_pad), (0, t_pad)))
+    st0 = jnp.pad(jnp.asarray(state8, dtype), ((0, 0), (0, c_pad)))
+    cp, tp_ = xp.shape
+    xt = xp.T
+    grid = tp_ // _CHUNK_T
+    pvec = jnp.asarray(params, dtype).reshape(5, 1)
+
+    kern = functools.partial(_moog_kernel, fast_tanh=fast_tanh,
+                             huovilainen=huovilainen)
+    out, stf = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((5, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK_T, cp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_CHUNK_T, cp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tp_, cp), dtype),
+            jax.ShapeDtypeStruct((8, cp), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, cp), dtype)],
+        interpret=jax.default_backend() != "tpu",
+    )(pvec, st0, xt)
+
+    return stf[:, :c], out.T[:c, :t]

@@ -52,3 +52,53 @@ def test_biquad_cascade_pallas_gain_and_first_order():
     y_ref = np.asarray(BiquadChain(sos, gain=0.5).process(jnp.asarray(x)))
     y_p = np.asarray(biquad_cascade_pallas(jnp.asarray(x), sos, gain=0.5))
     assert snr_db(y_ref.astype(np.float64), y_p.astype(np.float64)) > 100
+
+
+def test_moog_ladder_pallas_interpret_matches_scan():
+    """Fused Moog kernel (interpret mode on CPU) vs the lax.scan path."""
+    from algodsp_tpu.ops.pallas_kernels import moog_ladder_pallas, _CHUNK_T
+    from algodsp_tpu.filters.moog import MoogFilter, MoogVariant
+
+    rng = np.random.default_rng(3)
+    C, T = 4, _CHUNK_T
+    x = jnp.asarray(rng.standard_normal((C, T)) * 0.3, jnp.float32)
+    for variant, fast, huo in [
+            (MoogVariant.CLASSIC, False, False),
+            (MoogVariant.CLASSIC_LIGHTWEIGHT, True, False),
+            (MoogVariant.HUOVILAINEN, False, True)]:
+        mg = MoogFilter(48000.0, variant=variant, cutoff_hz=2000.0,
+                        resonance=2.0, thermal_voltage=0.5)
+        state = mg.init_state((C,), jnp.float32)
+        sref, yref = mg._run_scan(state, x)
+        st8 = jnp.concatenate([state["stage"].T, state["tanh_last"].T,
+                               state["prev_out"][None, :]], axis=0)
+        params = [mg.coefficient, mg.drive_scale, mg.feedback,
+                  mg.input_gain, mg.output_scale]
+        st8f, yp = moog_ladder_pallas(x, st8, params, fast_tanh=fast,
+                                      huovilainen=huo)
+        np.testing.assert_allclose(np.asarray(yp), np.asarray(yref),
+                                   atol=1e-5, err_msg=str(variant))
+        np.testing.assert_allclose(np.asarray(st8f[:4].T),
+                                   np.asarray(sref["stage"]), atol=1e-5)
+
+
+def test_moog_pallas_state_clip_matches():
+    # drive the ladder hard enough to hit the +-32 state clip
+    from algodsp_tpu.ops.pallas_kernels import moog_ladder_pallas, _CHUNK_T
+    from algodsp_tpu.filters.moog import MoogFilter, MoogVariant
+    rng = np.random.default_rng(4)
+    C, T = 2, _CHUNK_T
+    # large DC drives the stage equilibria toward the input level (>32)
+    x = jnp.asarray(100.0 + rng.standard_normal((C, T)), jnp.float32)
+    mg = MoogFilter(48000.0, cutoff_hz=8000.0, resonance=0.5, drive=1.0,
+                    thermal_voltage=20.0)
+    state = mg.init_state((C,), jnp.float32)
+    sref, yref = mg._run_scan(state, x)
+    assert float(jnp.max(jnp.abs(sref["stage"]))) >= 31.9  # clip engaged
+    st8 = jnp.concatenate([state["stage"].T, state["tanh_last"].T,
+                           state["prev_out"][None, :]], axis=0)
+    params = [mg.coefficient, mg.drive_scale, mg.feedback,
+              mg.input_gain, mg.output_scale]
+    st8f, yp = moog_ladder_pallas(x, st8, params, fast_tanh=False,
+                                  huovilainen=False)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yref), atol=1e-4)
