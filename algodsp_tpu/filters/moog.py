@@ -211,17 +211,28 @@ class MoogFilter:
         fast = v in (MoogVariant.CLASSIC_LIGHTWEIGHT,
                      MoogVariant.IMPROVED_CLASSIC_LIGHTWEIGHT)
         huo = v == MoogVariant.HUOVILAINEN
-        coef = self.coefficient * (2 * self.thermal_voltage if improved else 1.0)
-        params = [coef, self.drive_scale, self.feedback, self.input_gain,
-                  self.output_scale]
+        zdf = v == MoogVariant.ZDF
+        if zdf:
+            params = [self.zdf_gk, self.drive_scale, self.feedback,
+                      self.input_gain, self.output_scale]
+        else:
+            coef = self.coefficient * (2 * self.thermal_voltage
+                                       if improved else 1.0)
+            params = [coef, self.drive_scale, self.feedback, self.input_gain,
+                      self.output_scale]
         t = x_run.shape[-1]
         nb = (t // pk._CHUNK_T) * pk._CHUNK_T
         ys = []
         if nb:
             st8 = jnp.concatenate([state["stage"].T, state["tanh_last"].T,
                                    state["prev_out"][None, :]], axis=0)
-            st8, yb = pk.moog_ladder_pallas(x_run[..., :nb], st8, params,
-                                            fast_tanh=fast, huovilainen=huo)
+            if zdf:
+                st8, yb = pk.moog_zdf_pallas(x_run[..., :nb], st8, params,
+                                             newton_iters=self.newton_iters)
+            else:
+                st8, yb = pk.moog_ladder_pallas(x_run[..., :nb], st8, params,
+                                                fast_tanh=fast,
+                                                huovilainen=huo)
             state = {"stage": st8[:4].T, "tanh_last": st8[4:7].T,
                      "prev_out": st8[7]}
             ys.append(yb)
@@ -243,8 +254,7 @@ class MoogFilter:
             x_run = xov
         else:
             x_run = x
-        if (jax.default_backend() == "tpu" and x_run.ndim == 2
-                and self.variant != MoogVariant.ZDF):
+        if jax.default_backend() == "tpu" and x_run.ndim == 2:
             state, y = self._run_pallas(state, x_run)
         else:
             state, y = self._run_scan(state, x_run)

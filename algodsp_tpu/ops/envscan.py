@@ -44,6 +44,18 @@ def envelope_scan(targets, env0, attack, release, *, unroll: int = 8):
     release = jnp.asarray(release, dtype=dtype)
     env0 = jnp.asarray(env0, dtype=dtype)
 
+    # scalar ballistics on TPU: flatten leading dims onto the Pallas
+    # kernel's channel-lane axis (one fused VMEM loop)
+    if (jax.default_backend() == "tpu" and targets.ndim >= 2
+            and attack.ndim == 0 and release.ndim == 0):
+        from algodsp_tpu.ops.pallas_kernels import envelope_scan_pallas
+        lead = targets.shape[:-1]
+        t = targets.shape[-1]
+        e0 = jnp.broadcast_to(env0, lead).reshape(-1)
+        envf, traj = envelope_scan_pallas(targets.reshape(-1, t), e0,
+                                          attack, release)
+        return envf.reshape(lead), traj.reshape(lead + (t,))
+
     # scan over time: move time to axis 0
     xs = jnp.moveaxis(targets, -1, 0)
 

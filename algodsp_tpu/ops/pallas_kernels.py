@@ -363,3 +363,113 @@ def moog_ladder_pallas(x, state8, params, *, fast_tanh: bool,
     )(pvec, st0, xt)
 
     return stf[:, :c], out.T[:c, :t]
+
+
+def _moog_zdf_kernel(params_ref, st0_ref, x_ref, out_ref, stf_ref, carry,
+                     *, newton_iters: int):
+    t_chunk = x_ref.shape[0]
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        carry[:] = st0_ref[:]
+
+    gk = params_ref[0, 0]
+    shape = params_ref[1, 0]
+    k = params_ref[2, 0]
+    ig = params_ref[3, 0]
+    osc = params_ref[4, 0]
+    v_scale = gk / shape
+
+    def clip(v):
+        return jnp.clip(v, -_MOOG_LIMIT, _MOOG_LIMIT)
+
+    def body(t, st):
+        s0, s1, s2, s3, _t0, _t1, _t2, prev = st
+        xv = x_ref[pl.ds(t, 1), :]
+        inp = xv * ig
+        tS0 = jnp.tanh(shape * s0)
+        tS1 = jnp.tanh(shape * s1)
+        tS2 = jnp.tanh(shape * s2)
+        tS3 = jnp.tanh(shape * s3)
+
+        def ladder(y3est):
+            u = inp - k * y3est
+            tU = jnp.tanh(shape * u)
+            v0 = v_scale * (tU - tS0); y0 = v0 + s0
+            d0 = gk * (1 - tU * tU)
+            tY0 = jnp.tanh(shape * y0)
+            v1 = v_scale * (tY0 - tS1); y1 = v1 + s1
+            d1 = gk * (1 - tY0 * tY0)
+            tY1 = jnp.tanh(shape * y1)
+            v2 = v_scale * (tY1 - tS2); y2 = v2 + s2
+            d2 = gk * (1 - tY1 * tY1)
+            tY2 = jnp.tanh(shape * y2)
+            v3 = v_scale * (tY2 - tS3); y3 = v3 + s3
+            d3 = gk * (1 - tY2 * tY2)
+            return (v0, v1, v2, v3), y3, d0 * d1 * d2 * d3
+
+        y3est = prev
+        for _ in range(newton_iters):
+            _, y3, dprod = ladder(y3est)
+            residual = y3 - y3est
+            J = dprod * (-k) - 1.0
+            y3est = jnp.where(jnp.abs(J) < 1e-15, y3est,
+                              y3est - residual / jnp.where(jnp.abs(J) < 1e-15,
+                                                           1.0, J))
+        (v0, v1, v2, v3), y3, _ = ladder(y3est)
+        out_ref[pl.ds(t, 1), :] = osc * y3
+        return (clip(s0 + 2 * v0), clip(s1 + 2 * v1), clip(s2 + 2 * v2),
+                clip(s3 + 2 * v3), _t0, _t1, _t2, y3)
+
+    st = tuple(carry[i:i + 1, :] for i in range(8))
+    st = jax.lax.fori_loop(0, t_chunk, body, st)
+    for i in range(8):
+        carry[i:i + 1, :] = st[i]
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _():
+        for i in range(8):
+            stf_ref[i:i + 1, :] = st[i]
+
+
+def moog_zdf_pallas(x, state8, params, *, newton_iters: int):
+    """Fused ZDF (TPT + Newton) ladder over (C, T); same layout as
+    `moog_ladder_pallas`. params = [zdf_gk, drive_scale, feedback,
+    input_gain, output_scale]."""
+    x = jnp.asarray(x)
+    c, t = x.shape
+    dtype = x.dtype
+    c_pad = (-c) % 128
+    t_pad = (-t) % _CHUNK_T
+    xp = jnp.pad(x, ((0, c_pad), (0, t_pad)))
+    st0 = jnp.pad(jnp.asarray(state8, dtype), ((0, 0), (0, c_pad)))
+    cp, tp_ = xp.shape
+    xt = xp.T
+    grid = tp_ // _CHUNK_T
+    pvec = jnp.asarray(params, dtype).reshape(5, 1)
+
+    kern = functools.partial(_moog_zdf_kernel, newton_iters=newton_iters)
+    out, stf = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((5, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK_T, cp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_CHUNK_T, cp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tp_, cp), dtype),
+            jax.ShapeDtypeStruct((8, cp), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, cp), dtype)],
+        interpret=jax.default_backend() != "tpu",
+    )(pvec, st0, xt)
+
+    return stf[:, :c], out.T[:c, :t]

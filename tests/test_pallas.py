@@ -102,3 +102,23 @@ def test_moog_pallas_state_clip_matches():
     st8f, yp = moog_ladder_pallas(x, st8, params, fast_tanh=False,
                                   huovilainen=False)
     np.testing.assert_allclose(np.asarray(yp), np.asarray(yref), atol=1e-4)
+
+
+def test_moog_zdf_pallas_interpret_matches_scan():
+    from algodsp_tpu.ops.pallas_kernels import moog_zdf_pallas, _CHUNK_T
+    from algodsp_tpu.filters.moog import MoogFilter, MoogVariant
+    rng = np.random.default_rng(5)
+    C, T = 2, _CHUNK_T
+    x = jnp.asarray(rng.standard_normal((C, T)) * 0.3, jnp.float32)
+    mg = MoogFilter(48000.0, variant=MoogVariant.ZDF, cutoff_hz=2000.0,
+                    resonance=2.5, thermal_voltage=0.5, newton_iters=4)
+    state = mg.init_state((C,), jnp.float32)
+    sref, yref = mg._run_scan(state, x)
+    st8 = jnp.concatenate([state["stage"].T, state["tanh_last"].T,
+                           state["prev_out"][None, :]], axis=0)
+    params = [mg.zdf_gk, mg.drive_scale, mg.feedback, mg.input_gain,
+              mg.output_scale]
+    st8f, yp = moog_zdf_pallas(x, st8, params, newton_iters=4)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st8f[:4].T),
+                               np.asarray(sref["stage"]), atol=1e-5)
