@@ -149,8 +149,8 @@ class SpectralPitchShifter:
         inst = omega + dphi / ha
         # synthesis phase: cumulative sum of inst*hs over frames
         # (the Go sumPhase recurrence is a prefix sum)
-        synth_phase = phase[..., 0, :] + jnp.cumsum(inst * hs, axis=-2) \
-            - inst[..., 0, :] * hs
+        synth_phase = phase[..., 0:1, :] + jnp.cumsum(inst * hs, axis=-2) \
+            - inst[..., 0:1, :] * hs
         import jax
         out_spec = jax.lax.complex(mag * jnp.cos(synth_phase),
                                    mag * jnp.sin(synth_phase))

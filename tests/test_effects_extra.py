@@ -261,3 +261,15 @@ def test_design_shaper():
     flat = _shaped_noise_cost(np.zeros((1, 5)), freqs, w, SR)[0]
     designed = _shaped_noise_cost(c[None, :], freqs, w, SR)[0]
     assert designed < flat
+
+
+def test_spectral_pitch_batched_matches_mono():
+    # phase propagation must broadcast over leading batch dims
+    ps = SpectralPitchShifter(SR, pitch_ratio=2 ** (4 / 12))
+    rng = np.random.default_rng(13)
+    x1 = rng.standard_normal(8192).astype(np.float32) * 0.3
+    xb = np.stack([x1, 0.5 * x1])
+    y1 = np.asarray(ps.process(jnp.asarray(x1)))
+    yb = np.asarray(ps.process(jnp.asarray(xb)))
+    np.testing.assert_allclose(yb[0], y1, atol=1e-5)
+    np.testing.assert_allclose(yb[1], 0.5 * yb[0], atol=1e-4)
