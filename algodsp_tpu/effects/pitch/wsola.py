@@ -69,13 +69,16 @@ class WSOLAPitchShifter:
         # Sequential dependency: the chosen offset of segment i-1 shifts
         # the reference for segment i -> tiny scan over segments with the
         # heavy math (correlation einsum) precomputed where possible.
-        def gather(start, length):
-            return jax.lax.dynamic_slice_in_dim(x, start, length, axis=-1)
+        def gather_win(start, length):
+            """Per-channel window gather: start (...,) -> (..., length)."""
+            idx = start[..., None] + jnp.arange(length)
+            return jnp.take_along_axis(x, idx, axis=-1)
 
         def step(prev_tail_start, i):
             nom = nominal_j[i]
             # reference: ov samples following the previous segment tail
-            ref = jax.lax.dynamic_slice_in_dim(x, prev_tail_start, ov, axis=-1)
+            # (the chosen offset differs per channel -> per-channel gathers)
+            ref = gather_win(prev_tail_start, ov)
             # candidate windows at nom + offsets
             cand_idx = nom + offsets_j[:, None] + jnp.arange(ov)[None, :]
             cands = x[..., cand_idx]  # (..., K, ov)
@@ -84,13 +87,13 @@ class WSOLAPitchShifter:
             best = jnp.argmax(scores / norms, axis=-1)
             off = offsets_j[best]
             start = nom + off
-            segment = jax.lax.dynamic_slice_in_dim(x, start, seq, axis=-1)
+            segment = gather_win(start, seq)
             new_tail_start = (start + flat).astype(jnp.int32)
             return new_tail_start, segment
 
         nominal_j = jnp.asarray(nominal)
         offsets_j = jnp.asarray(offsets)
-        init_tail = jnp.asarray(int(nominal[0]), jnp.int32)
+        init_tail = jnp.full(x.shape[:-1], int(nominal[0]), jnp.int32)
         _, segments = jax.lax.scan(step, init_tail, jnp.arange(out_segments))
         # segments: (S, ..., seq) -> overlap-add with linear cross-fades
         segments = jnp.moveaxis(segments, 0, -2)  # (..., S, seq)

@@ -273,3 +273,14 @@ def test_spectral_pitch_batched_matches_mono():
     yb = np.asarray(ps.process(jnp.asarray(xb)))
     np.testing.assert_allclose(yb[0], y1, atol=1e-5)
     np.testing.assert_allclose(yb[1], 0.5 * yb[0], atol=1e-4)
+
+
+def test_wsola_batched_matches_mono():
+    # per-channel alignment search: batch rows must equal mono runs
+    ws = WSOLAPitchShifter(SR, pitch_ratio=2 ** (3 / 12))
+    rng = np.random.default_rng(14)
+    x0 = rng.standard_normal(1 << 15).astype(np.float32) * 0.3
+    x1 = rng.standard_normal(1 << 15).astype(np.float32) * 0.3
+    yb = np.asarray(ws.process(jnp.asarray(np.stack([x0, x1]))))
+    np.testing.assert_array_equal(yb[0], np.asarray(ws.process(jnp.asarray(x0))))
+    np.testing.assert_array_equal(yb[1], np.asarray(ws.process(jnp.asarray(x1))))
