@@ -1,4 +1,5 @@
 from algodsp_tpu.parallel.mesh import make_mesh, channel_sharding
+from algodsp_tpu.parallel.pipeline import biquad_pipeline
 from algodsp_tpu.parallel.sharded import (
     fir_time_sharded,
     biquad_time_sharded,
@@ -7,6 +8,7 @@ from algodsp_tpu.parallel.sharded import (
 
 __all__ = [
     "biquad_time_sharded",
+    "biquad_pipeline",
     "channel_sharding",
     "fir_time_sharded",
     "make_mesh",

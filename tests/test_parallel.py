@@ -93,3 +93,21 @@ def test_channel_sharded_conv_reverb_stream():
     s_ref, r2 = pc.process_stream(s_ref, x)
     assert snr_db(np.asarray(r1), np.asarray(y1)) > 200
     assert snr_db(np.asarray(r2), np.asarray(y2)) > 200
+
+
+def test_biquad_pipeline_stages_exact():
+    """SURVEY §2.9 PP row: cascade staged over 4 devices with ppermute
+    handoff matches the serial cascade exactly."""
+    from algodsp_tpu.parallel import biquad_pipeline
+    mesh = make_mesh({"stage": 4}, devices=jax.devices()[:4])
+    sos = design.butterworth_lp(2000.0, 16, 48000.0)   # 8 sections
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((3, 8192)))
+    y_pipe = biquad_pipeline(mesh, "stage", sos, x, block=2048)
+    y_ref = BiquadChain(sos).process(x)
+    assert snr_db(np.asarray(y_ref), np.asarray(y_pipe)) > 250
+    # validation errors
+    with pytest.raises(ValueError):
+        biquad_pipeline(mesh, "stage", sos[:3], x, block=2048)
+    with pytest.raises(ValueError):
+        biquad_pipeline(mesh, "stage", sos, x[..., :1000], block=2048)
