@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from algodsp_tpu.ops import linrec
 
@@ -106,7 +106,7 @@ def biquad_pipeline(mesh, axis: str, sos, x, *, block: int = 2048):
     run_sharded = shard_map(
         run, mesh=mesh,
         in_specs=(spec_stage, spec_stage, spec_stage, spec_stage, P()),
-        out_specs=spec_stage, check_rep=False)
+        out_specs=spec_stage)
     out = run_sharded(fir, L, pcol, qcol, xb)       # (S, nb, ..., B)
     y = out.sum(axis=0)
     return jnp.moveaxis(y, 0, -2).reshape(batch + (n,))

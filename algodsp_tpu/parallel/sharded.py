@@ -26,7 +26,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 try:
     from jax import shard_map
 except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
 from algodsp_tpu.ops import linrec
 from algodsp_tpu.filters.biquad import BiquadChain
