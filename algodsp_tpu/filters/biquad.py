@@ -48,17 +48,32 @@ class BiquadChain:
     """
 
     def __init__(self, sos, *, gain: float = 1.0,
-                 block_size: int = linrec.DEFAULT_BLOCK):
+                 block_size: int = linrec.DEFAULT_BLOCK,
+                 condition: bool = True):
         self.sos = sos_array(sos)
         self.gain = float(gain)
         self.block_size = int(block_size)
-        self._kernels = linrec.ar2_kernels(self.sos[:, 3], self.sos[:, 4],
+        # Runtime coefficients: ill-conditioned real-pole sections are
+        # split into first-order pairs so the blocked algebra stays
+        # accurate in f32 (see linrec.condition_sos). `self.sos` keeps
+        # the logical sections for response/introspection; streaming
+        # state is shaped by the runtime sections.
+        self.runtime_sos = (linrec.condition_sos(self.sos, self.block_size)
+                            if condition else self.sos)
+        self._kernels = linrec.ar2_kernels(self.runtime_sos[:, 3],
+                                           self.runtime_sos[:, 4],
                                            self.block_size)
 
     # -- introspection (chain.go:102-137) --------------------------------
     @property
     def num_sections(self) -> int:
         return self.sos.shape[0]
+
+    @property
+    def num_runtime_sections(self) -> int:
+        """Sections actually executed (>= num_sections when conditioning
+        split real-pole sections; see linrec.condition_sos)."""
+        return self.runtime_sos.shape[0]
 
     @property
     def order(self) -> int:
@@ -76,7 +91,8 @@ class BiquadChain:
         """Streaming state (..., S, 4): per section
         (x_{n-1}, x_{n-2}, y_{n-1}, y_{n-2}) in the direct-form basis —
         the same information as the reference's DF2T (d0, d1)."""
-        return jnp.zeros(batch_shape + (self.num_sections, 4), dtype=dtype)
+        return jnp.zeros(batch_shape + (self.num_runtime_sections, 4),
+                         dtype=dtype)
 
     # -- processing -------------------------------------------------------
     def _run(self, x, state, *, mode: str):
@@ -92,8 +108,8 @@ class BiquadChain:
                 [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1)
 
         new_states = []
-        for s in range(self.num_sections):
-            b0, b1, b2, a1, a2 = self.sos[s]
+        for s in range(self.num_runtime_sections):
+            b0, b1, b2, a1, a2 = self.runtime_sos[s]
             st = state[..., s, :]
             x_in = x
             f = linrec.fir3(x, jnp.asarray(b0, x.dtype), jnp.asarray(b1, x.dtype),
@@ -116,30 +132,96 @@ class BiquadChain:
         y_out = x[..., :n] if pad else x
         return jnp.stack(new_states, axis=-2), y_out
 
+    @staticmethod
+    def _pick_folds(channels: int, n: int) -> int:
+        """Largest fold factor F such that C*F <= 128 lanes, N % F == 0,
+        and the fold length stays a 128-block multiple."""
+        f = max(128 // max(channels, 1), 1)
+        while f > 1 and (n % f or (n // f) % 128):
+            f //= 2
+        return f
+
     def process(self, x, *, mode: str = "auto"):
         """One-shot filtering from zero state (`chain.go:74-85`).
 
         mode: "auto" picks the fused Pallas cascade kernel on TPU for
         2-D (C, N) inputs (one HBM pass for the whole cascade, ~2x the
-        XLA engine) and the blocked XLA engine elsewhere; "blocked",
-        "scan", and "pallas" force a specific backend — the dispatch
-        analog of the reference's arch registry (`section.go:56-81`).
+        XLA engine) — lane-packing few-channel inputs via the exact
+        fold correction (`ops/fold.py`) — and the blocked XLA engine
+        elsewhere; "blocked", "scan", "pallas", and "folded" force a
+        specific backend — the dispatch analog of the reference's arch
+        registry (`section.go:56-81`).
         """
         import jax
         x = jnp.asarray(x)
         if mode == "auto":
-            # the fused kernel tiles channels to 128; below ~half a tile
-            # the padding waste outweighs the fusion win
             if jax.default_backend() == "tpu" and x.ndim == 2 \
-                    and self.block_size == 128 and x.shape[0] >= 64:
-                mode = "pallas"
+                    and self.block_size == 128:
+                if x.shape[0] >= 64:
+                    mode = "pallas"
+                elif self._pick_folds(*x.shape) > 1 and x.shape[1] >= 4096:
+                    mode = "folded"
+                else:
+                    mode = "blocked"
             else:
                 mode = "blocked"
         if mode == "pallas":
             from algodsp_tpu.ops.pallas_kernels import biquad_cascade_pallas
-            return biquad_cascade_pallas(x, self.sos, gain=self.gain)
+            return biquad_cascade_pallas(x, self.runtime_sos, gain=self.gain)
+        if mode == "folded":
+            return self.process_folded(x)
         state = self.init_state(x.shape[:-1], dtype=x.dtype)
         _, y = self._run(x, state, mode=mode)
+        return y
+
+    def process_folded(self, x, folds: int | None = None, state=None,
+                       return_state: bool = False):
+        """Lane-packed fused-cascade processing for few-channel inputs.
+
+        Reshapes (C, N) -> (C*F, N/F) so the Pallas kernel fills all
+        128 lanes, runs every fold with zero initial conditions, then
+        adds the exact linear correction for each fold's true entry
+        state (see `ops/fold.py`). Identical output to `process`
+        (LTI superposition), at full lane utilization.
+
+        state/return_state thread the standard (C, S, 4) streaming
+        state, so this is also a valid `process_stream` backend.
+        """
+        from algodsp_tpu.ops import fold as foldmod
+        from algodsp_tpu.ops.pallas_kernels import biquad_cascade_pallas
+
+        x = jnp.asarray(x)
+        if x.ndim != 2:
+            raise ValueError("process_folded expects (C, N)")
+        c, n = x.shape
+        if folds is None:
+            folds = self._pick_folds(c, n)
+        if n % folds or (n // folds) % self.block_size:
+            raise ValueError(
+                f"folds={folds} needs N divisible by folds*{self.block_size}")
+        nf = n // folds
+        d = 4 * self.num_runtime_sections
+
+        if self.gain != 1.0:
+            x = x * jnp.asarray(self.gain, x.dtype)
+        if folds == 1:
+            y, new_state = biquad_cascade_pallas(
+                x, self.runtime_sos, state=state, return_state=True)
+            return (y, new_state) if return_state else y
+
+        xf = x.reshape(c * folds, nf)
+        y0, wstate = biquad_cascade_pallas(xf, self.runtime_sos,
+                                           return_state=True)
+        w = wstate.reshape(c, folds, d)
+
+        T, D = foldmod.cascade_transfer(self.runtime_sos, nf)
+        s_init = (jnp.zeros((c, d), x.dtype) if state is None
+                  else jnp.asarray(state, x.dtype).reshape(c, d))
+        entries, s_final = foldmod.propagate_fold_states(T, w, s_init)
+        y = y0.reshape(c, folds, nf) + foldmod.fold_correction(entries, D)
+        y = y.reshape(c, n)
+        if return_state:
+            return y, s_final.reshape(c, self.num_runtime_sections, 4)
         return y
 
     def process_stream(self, state, x, *, mode: str = "blocked"):

@@ -107,6 +107,61 @@ def ar2_kernels(a1, a2, block: int = DEFAULT_BLOCK) -> AR2Kernels:
     return _ar2_kernels_cached(a1.tobytes(), a2.tobytes(), a1.size, int(block))
 
 
+def condition_sos(sos: np.ndarray, block: int = DEFAULT_BLOCK,
+                  peak_threshold: float = 8.0) -> np.ndarray:
+    """Split ill-conditioned real-pole sections into first-order pairs.
+
+    The blocked engine evaluates each section as (zero-IC Toeplitz
+    response) + (carry correction). For sections whose all-pole impulse
+    response h grows large within a block — e.g. the A-weighting 20.6 Hz
+    highpass, a double real pole at r=0.99731 where h peaks at ~91 —
+    those two terms are each ~500x the output and cancel, costing ~60 dB
+    of f32 SNR. When both poles AND both zeros are real, the section
+    splits exactly into two first-order sections (a2=0) with each zero
+    paired to its nearest pole, so every intermediate stays O(1) and
+    |h| <= 1 per sub-section.
+
+    Returns a new (S', 5) float64 SOS array (S' >= S) that is
+    input/output identical to `sos` in exact arithmetic. Sections with
+    complex poles, complex zeros, or small in-block growth pass through
+    unchanged.
+    """
+    sos = np.asarray(sos, dtype=np.float64)
+    out = []
+    for b0, b1, b2, a1, a2 in sos:
+        # peak of the all-pole impulse response within one block
+        h = _ar2_impulse_response(np.array([a1]), np.array([a2]), block)[0]
+        # relative tolerance: a repeated real pole computes disc ~ -eps*a1^2
+        tol = 1e-9 * max(a1 * a1, abs(4.0 * a2), 1e-30)
+        disc = a1 * a1 - 4.0 * a2
+        if np.max(np.abs(h)) <= peak_threshold or disc < -tol or b0 == 0.0:
+            out.append([b0, b1, b2, a1, a2])
+            continue
+        rt = np.sqrt(max(disc, 0.0))
+        p_lo, p_hi = sorted([(-a1 - rt) / 2.0, (-a1 + rt) / 2.0])
+        ztol = 1e-9 * max(b1 * b1, abs(4.0 * b0 * b2), 1e-30)
+        zdisc = b1 * b1 - 4.0 * b0 * b2
+        if b2 == 0.0 and b1 == 0.0:
+            z_lo = z_hi = 0.0          # pure all-pole: zeros at origin
+        elif zdisc < -ztol:
+            out.append([b0, b1, b2, a1, a2])   # complex zeros: keep
+            continue
+        else:
+            zrt = np.sqrt(max(zdisc, 0.0))
+            z_lo, z_hi = sorted([(-b1 - zrt) / (2.0 * b0),
+                                 (-b1 + zrt) / (2.0 * b0)])
+        # nearest pairing keeps each sub-section's gain flat (for the
+        # weighting HP case: (1 - z^-1)/(1 - 0.9973 z^-1) twice)
+        if abs(z_hi - p_hi) + abs(z_lo - p_lo) <= \
+           abs(z_hi - p_lo) + abs(z_lo - p_hi):
+            pairs = [(z_hi, p_hi), (z_lo, p_lo)]
+        else:
+            pairs = [(z_hi, p_lo), (z_lo, p_hi)]
+        out.append([b0, -b0 * pairs[0][0], 0.0, -pairs[0][1], 0.0])
+        out.append([1.0, -pairs[1][0], 0.0, -pairs[1][1], 0.0])
+    return np.asarray(out, dtype=np.float64).reshape(-1, 5)
+
+
 def fir3(x, b0, b1, b2, x1, x2):
     """3-tap causal FIR f_n = b0 x_n + b1 x_{n-1} + b2 x_{n-2} with explicit
     2-sample history (x1 = x_{n-1} carry-in, x2 = x_{n-2}). Fully parallel."""

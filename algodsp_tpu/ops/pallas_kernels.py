@@ -137,15 +137,15 @@ _BQ_BLOCK = 128
 _BQ_CTILE = 128
 
 
-def _biquad_kernel(fir_ref, L_ref, p_ref, q_ref, x_ref, out_ref,
-                   carry, halo):
+def _biquad_kernel(fir_ref, L_ref, p_ref, q_ref, c0_ref, h0_ref,
+                   x_ref, out_ref, cf_ref, hf_ref, carry, halo):
     k = pl.program_id(1)
     n_sections = L_ref.shape[0]
 
     @pl.when(k == 0)
     def _():
-        carry[...] = jnp.zeros_like(carry)
-        halo[...] = jnp.zeros_like(halo)
+        carry[...] = c0_ref[...]
+        halo[...] = h0_ref[...]
 
     x = x_ref[...]  # (CTILE, B)
 
@@ -178,13 +178,25 @@ def _biquad_kernel(fir_ref, L_ref, p_ref, q_ref, x_ref, out_ref,
         y = section(s, y)
     out_ref[...] = y
 
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _():
+        cf_ref[...] = carry[...]
+        hf_ref[...] = halo[...]
 
-def biquad_cascade_pallas(x, sos, gain: float = 1.0):
-    """Fused biquad cascade: x (C, N) -> y (C, N), zero initial state.
+
+def biquad_cascade_pallas(x, sos, gain: float = 1.0, state=None,
+                          return_state: bool = False):
+    """Fused biquad cascade: x (C, N) -> y (C, N).
 
     C and N are padded internally to multiples of (8, 128). The cascade
     coefficient tensors (Toeplitz L, carry columns p/q) come from the
     same host precompute as the XLA engine.
+
+    state: optional (C, S, 4) per-channel per-section streaming state
+    [x_{n-1}, x_{n-2}, y_{n-1}, y_{n-2}] (the BiquadChain layout); zero
+    state when None. With `return_state=True` returns (y, new_state) —
+    the carry-out reflects the PADDED tail when N % 128 != 0, so
+    streaming callers must keep N a block multiple.
     """
     import numpy as np
     from algodsp_tpu.ops import linrec
@@ -200,6 +212,8 @@ def biquad_cascade_pallas(x, sos, gain: float = 1.0):
     dtype = x.dtype
     c_pad = (-c) % _BQ_CTILE
     n_pad = (-n) % _BQ_BLOCK
+    if return_state and n_pad:
+        raise ValueError("return_state requires N to be a multiple of 128")
     xp = jnp.pad(x, ((0, c_pad), (0, n_pad)))
     if gain != 1.0:
         xp = xp * jnp.asarray(gain, dtype)
@@ -211,7 +225,17 @@ def biquad_cascade_pallas(x, sos, gain: float = 1.0):
     p = jnp.asarray(kern.p, dtype)                        # (S, B)
     q = jnp.asarray(kern.q, dtype)                        # (S, B)
 
-    out = pl.pallas_call(
+    if state is None:
+        h0 = jnp.zeros((n_sections, cp, 2), dtype)
+        c0 = jnp.zeros((n_sections, cp, 2), dtype)
+    else:
+        st = jnp.asarray(state, dtype)                    # (C, S, 4)
+        st = jnp.pad(st, ((0, c_pad), (0, 0), (0, 0)))
+        st = jnp.moveaxis(st, 0, 1)                       # (S, cp, 4)
+        h0 = st[..., 0:2]                                 # [x1, x2]
+        c0 = st[..., 2:4]                                 # [y1, y2]
+
+    out, cf, hf = pl.pallas_call(
         _biquad_kernel,
         grid=grid,
         in_specs=[
@@ -223,19 +247,38 @@ def biquad_cascade_pallas(x, sos, gain: float = 1.0):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_sections, _BQ_BLOCK), lambda i, k: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_sections, _BQ_CTILE, 2), lambda i, k: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_sections, _BQ_CTILE, 2), lambda i, k: (0, i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((_BQ_CTILE, _BQ_BLOCK), lambda i, k: (i, k),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_BQ_CTILE, _BQ_BLOCK), lambda i, k: (i, k),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((cp, np_), dtype),
+        out_specs=[
+            pl.BlockSpec((_BQ_CTILE, _BQ_BLOCK), lambda i, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_sections, _BQ_CTILE, 2), lambda i, k: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_sections, _BQ_CTILE, 2), lambda i, k: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cp, np_), dtype),
+            jax.ShapeDtypeStruct((n_sections, cp, 2), dtype),
+            jax.ShapeDtypeStruct((n_sections, cp, 2), dtype),
+        ],
         scratch_shapes=[
             pltpu.VMEM((n_sections, _BQ_CTILE, 2), dtype),
             pltpu.VMEM((n_sections, _BQ_CTILE, 2), dtype),
         ],
         interpret=jax.default_backend() != "tpu",
-    )(fir, L, p, q, xp)
-    return out[:c, :n]
+    )(fir, L, p, q, c0, h0, xp)
+    y = out[:c, :n]
+    if not return_state:
+        return y
+    new_state = jnp.concatenate([hf, cf], axis=-1)        # (S, cp, 4)
+    new_state = jnp.moveaxis(new_state, 0, 1)[:c]         # (C, S, 4)
+    return y, new_state
 
 
 # ---------------------------------------------------------------------------
