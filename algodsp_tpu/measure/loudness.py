@@ -6,20 +6,27 @@ K-weighting = RBJ high-shelf (1500 Hz, +4 dB) + highpass (38 Hz)
 mean-square windows (`meter.go:37-49`), integrated loudness with
 -70 LUFS absolute + -10 LU relative gating over 75%-overlap 400 ms
 blocks (`meter.go:22-27,245`), LUFS = -0.691 + 10*log10(mean square)
-(`meter.go:297-302`), per-channel sample peak.
+(`meter.go:297-302`), per-channel sample peak, and 4x-oversampled
+true peak (left as a TODO in the reference, `meter.go:60-61` — here
+implemented through the polyphase resampler).
 
-TPU-first: the Go per-sample ring buffers become batched filtering
-(blocked-scan biquads over all channels) + framed means (gather +
-reduction). The meter is buffer-oriented: feed blocks, loudness values
-come from the carried weighted-square history.
+TPU-first: the meter is FULLY device-resident and jittable —
+`process(state, x) -> (state, reading)` is a pure function over a
+fixed-shape pytree, so the meter can sit inside a jitted effect chain
+like every other processor. Gating blocks live in a fixed-capacity
+on-device energy buffer (dynamic-slice append + masked reductions
+replace the reference's per-sample ring buffers and the previous
+Python-list implementation); block boundaries that span process calls
+are carried in a summed-square tail buffer.
 """
 
 from __future__ import annotations
 
-import dataclasses
 import math
+from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from algodsp_tpu.filters.biquad import BiquadChain
@@ -33,26 +40,30 @@ SHORT_TERM_S = 3.0
 ABS_THRESHOLD = -70.0
 REL_THRESHOLD = -10.0
 BLOCK_OVERLAP = 0.75
+TRUE_PEAK_OVERSAMPLE = 4
 
 
-def _lufs(mean_square: float) -> float:
-    if mean_square <= 0:
-        return -math.inf
-    return -0.691 + 10.0 * math.log10(mean_square)
+def _lufs(ms):
+    """-0.691 + 10 log10(ms), -inf at zero power (`meter.go:297-302`)."""
+    ms = jnp.asarray(ms)
+    safe = jnp.maximum(ms, jnp.finfo(ms.dtype).tiny)
+    return jnp.where(ms > 0, -0.691 + 10.0 * jnp.log10(safe), -jnp.inf)
 
 
-@dataclasses.dataclass(frozen=True)
-class LoudnessReading:
-    momentary_lufs: float
-    short_term_lufs: float
-    integrated_lufs: float
-    sample_peaks: np.ndarray  # per channel
+class LoudnessReading(NamedTuple):
+    """Device-resident reading: scalars are 0-d jax arrays under jit."""
+    momentary_lufs: jax.Array
+    short_term_lufs: jax.Array
+    integrated_lufs: jax.Array
+    sample_peaks: jax.Array   # (channels,)
+    true_peaks: jax.Array     # (channels,) linear; 0 when disabled
 
 
 class Meter:
     """Multi-channel loudness meter with explicit streaming state."""
 
-    def __init__(self, sample_rate: float = 48000.0, channels: int = 2):
+    def __init__(self, sample_rate: float = 48000.0, channels: int = 2,
+                 *, max_blocks: int = 36000, true_peak: bool = True):
         if sample_rate <= 0 or channels <= 0:
             raise ValueError("loudness: invalid sample rate / channels")
         self.sample_rate = sample_rate
@@ -65,78 +76,141 @@ class Meter:
         self.short_win = int(round(SHORT_TERM_S * sample_rate))
         self.block_len = self.mom_win
         self.block_step = max(int(round(self.block_len * (1 - BLOCK_OVERLAP))), 1)
+        # fixed gating-block capacity: 0.1 s stride -> default 1 h of audio
+        self.max_blocks = int(max_blocks)
+        self.true_peak = bool(true_peak)
+        if self.true_peak:
+            from algodsp_tpu.resample import Resampler, Quality
+            self._tp_resampler = Resampler(TRUE_PEAK_OVERSAMPLE, 1,
+                                           quality=Quality.BEST)
 
     def init_state(self, dtype=jnp.float64):
-        return {
+        state = {
             "filters": self.k_chain.init_state((self.channels,), dtype),
             # weighted-square history (short-term window is the longest)
             "history": jnp.zeros((self.channels, self.short_win), dtype),
             "peaks": jnp.zeros((self.channels,), dtype),
-            # gating blocks accumulated on host (analysis metadata)
-            "blocks": [],
-            "pending": np.zeros((0,)),  # leftover squared-mean stream
+            # fixed-capacity gating-block energy buffer + counters
+            "block_energies": jnp.zeros((self.max_blocks,), dtype),
+            "block_count": jnp.zeros((), jnp.int32),
+            "sample_count": jnp.zeros((), jnp.int32),
+            # summed-square tail covering a partially-filled gating block
+            "sq_tail": jnp.zeros((self.block_len,), dtype),
+            "true_peaks": jnp.zeros((self.channels,), dtype),
         }
+        if self.true_peak:
+            state["tp_hist"] = self._tp_resampler.init_state(
+                (self.channels,), dtype)
+        return state
 
     def process(self, state, x):
-        """Feed a (channels, N) block; returns (state, LoudnessReading)."""
+        """Feed a (channels, N) block; returns (state, LoudnessReading).
+
+        Jittable: fixed shapes per N, no host syncs. The energy of every
+        gating block (400 ms at 75% overlap, `meter.go:22-27`) whose end
+        falls inside this call is appended on device.
+        """
         x = jnp.asarray(x)
         if x.ndim == 1:
             x = x[None, :]
         if x.shape[0] != self.channels:
             raise ValueError(
                 f"loudness: expected {self.channels} channels, got {x.shape[0]}")
-        fstate, weighted = self.k_chain.process_stream(state["filters"], x)
+        n = x.shape[-1]
+        dtype = state["history"].dtype
+        xw = x.astype(dtype)
+        fstate, weighted = self.k_chain.process_stream(state["filters"], xw)
         sq = weighted * weighted
-        history = jnp.concatenate([state["history"], sq], axis=-1)[..., -self.short_win:]
-        peaks = jnp.maximum(state["peaks"], jnp.max(jnp.abs(x), axis=-1))
+        history = jnp.concatenate([state["history"], sq],
+                                  axis=-1)[..., -self.short_win:]
+        peaks = jnp.maximum(state["peaks"],
+                            jnp.max(jnp.abs(xw), axis=-1))
 
-        # momentary / short-term: mean over trailing windows, summed over
+        # momentary / short-term: trailing-window means summed over
         # channels (meter.go:225-260)
-        mom_ms = float(jnp.sum(jnp.mean(history[..., -self.mom_win:], axis=-1)))
-        short_ms = float(jnp.sum(jnp.mean(history, axis=-1)))
+        mom_ms = jnp.sum(jnp.mean(history[..., -self.mom_win:], axis=-1))
+        short_ms = jnp.sum(jnp.mean(history, axis=-1))
 
-        # integrated gating blocks: 400 ms windows at 75% overlap over the
-        # *newly appended* region (block centers stride block_step)
-        pending = np.concatenate([state["pending"],
-                                  np.asarray(jnp.sum(sq, axis=0))])
-        blocks = list(state["blocks"])
-        pos = 0
-        while pos + self.block_len <= pending.size:
-            blocks.append(float(pending[pos:pos + self.block_len].mean()))
-            pos += self.block_step
-        pending = pending[pos:]
+        # --- integrated gating blocks, device-resident ------------------
+        # concat[j] = summed-square at absolute sample t0 - block_len + j
+        t0 = state["sample_count"]
+        concat = jnp.concatenate([state["sq_tail"], jnp.sum(sq, axis=0)])
+        cs = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(concat)])
+        # candidate blocks: indices block_count + i; block b covers
+        # absolute samples [b*step, b*step + block_len)
+        kmax = n // self.block_step + 1
+        bc = state["block_count"]
+        b_idx = bc + jnp.arange(kmax, dtype=jnp.int32)
+        starts = b_idx * self.block_step - t0 + self.block_len
+        valid = (b_idx * self.block_step + self.block_len <= t0 + n) \
+            & (b_idx < self.max_blocks)
+        starts_c = jnp.clip(starts, 0, concat.shape[0] - self.block_len)
+        energies = (jnp.take(cs, starts_c + self.block_len)
+                    - jnp.take(cs, starts_c)) / self.block_len
+        n_new = jnp.sum(valid.astype(jnp.int32))
+        # masked append: invalid slots re-write the value already there
+        pos = jnp.clip(jnp.where(valid, b_idx, 0), 0, self.max_blocks - 1)
+        current = jnp.take(state["block_energies"], pos)
+        write = jnp.where(valid, energies, current)
+        block_energies = state["block_energies"].at[pos].set(write)
+        block_count = jnp.minimum(bc + n_new, self.max_blocks)
 
-        new_state = {"filters": fstate, "history": history, "peaks": peaks,
-                     "blocks": blocks, "pending": pending}
+        new_state = {
+            "filters": fstate, "history": history, "peaks": peaks,
+            "block_energies": block_energies, "block_count": block_count,
+            "sample_count": t0 + n,
+            "sq_tail": concat[-self.block_len:],
+        }
+
+        # --- true peak: 4x oversampled |max| (beats meter.go:60-61 TODO)
+        if self.true_peak:
+            tp_hist, up = self._tp_resampler.process_stream(
+                state["tp_hist"], xw)
+            true_peaks = jnp.maximum(state["true_peaks"],
+                                     jnp.max(jnp.abs(up), axis=-1))
+            new_state["tp_hist"] = tp_hist
+        else:
+            true_peaks = state["true_peaks"]
+        new_state["true_peaks"] = true_peaks
+
         return new_state, LoudnessReading(
             momentary_lufs=_lufs(mom_ms),
             short_term_lufs=_lufs(short_ms),
-            integrated_lufs=self._integrated(blocks),
-            sample_peaks=np.asarray(peaks))
+            integrated_lufs=self._integrated(block_energies, block_count),
+            sample_peaks=peaks,
+            true_peaks=true_peaks)
 
-    @staticmethod
-    def _integrated(blocks) -> float:
-        """Two-stage gated mean (`meter.go:245-295`)."""
-        if not blocks:
-            return -math.inf
-        b = np.asarray(blocks, dtype=np.float64)
-        l_blocks = np.array([_lufs(v) for v in b])
-        gated = b[l_blocks > ABS_THRESHOLD]
-        if gated.size == 0:
-            return -math.inf
-        rel_gate = _lufs(float(gated.mean())) + REL_THRESHOLD
-        final = b[(l_blocks > ABS_THRESHOLD) & (l_blocks > rel_gate)]
-        if final.size == 0:
-            return -math.inf
-        return _lufs(float(final.mean()))
+    def _integrated(self, energies, count):
+        """Two-stage gated mean (`meter.go:245-295`) as masked reductions."""
+        have = jnp.arange(self.max_blocks) < count
+        l_blocks = _lufs(energies)
+        m_abs = have & (l_blocks > ABS_THRESHOLD)
+        n_abs = jnp.sum(m_abs)
+        mean_abs = jnp.sum(jnp.where(m_abs, energies, 0.0)) \
+            / jnp.maximum(n_abs, 1)
+        rel_gate = _lufs(mean_abs) + REL_THRESHOLD
+        m_rel = m_abs & (l_blocks > rel_gate)
+        n_rel = jnp.sum(m_rel)
+        mean_rel = jnp.sum(jnp.where(m_rel, energies, 0.0)) \
+            / jnp.maximum(n_rel, 1)
+        return jnp.where(n_rel > 0, _lufs(mean_rel), -jnp.inf)
 
 
-def measure(x, sample_rate: float = 48000.0) -> LoudnessReading:
+def measure(x, sample_rate: float = 48000.0,
+            true_peak: bool = True) -> LoudnessReading:
     """One-shot measurement of a (channels, N) or (N,) buffer."""
     x = jnp.asarray(x)
     if x.ndim == 1:
         x = x[None, :]
-    meter = Meter(sample_rate, x.shape[0])
-    state = meter.init_state(dtype=x.dtype)
+    meter = Meter(sample_rate, x.shape[0],
+                  max_blocks=max(x.shape[-1] // meter_step(sample_rate) + 2, 16),
+                  true_peak=true_peak)
+    state = meter.init_state(dtype=jnp.float64)
     _, reading = meter.process(state, x)
     return reading
+
+
+def meter_step(sample_rate: float) -> int:
+    """Gating-block stride in samples (100 ms at 48 kHz)."""
+    block_len = int(round(MOMENTARY_S * sample_rate))
+    return max(int(round(block_len * (1 - BLOCK_OVERLAP))), 1)
