@@ -3,16 +3,24 @@
 Headline (BASELINE.json): samples/sec/chip for the 8-channel 48 kHz
 conv-reverb (2^17-tap IR) + biquad-chain pipeline:
   10-section Butterworth cascade + A-weighting chain -> partitioned
-  frequency-domain conv reverb (latency 1024 samples).
+  frequency-domain conv reverb.
+
+Formulations (round 2): the biquad chains run lane-packed ("folded",
+ops/fold.py) so 8 channels fill all 128 VPU/MXU lanes; the conv reverb
+runs as a batched FDL with a TPU-sized internal partition
+(conv/partitioned.py `_process_bulk_fdl`); the signal is 2^20 samples
+per channel per dispatch so the ~3-6 ms axon relay dispatch floor is
+amortized (8.4 Msamples/dispatch).
 
 vs_baseline compares against the Go reference's single-core rate for
 the same work, estimated from BASELINE.md:
   - biquad: 1.283e8 samples/s per section -> 15 sections,
-  - OverlapAdd 4096x64 ~ 1.8e7 samples/s per 64-tap partition pass;
-    a 2^17 IR at the reference's UPOLA stage costs is dominated by the
-    large-FFT stages; we use the measured OverlapAddReuse-derived
-    ~1.76e7 samples/s as the per-core conv rate (BASELINE.md:26).
+  - OverlapAdd-derived conv rate ~1.76e7 samples/s (BASELINE.md:26).
   Combined serial rate: 1/(15/1.283e8 + 1/1.76e7) ~ 5.8e6 samples/s.
+
+roofline_pct is the fused-Pallas biquad path's achieved f32 FLOP/s
+(Toeplitz-matmul op count, 2*B MACs/sample/section) as % of the v5e
+98 TFLOP/s f32 peak — the "scan-kernel roofline %" deliverable.
 
 Methodology: one jit callable reused (compile excluded); a scalar fetch
 forces completion (on the axon relay block_until_ready returns early).
@@ -29,14 +37,25 @@ import jax
 import jax.numpy as jnp
 
 
+def _timeit(fn, *args, reps=5):
+    y = fn(*args)
+    float(jnp.ravel(jax.tree_util.tree_leaves(y)[0])[-1])
+    t0 = time.time()
+    for _ in range(reps):
+        y = fn(*args)
+    _ = float(jnp.ravel(jax.tree_util.tree_leaves(y)[0])[-1])
+    return (time.time() - t0) / reps
+
+
 def main():
     from algodsp_tpu.filters import BiquadChain, design
     from algodsp_tpu.filters.weighting import WeightingType, weighting_chain
     from algodsp_tpu.conv import PartitionedConvolver
+    from algodsp_tpu.utils.profiling import TPU_PEAKS
 
     sr = 48000.0
     channels = 8
-    n = 1 << 17  # ~2.7 s per channel
+    n = 1 << 20  # ~21.8 s per channel per dispatch
     rng = np.random.default_rng(0)
 
     cascade = BiquadChain(design.butterworth_lp(2000.0, 10, sr))
@@ -45,29 +64,38 @@ def main():
           np.exp(-np.arange(1 << 17) / 20000.0)).astype(np.float32)
     reverb = PartitionedConvolver(ir, min_block_order=10)
 
+    on_tpu = jax.default_backend() == "tpu"
+
+    def run_chain(chain, x):
+        return chain.process_folded(x) if on_tpu else chain.process(x)
+
     @jax.jit
     def pipeline(x):
-        y = cascade.process(x)
-        y = weighting.process(y)
+        y = run_chain(cascade, x)
+        y = run_chain(weighting, y)
         return reverb.process(y)
 
     x = jnp.asarray(rng.standard_normal((channels, n)), jnp.float32)
-    float(pipeline(x)[0, -1])  # warm up + compile
-
-    reps = 5
-    t0 = time.time()
-    for _ in range(reps):
-        y = pipeline(x)
-    _ = float(y[0, -1])
-    dt = (time.time() - t0) / reps
-
+    dt = _timeit(pipeline, x)
     samples_per_sec = channels * n / dt
+
+    # scan-kernel roofline: the fused biquad path alone
+    @jax.jit
+    def biquads(x):
+        return run_chain(weighting, run_chain(cascade, x))
+
+    dt_bq = _timeit(biquads, x)
+    sections = cascade.num_runtime_sections + weighting.num_runtime_sections
+    flops = 2.0 * channels * n * sections * 128  # Toeplitz MACs
+    roofline_pct = 100.0 * (flops / dt_bq) / TPU_PEAKS["v5e"]["flops_f32"]
+
     go_rate = 1.0 / (15.0 / 1.283e8 + 1.0 / 1.76e7)
     print(json.dumps({
         "metric": "samples_per_sec_per_chip_convreverb_biquad_8ch",
         "value": samples_per_sec,
         "unit": "samples/s",
         "vs_baseline": samples_per_sec / go_rate,
+        "roofline_pct": roofline_pct,
     }))
 
 

@@ -275,3 +275,18 @@ def test_partitioned_process_stream_matches_blocks():
         np.concatenate([np.asarray(x1)[c], np.asarray(x2)[c]]), ir)[:3584]
         for c in range(2)])
     assert snr_db(full, ya) > 200
+
+
+def test_partitioned_bulk_fdl_matches_big_fft():
+    """The bulk FDL formulation (internal repartitioning) must equal the
+    big-FFT path exactly — both are the causal convolution."""
+    from algodsp_tpu.conv import PartitionedConvolver
+    rng = np.random.default_rng(21)
+    ir = rng.standard_normal(6000) * np.exp(-np.arange(6000) / 1500.0)
+    pc = PartitionedConvolver(ir, min_block_order=9)
+    x = jnp.asarray(rng.standard_normal((3, 8192)), jnp.float64)
+    y_fft = np.asarray(pc.process(x, bulk_block_order=0))
+    y_fdl = np.asarray(pc.process(x, bulk_block_order=10))
+    np.testing.assert_allclose(y_fdl, y_fft, rtol=1e-9, atol=1e-9)
+    y_fdl12 = np.asarray(pc.process(x, bulk_block_order=12))
+    np.testing.assert_allclose(y_fdl12, y_fft, rtol=1e-9, atol=1e-9)
