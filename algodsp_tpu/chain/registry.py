@@ -6,9 +6,16 @@ Capability parity with `dsp/effectchain/registry.go` +
 distortion/dist-cheb/transformer), widener, delays, 10 filter variants,
 bass, pitch (time/spectral), spectral-freeze, granular, reverbs
 (freeverb/fdn/conv), dynamics (compressor/limiter/lookahead/gate/
-expander/deesser/transient/multiband), vocoder, split-freq. Parameter
-keys follow the reference's camelCase JSON names (mix, rateHz,
-thresholdDB, attackMs, ...).
+expander/deesser/transient/multiband), vocoder, split-freq.
+
+Parameters use the reference's names, defaults, clamps, and string
+enums (`runtime_*.go` Configure methods via `chain/params.py`), so
+graph JSONs written for the reference load unmodified; this
+framework's round-1 names remain as aliases. Filter nodes support the
+full family x kind designer matrix (Butterworth/Chebyshev/Bessel/
+elliptic cascades, band EQ, shelving) like the webdemo's
+FilterDesigner (`internal/webdemo/eq.go:91-302`), plus the Moog family
+with order-derived oversampling.
 
 Every runtime is a functional `NodeRuntime`: explicit state pytree,
 `process(state, x, sidechain) -> (state, y)` — so a whole chain traces
@@ -22,6 +29,15 @@ from typing import Callable
 
 import numpy as np
 import jax.numpy as jnp
+
+from algodsp_tpu.chain.params import (
+    get_num, get_int, get_str, get_bool, clamp,
+    normalize_filter_family, normalize_filter_kind, build_eq_sos,
+    moog_oversampling_from_order, normalize_distortion_mode,
+    normalize_chebyshev_harmonic_mode, normalize_dynamics_topology,
+    normalize_dynamics_detector, normalize_deesser_mode,
+    normalize_deesser_detector, normalize_freeze_phase_mode,
+    normalize_transformer_quality, FAMILY_MOOG)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,19 +72,10 @@ class Registry:
         return sorted(self._factories)
 
 
-def _num(p: dict, key: str, default: float) -> float:
-    v = p.get(key, default)
-    try:
-        return float(v)
-    except (TypeError, ValueError):
-        return float(default)
-
-
 def _stateless(fn) -> NodeRuntime:
     return NodeRuntime(
         init_state=lambda batch_shape=(), dtype=jnp.float32: {},
         process=lambda st, x, sc: (st, fn(x)))
-
 
 def _stateful(fx, *, sidechain: bool = False) -> NodeRuntime:
     if sidechain:
@@ -86,64 +93,113 @@ def default_registry() -> Registry:
         Chorus, Flanger, Phaser, Tremolo, RingModulator)
     from algodsp_tpu.effects.waveshape import (
         Distortion, DistortionMode, BitCrusher, TransformerSimulation,
-        HarmonicBass)
+        TransformerQuality, HarmonicBass)
     from algodsp_tpu.effects.delay_effect import Delay
-    from algodsp_tpu.effects.spatial import StereoWidener
     from algodsp_tpu.effects.reverb import Freeverb, FDNReverb, ConvolutionReverb
     from algodsp_tpu.effects.dynamics import (
         Compressor, Limiter, LookaheadLimiter, Gate, Expander, DeEsser,
-        TransientShaper, MultibandCompressor)
+        TransientShaper, MultibandCompressor, BandConfig, Topology,
+        DetectorMode)
     from algodsp_tpu.effects.vocoder import Vocoder
     from algodsp_tpu.effects.pitch import SpectralPitchShifter, WSOLAPitchShifter
-    from algodsp_tpu.effects.spectral import SpectralFreeze, Granular
+    from algodsp_tpu.effects.spectral import (SpectralFreeze, FreezePhaseMode,
+                                              Granular)
     from algodsp_tpu.filters.biquad import BiquadChain
-    from algodsp_tpu.filters.moog import MoogFilter
+    from algodsp_tpu.filters.moog import MoogFilter, MoogVariant
     from algodsp_tpu.filters.crossover import Crossover
-    from algodsp_tpu.filters.design import rbj
 
     r = Registry()
 
-    # -- modulation -------------------------------------------------------
+    # -- modulation (runtime_modulation.go) -------------------------------
     r.register("chorus", lambda ctx, p: _stateful(Chorus(
-        ctx.sample_rate, speed_hz=_num(p, "rateHz", 0.8),
-        depth_seconds=_num(p, "depth", 0.004),
-        base_delay_seconds=_num(p, "baseDelay", 0.02),
-        mix=_num(p, "mix", 0.5), stages=int(_num(p, "stages", 3)))))
+        ctx.sample_rate,
+        speed_hz=get_num(p, "speedHz", 0.35, 0.05, 5, aliases=("rateHz",)),
+        depth_seconds=get_num(p, "depth", 0.003, 0, 0.01),
+        base_delay_seconds=get_num(p, "baseDelay", 0.02, 0.001, 0.1),
+        mix=get_num(p, "mix", 0.18, 0, 1),
+        stages=get_int(p, "stages", 3, 1, 6))))
     r.register("flanger", lambda ctx, p: _stateful(Flanger(
-        ctx.sample_rate, rate_hz=_num(p, "rateHz", 0.25),
-        depth_seconds=_num(p, "depth", 0.002),
-        base_delay_seconds=_num(p, "baseDelay", 0.002),
-        feedback=_num(p, "feedback", 0.5), mix=_num(p, "mix", 0.5))))
+        ctx.sample_rate,
+        rate_hz=get_num(p, "rateHz", 0.25, 0.05, 5),
+        base_delay_seconds=get_num(p, "baseDelay", 0.001, 0.0001, 0.01),
+        depth_seconds=get_num(p, "depth", 0.0015, 0, 0.0099),
+        feedback=get_num(p, "feedback", 0.25, -0.99, 0.99),
+        mix=get_num(p, "mix", 0.5, 0, 1))))
     r.register("ringmod", lambda ctx, p: _stateful(RingModulator(
-        ctx.sample_rate, carrier_hz=_num(p, "freqHz", 440.0),
-        mix=_num(p, "mix", 1.0))))
+        ctx.sample_rate,
+        carrier_hz=get_num(p, "carrierHz", 440, 1, ctx.sample_rate * 0.49,
+                           aliases=("freqHz",)),
+        mix=get_num(p, "mix", 1, 0, 1))))
     r.register("phaser", lambda ctx, p: _stateful(Phaser(
-        ctx.sample_rate, rate_hz=_num(p, "rateHz", 0.5),
-        stages=int(_num(p, "stages", 4)),
-        feedback=_num(p, "feedback", 0.5), mix=_num(p, "mix", 0.5))))
+        ctx.sample_rate,
+        min_freq_hz=get_num(p, "minFreqHz", 300, 20, ctx.sample_rate * 0.45),
+        max_freq_hz=get_num(p, "maxFreqHz", 1600,
+                            get_num(p, "minFreqHz", 300) + 1,
+                            ctx.sample_rate * 0.49),
+        stages=get_int(p, "stages", 6, 1, 12),
+        rate_hz=get_num(p, "rateHz", 0.4, 0.05, 5),
+        feedback=get_num(p, "feedback", 0.2, -0.99, 0.99),
+        mix=get_num(p, "mix", 0.5, 0, 1))))
     r.register("tremolo", lambda ctx, p: _stateful(Tremolo(
-        ctx.sample_rate, rate_hz=_num(p, "rateHz", 5.0),
-        depth=_num(p, "depth", 0.5), mix=_num(p, "mix", 1.0),
-        smoothing_ms=_num(p, "smoothingMs", 0.0))))
+        ctx.sample_rate,
+        rate_hz=get_num(p, "rateHz", 4, 0.05, 20),
+        depth=get_num(p, "depth", 0.6, 0, 1),
+        smoothing_ms=get_num(p, "smoothingMs", 5, 0, 200),
+        mix=get_num(p, "mix", 1, 0, 1))))
 
-    # -- waveshaping ------------------------------------------------------
+    # -- waveshaping (runtime_modulation.go:76-205) -----------------------
     r.register("bitcrusher", lambda ctx, p: _stateful(BitCrusher(
-        ctx.sample_rate, bit_depth=_num(p, "bits", 8.0),
-        downsample=int(_num(p, "downsample", 4)), mix=_num(p, "mix", 1.0))))
+        ctx.sample_rate,
+        bit_depth=get_num(p, "bitDepth", 8, 1, 32, aliases=("bits",)),
+        downsample=get_int(p, "downsample", 4, 1, 256),
+        mix=get_num(p, "mix", 1, 0, 1))))
     r.register("distortion", lambda ctx, p: _stateful(Distortion(
-        mode=DistortionMode(p.get("mode", "soft_clip")),
-        drive=_num(p, "drive", 1.0), shape=_num(p, "shape", 0.5),
-        output_level=_num(p, "output", 1.0), mix=_num(p, "mix", 1.0))))
-    r.register("dist-cheb", lambda ctx, p: _stateful(Distortion(
-        mode=DistortionMode.CHEBYSHEV, drive=_num(p, "drive", 1.0),
-        chebyshev_order=int(_num(p, "order", 2)),
-        chebyshev_gain=_num(p, "gain", 1.0), mix=_num(p, "mix", 1.0))))
+        mode=normalize_distortion_mode(get_str(p, "mode")),
+        drive=get_num(p, "drive", 1.8, 0.01, 20),
+        mix=get_num(p, "mix", 1.0, 0, 1),
+        output_level=get_num(p, "output", 1.0, 0, 4),
+        clip_level=get_num(p, "clip", 1.0, 0.05, 1),
+        shape=get_num(p, "shape", 0.5, 0, 1),
+        bias=get_num(p, "bias", 0, -1, 1))))
+
+    def _dist_cheb(ctx, p):
+        weights = [get_num(p, f"w{k}", 0.0) for k in range(1, 17)]
+        if not any(weights):
+            weights = None
+        return _stateful(Distortion(
+            mode=DistortionMode.CHEBYSHEV,
+            drive=get_num(p, "drive", 1.0, 0.01, 20),
+            mix=get_num(p, "mix", 1.0, 0, 1),
+            output_level=get_num(p, "output", 1.0, 0, 4),
+            chebyshev_order=get_int(p, "order", 3, 1, 16),
+            chebyshev_mode=normalize_chebyshev_harmonic_mode(
+                get_str(p, "harmonic")),
+            chebyshev_gain=get_num(p, "gain", 1.0, 0, 4),
+            chebyshev_invert=get_bool(p, "invert"),
+            chebyshev_dc_bypass=get_bool(p, "dcBypass"),
+            chebyshev_weights=weights))
+    r.register("dist-cheb", _dist_cheb)
     r.register("transformer", lambda ctx, p: _stateful(TransformerSimulation(
-        ctx.sample_rate, drive=_num(p, "drive", 1.5),
-        mix=_num(p, "mix", 1.0), output_level=_num(p, "output", 1.0))))
+        ctx.sample_rate,
+        quality=(TransformerQuality.LIGHTWEIGHT
+                 if normalize_transformer_quality(get_str(p, "quality"))
+                 == "lightweight" else TransformerQuality.HIGH),
+        drive=get_num(p, "drive", 2.0, 0.1, 30),
+        mix=get_num(p, "mix", 1.0, 0, 1),
+        output_level=get_num(p, "output", 1.0, 0, 4),
+        highpass_hz=get_num(p, "highpassHz", 25, 5, ctx.sample_rate * 0.45),
+        damping_hz=get_num(p, "dampingHz", 9000, 200, ctx.sample_rate * 0.49),
+        oversampling=get_int(p, "oversampling", 4, 1, 8))))
     r.register("bass", lambda ctx, p: _stateful(HarmonicBass(
-        ctx.sample_rate, frequency=_num(p, "freqHz", 120.0),
-        harmonic_bass_gain=_num(p, "gain", 1.0))))
+        ctx.sample_rate,
+        frequency=get_num(p, "frequency", 80, 10, 500, aliases=("freqHz",)),
+        input_level=get_num(p, "inputGain", 1, 0, 2),
+        high_frequency_gain=get_num(p, "highGain", 1, 0, 2),
+        original_bass_gain=get_num(p, "original", 1, 0, 2),
+        harmonic_bass_gain=get_num(p, "harmonic", 0, 0, 2,
+                                   aliases=("gain",)),
+        decay=get_num(p, "decay", 0, -1, 1),
+        response_ms=get_num(p, "responseMs", 20, 1, 200))))
 
     # -- spatial / delay --------------------------------------------------
     def _widener(ctx, p):
@@ -154,11 +210,18 @@ def default_registry() -> Registry:
         return _stateless(lambda x: x)
     r.register("widener", _widener)
     r.register("delay", lambda ctx, p: _stateful(Delay(
-        ctx.sample_rate, delay_seconds=_num(p, "time", 0.25),
-        feedback=_num(p, "feedback", 0.35), mix=_num(p, "mix", 0.25))))
+        ctx.sample_rate,
+        delay_seconds=get_num(p, "time", 0.25, 0.001, 2),
+        feedback=get_num(p, "feedback", 0.35, 0, 0.99),
+        mix=get_num(p, "mix", 0.25, 0, 1))))
 
     def _delay_simple(ctx, p):
-        delay = max(int(_num(p, "time", 0.1) * ctx.sample_rate), 1)
+        # runtime_modulation.go:332: delayMs 20 (0-500)
+        if "delayMs" in p or "time" not in p:
+            seconds = get_num(p, "delayMs", 20, 0, 500) * 1e-3
+        else:
+            seconds = get_num(p, "time", 0.02, 0, 0.5)
+        delay = max(int(seconds * ctx.sample_rate), 1)
 
         def init_state(batch_shape=(), dtype=jnp.float32):
             return jnp.zeros(batch_shape + (delay,), dtype)
@@ -169,128 +232,253 @@ def default_registry() -> Registry:
         return NodeRuntime(init_state=init_state, process=proc)
     r.register("delay-simple", _delay_simple)
 
-    # -- filters ----------------------------------------------------------
-    def _biquad_factory(designer_key):
+    # -- filters (runtime_filter_pitch_reverb.go:42-180) ------------------
+    def _filter_factory(node_type):
         def make(ctx, p):
-            freq = _num(p, "freqHz", 1000.0)
-            q = _num(p, "q", 0.707)
-            gain = _num(p, "gain", 0.0)
-            sr = ctx.sample_rate
-            if designer_key in ("lowpass", "filter"):
-                sos = rbj.lowpass(freq, q, sr)
-            elif designer_key == "highpass":
-                sos = rbj.highpass(freq, q, sr)
-            elif designer_key == "bandpass":
-                sos = rbj.bandpass(freq, q, sr)
-            elif designer_key == "notch":
-                sos = rbj.notch(freq, q, sr)
-            elif designer_key == "allpass":
-                sos = rbj.allpass(freq, q, sr)
-            elif designer_key == "peak":
-                sos = rbj.peak(freq, gain, q, sr)
-            elif designer_key == "lowshelf":
-                sos = rbj.low_shelf(freq, gain, q, sr)
-            else:  # highshelf
-                sos = rbj.high_shelf(freq, gain, q, sr)
-            if not np.any(sos):
-                sos = np.array([1.0, 0.0, 0.0, 0.0, 0.0])
-            chain = BiquadChain(sos)
-            return NodeRuntime(init_state=chain.init_state,
-                               process=lambda st, x, sc: chain.process_stream(st, x))
+            family = normalize_filter_family(get_str(p, "family"), node_type)
+            kind = normalize_filter_kind(node_type, get_str(p, "kind"))
+            freq = get_num(p, "freq", 1200, 20, ctx.sample_rate * 0.49,
+                           aliases=("freqHz",))
+            gain_db = get_num(p, "gain", 0, -24, 24)
+            shape = get_num(p, "q", 0.707, 0.2, 8)
+            if family == FAMILY_MOOG:
+                order = get_int(p, "order", 8, 1, 16)
+                fx = MoogFilter(
+                    ctx.sample_rate, variant=MoogVariant.HUOVILAINEN,
+                    oversampling=moog_oversampling_from_order(order),
+                    cutoff_hz=freq, resonance=clamp(shape, 0, 4),
+                    drive=clamp(10.0 ** (gain_db / 20.0), 0.1, 24),
+                    normalize_output=True)
+                return _stateful(fx)
+            sos, lin_gain = build_eq_sos(
+                family, kind, get_int(p, "order", 2, 0, 24), freq,
+                gain_db, shape, ctx.sample_rate)
+            chain = BiquadChain(sos, gain=lin_gain)
+            return NodeRuntime(
+                init_state=chain.init_state,
+                process=lambda st, x, sc: chain.process_stream(st, x))
         return make
 
-    for key in ["filter", "filter-lowpass", "filter-highpass", "filter-bandpass",
-                "filter-notch", "filter-allpass", "filter-peak",
-                "filter-lowshelf", "filter-highshelf"]:
-        r.register(key, _biquad_factory(key.replace("filter-", "")
-                                        if key != "filter" else "filter"))
-    r.register("filter-moog", lambda ctx, p: _stateful(MoogFilter(
-        ctx.sample_rate, cutoff_hz=_num(p, "freqHz", 1000.0),
-        resonance=_num(p, "q", 0.8))))
+    for key in ["filter", "filter-lowpass", "filter-highpass",
+                "filter-bandpass", "filter-notch", "filter-allpass",
+                "filter-peak", "filter-lowshelf", "filter-highshelf",
+                "filter-moog"]:
+        r.register(key, _filter_factory(key))
 
     # -- pitch / spectral (one-shot processors wrapped stateless) ---------
     r.register("pitch-time", lambda ctx, p: _stateless(
-        WSOLAPitchShifter(ctx.sample_rate, pitch_ratio=2.0 ** (
-            _num(p, "semitones", 0.0) / 12.0)).process))
-    r.register("pitch-spectral", lambda ctx, p: _stateless(
-        SpectralPitchShifter(ctx.sample_rate, pitch_ratio=2.0 ** (
-            _num(p, "semitones", 0.0) / 12.0)).process))
-    r.register("spectral-freeze", lambda ctx, p: _stateless(
-        SpectralFreeze(ctx.sample_rate, frozen=bool(p.get("frozen", True)),
-                       mix=_num(p, "mix", 1.0)).process))
-    r.register("granular", lambda ctx, p: _stateless(
-        Granular(ctx.sample_rate, grain_seconds=_num(p, "grain", 0.08),
-                 overlap=_num(p, "overlap", 0.5),
-                 pitch=2.0 ** (_num(p, "semitones", 0.0) / 12.0),
-                 spray_seconds=_num(p, "spray", 0.0),
-                 mix=_num(p, "mix", 1.0)).process))
+        WSOLAPitchShifter(
+            ctx.sample_rate,
+            pitch_ratio=2.0 ** (get_num(p, "semitones", 0, -24, 24) / 12.0),
+            sequence_ms=get_num(p, "sequence", 40, 20, 120),
+            overlap_ms=get_num(p, "overlap", 10, 4, 60),
+            seek_window_ms=get_num(p, "search", 15, 2, 40)).process))
 
-    # -- reverbs ----------------------------------------------------------
+    def _pitch_spectral(ctx, p):
+        frame = get_int(p, "frameSize", 1024, 64, 8192)
+        if frame & (frame - 1):
+            frame = 1 << int(np.ceil(np.log2(frame)))
+        hop = max(int(round(frame * get_num(p, "hopRatio", 0.25,
+                                            0.01, 0.99))), 1)
+        return _stateless(SpectralPitchShifter(
+            ctx.sample_rate,
+            pitch_ratio=2.0 ** (get_num(p, "semitones", 0, -24, 24) / 12.0),
+            frame_size=frame, analysis_hop=hop).process)
+    r.register("pitch-spectral", _pitch_spectral)
+
+    def _freeze(ctx, p):
+        frame = get_int(p, "frameSize", 2048, 64, 8192)
+        if frame & (frame - 1):
+            frame = 1 << int(np.ceil(np.log2(frame)))
+        hop = max(int(round(frame * get_num(p, "hopRatio", 0.25,
+                                            0.01, 0.99))), 1)
+        return _stateless(SpectralFreeze(
+            ctx.sample_rate, frame_size=frame, hop_size=hop,
+            frozen=get_bool(p, "frozen", 1.0),
+            mix=get_num(p, "mix", 1, 0, 1),
+            phase_mode=(FreezePhaseMode.HOLD
+                        if normalize_freeze_phase_mode(
+                            get_str(p, "phaseMode")) == "hold"
+                        else FreezePhaseMode.ADVANCE)).process)
+    r.register("spectral-freeze", _freeze)
+
+    def _granular(ctx, p):
+        pitch = get_num(p, "pitch", 1, 0.25, 4)
+        if "pitch" not in p and "semitones" in p:
+            pitch = clamp(2.0 ** (get_num(p, "semitones", 0) / 12.0), 0.25, 4)
+        return _stateless(Granular(
+            ctx.sample_rate,
+            grain_seconds=get_num(p, "grainSeconds", 0.08, 0.005, 0.5,
+                                  aliases=("grain",)),
+            overlap=get_num(p, "overlap", 0.5, 0, 0.95),
+            pitch=pitch,
+            spray_seconds=get_num(p, "spray", 0.1, 0, 1),
+            mix=get_num(p, "mix", 1, 0, 1)).process)
+    r.register("granular", _granular)
+
+    # -- reverbs (runtime_filter_pitch_reverb.go:325-380, runtime_misc.go)
     def _freeverb(ctx, p):
-        return _stateful(Freeverb(wet=_num(p, "wet", 0.22),
-                                  dry=_num(p, "dry", 1.0),
-                                  room_size=_num(p, "roomSize", 0.72),
-                                  damp=_num(p, "damp", 0.45)))
-    r.register("reverb", _freeverb)
+        return _stateful(Freeverb(
+            wet=get_num(p, "wet", 0.22, 0, 1.5),
+            dry=get_num(p, "dry", 1, 0, 1.5),
+            room_size=get_num(p, "roomSize", 0.72, 0, 0.98),
+            damp=get_num(p, "damp", 0.45, 0, 0.99),
+            input_gain=get_num(p, "gain", 0.015, 0, 0.1)))
+
+    def _fdn(ctx, p):
+        return _stateful(FDNReverb(
+            ctx.sample_rate,
+            wet=get_num(p, "wet", 0.22, 0, 1.5),
+            dry=get_num(p, "dry", 1, 0, 1.5),
+            rt60_seconds=get_num(p, "rt60", 1.8, 0.2, 8),
+            pre_delay_seconds=get_num(p, "preDelay", 0.01, 0, 0.1),
+            damp=get_num(p, "damp", 0.45, 0, 0.99),
+            mod_depth_seconds=get_num(p, "modDepth", 0.002, 0, 0.01),
+            mod_rate_hz=get_num(p, "modRate", 0.1, 0, 1)))
+
+    def _reverb(ctx, p):
+        # "reverb" switches on the model string (`runtime:380`)
+        if get_str(p, "model").strip().lower() == "fdn":
+            return _fdn(ctx, p)
+        return _freeverb(ctx, p)
+    r.register("reverb", _reverb)
     r.register("reverb-freeverb", _freeverb)
-    r.register("reverb-fdn", lambda ctx, p: _stateful(FDNReverb(
-        ctx.sample_rate, wet=_num(p, "wet", 0.2), dry=_num(p, "dry", 1.0),
-        rt60_seconds=_num(p, "rt60", 1.8), damp=_num(p, "damp", 0.3))))
+    r.register("reverb-fdn", _fdn)
 
     def _reverb_conv(ctx, p):
-        ir_len = int(_num(p, "irSeconds", 0.5) * ctx.sample_rate)
-        rng = np.random.default_rng(int(_num(p, "seed", 7)))
-        ir = (rng.standard_normal(max(ir_len, 256))
-              * np.exp(-np.arange(max(ir_len, 256))
-                       / max(0.1 * ctx.sample_rate, 1.0)))
-        fx = ConvolutionReverb(ir, min_block_order=9,
-                               wet=_num(p, "wet", 0.3), dry=_num(p, "dry", 1.0))
+        # IR library lookup by index (`runtime_misc.go:19-40`), with the
+        # round-1 synthetic-IR params kept as a fallback
+        wet = get_num(p, "wet", 0.35, 0, 1.5)
+        if "irSeconds" in p or "seed" in p:
+            ir_len = max(int(get_num(p, "irSeconds", 0.5, 0.01, 10)
+                             * ctx.sample_rate), 256)
+            rng = np.random.default_rng(int(get_num(p, "seed", 7)))
+            ir = (rng.standard_normal(ir_len)
+                  * np.exp(-np.arange(ir_len) / max(0.1 * ctx.sample_rate, 1.0)))
+        else:
+            from algodsp_tpu.utils.irlib import builtin_irs
+            irs = builtin_irs(ctx.sample_rate)
+            names = sorted(irs)
+            idx = get_int(p, "irIndex", 0, 0, len(names) - 1)
+            _, ir = irs[names[idx]]
+            ir = np.asarray(ir, dtype=np.float64)
+            if ir.ndim > 1:  # downmix like runtime_misc.go:36-44
+                ir = ir.mean(axis=0)
+        fx = ConvolutionReverb(ir, min_block_order=9, wet=wet,
+                               dry=get_num(p, "dry", 1.0, 0, 1.5))
         return _stateful(fx)
     r.register("reverb-conv", _reverb_conv)
 
-    # -- dynamics ---------------------------------------------------------
+    # -- dynamics (runtime_dynamics.go) -----------------------------------
     r.register("dyn-compressor", lambda ctx, p: _stateful(Compressor(
-        ctx.sample_rate, threshold_db=_num(p, "thresholdDB", -20.0),
-        ratio=_num(p, "ratio", 4.0), knee_db=_num(p, "kneeDB", 6.0),
-        attack_ms=_num(p, "attackMs", 10.0),
-        release_ms=_num(p, "releaseMs", 100.0),
-        makeup_gain_db=_num(p, "makeupGainDB", 0.0)), sidechain=True))
+        ctx.sample_rate,
+        threshold_db=get_num(p, "thresholdDB", -20, -60, 0),
+        ratio=get_num(p, "ratio", 4, 1, 100),
+        knee_db=get_num(p, "kneeDB", 6, 0, 24),
+        attack_ms=get_num(p, "attackMs", 10, 0.1, 1000),
+        release_ms=get_num(p, "releaseMs", 100, 1, 5000),
+        makeup_gain_db=get_num(p, "makeupGainDB", 0, 0, 24),
+        auto_makeup=get_bool(p, "autoMakeup"),
+        topology=(Topology.FEEDBACK
+                  if normalize_dynamics_topology(get_str(p, "topology"))
+                  == "feedback" else Topology.FEEDFORWARD),
+        detector_mode=(DetectorMode.RMS
+                       if normalize_dynamics_detector(get_str(p, "detector"))
+                       == "rms" else DetectorMode.PEAK),
+        rms_window_ms=get_num(p, "rmsWindowMs", 30, 1, 1000)),
+        sidechain=True))
     r.register("dyn-limiter", lambda ctx, p: _stateful(Limiter(
-        ctx.sample_rate, threshold_db=_num(p, "thresholdDB", -1.0),
-        release_ms=_num(p, "releaseMs", 100.0)), sidechain=True))
+        ctx.sample_rate,
+        threshold_db=get_num(p, "thresholdDB", -0.1, -24, 0),
+        release_ms=get_num(p, "releaseMs", 100, 1, 5000)), sidechain=True))
     r.register("dyn-lookahead", lambda ctx, p: _stateful(LookaheadLimiter(
-        ctx.sample_rate, lookahead_ms=_num(p, "lookaheadMs", 5.0),
-        threshold_db=_num(p, "thresholdDB", -1.0),
-        release_ms=_num(p, "releaseMs", 50.0)), sidechain=True))
+        ctx.sample_rate,
+        threshold_db=get_num(p, "thresholdDB", -1, -24, 0),
+        release_ms=get_num(p, "releaseMs", 100, 1, 5000),
+        lookahead_ms=max(get_num(p, "lookaheadMs", 3, 0, 200), 0.05)),
+        sidechain=True))
     r.register("dyn-gate", lambda ctx, p: _stateful(Gate(
-        ctx.sample_rate, threshold_db=_num(p, "thresholdDB", -40.0),
-        ratio=_num(p, "ratio", 10.0), knee_db=_num(p, "kneeDB", 6.0),
-        attack_ms=max(_num(p, "attackMs", 0.1), 0.01),
-        hold_ms=_num(p, "holdMs", 50.0),
-        release_ms=_num(p, "releaseMs", 100.0),
-        range_db=_num(p, "rangeDB", -80.0)), sidechain=True))
+        ctx.sample_rate,
+        threshold_db=get_num(p, "thresholdDB", -40, -80, 0),
+        ratio=get_num(p, "ratio", 10, 1, 100),
+        knee_db=get_num(p, "kneeDB", 6, 0, 24),
+        attack_ms=get_num(p, "attackMs", 0.1, 0.1, 1000),
+        hold_ms=get_num(p, "holdMs", 50, 0, 5000),
+        release_ms=get_num(p, "releaseMs", 100, 1, 5000),
+        range_db=get_num(p, "rangeDB", -80, -120, 0)), sidechain=True))
     r.register("dyn-expander", lambda ctx, p: _stateful(Expander(
-        ctx.sample_rate, threshold_db=_num(p, "thresholdDB", -40.0),
-        ratio=_num(p, "ratio", 2.0),
-        attack_ms=_num(p, "attackMs", 5.0),
-        release_ms=_num(p, "releaseMs", 50.0),
-        range_db=_num(p, "rangeDB", -60.0)), sidechain=True))
+        ctx.sample_rate,
+        threshold_db=get_num(p, "thresholdDB", -35, -80, 0),
+        ratio=get_num(p, "ratio", 2, 1, 100),
+        knee_db=get_num(p, "kneeDB", 6, 0, 24),
+        attack_ms=get_num(p, "attackMs", 1, 0.1, 1000),
+        release_ms=get_num(p, "releaseMs", 100, 1, 5000),
+        range_db=get_num(p, "rangeDB", -60, -120, 0)), sidechain=True))
     r.register("dyn-deesser", lambda ctx, p: _stateful(DeEsser(
-        ctx.sample_rate, freq_hz=_num(p, "freqHz", 6000.0),
-        threshold_db=_num(p, "thresholdDB", -20.0),
-        ratio=_num(p, "ratio", 4.0))))
+        ctx.sample_rate,
+        freq_hz=get_num(p, "freqHz", 6000, 1000, ctx.sample_rate * 0.49),
+        q=get_num(p, "q", 1.5, 0.1, 10),
+        threshold_db=get_num(p, "thresholdDB", -20, -80, 0),
+        ratio=get_num(p, "ratio", 4, 1, 100),
+        knee_db=get_num(p, "kneeDB", 3, 0, 12),
+        attack_ms=get_num(p, "attackMs", 0.5, 0.01, 50),
+        release_ms=get_num(p, "releaseMs", 20, 1, 500),
+        range_db=get_num(p, "rangeDB", -24, -60, 0),
+        split_band=normalize_deesser_mode(get_str(p, "mode")) == "splitband",
+        detect_bandpass=normalize_deesser_detector(
+            get_str(p, "detector")) == "bandpass",
+        listen=get_bool(p, "listen"))))
     r.register("dyn-transient", lambda ctx, p: _stateful(TransientShaper(
-        ctx.sample_rate, attack_amount=_num(p, "attack", 0.0),
-        sustain_amount=_num(p, "sustain", 0.0))))
-    r.register("dyn-multiband", lambda ctx, p: _stateful(MultibandCompressor(
-        [250.0, 2500.0], 4, ctx.sample_rate)))
+        ctx.sample_rate,
+        attack_amount=get_num(p, "attack", 0, -1, 1),
+        sustain_amount=get_num(p, "sustain", 0, -1, 1),
+        attack_ms=get_num(p, "attackMs", 10, 0.1, 200),
+        release_ms=get_num(p, "releaseMs", 120, 1, 2000))))
 
-    # -- vocoder (sidechain = carrier) ------------------------------------
+    def _multiband(ctx, p):
+        # runtime_dynamics.go:364-437
+        bands = get_int(p, "bands", 3, 2, 3)
+        order = get_int(p, "order", 4, 2, 24)
+        if order % 2:
+            order += 1
+        c1 = get_num(p, "cross1Hz", 250, 40, ctx.sample_rate * 0.2)
+        freqs = [c1]
+        if bands == 3:
+            c2 = get_num(p, "cross2Hz", 3000, c1 + 100,
+                         ctx.sample_rate * 0.45)
+            freqs.append(c2)
+        attack = get_num(p, "attackMs", 8, 0.1, 1000)
+        release = get_num(p, "releaseMs", 120, 1, 5000)
+        knee = get_num(p, "kneeDB", 6, 0, 24)
+        makeup = get_num(p, "makeupGainDB", 0, 0, 24)
+        cfg = [BandConfig(
+            threshold_db=get_num(p, "lowThresholdDB", -20, -80, 0),
+            ratio=get_num(p, "lowRatio", 2.5, 1, 20),
+            knee_db=knee, attack_ms=attack, release_ms=release,
+            makeup_gain_db=makeup),
+            BandConfig(
+            threshold_db=get_num(p, "midThresholdDB", -18, -80, 0),
+            ratio=get_num(p, "midRatio", 3.0, 1, 20),
+            knee_db=knee, attack_ms=attack, release_ms=release,
+            makeup_gain_db=makeup)]
+        if bands == 3:
+            cfg.append(BandConfig(
+                threshold_db=get_num(p, "highThresholdDB", -14, -80, 0),
+                ratio=get_num(p, "highRatio", 4.0, 1, 20),
+                knee_db=knee, attack_ms=attack, release_ms=release,
+                makeup_gain_db=makeup))
+        return _stateful(MultibandCompressor(freqs, order, ctx.sample_rate,
+                                             configs=cfg))
+    r.register("dyn-multiband", _multiband)
+
+    # -- vocoder (sidechain = carrier; runtime_misc.go:80-100) ------------
     def _vocoder(ctx, p):
         fx = Vocoder(ctx.sample_rate,
-                     vocoded_level=_num(p, "vocoderLevel", 1.0),
-                     input_level=_num(p, "inputLevel", 0.0),
-                     synth_level=_num(p, "synthLevel", 0.0))
+                     attack_ms=get_num(p, "attackMs", 0.5, 0.01, 100),
+                     release_ms=get_num(p, "releaseMs", 2.0, 0.01, 1000),
+                     input_level=get_num(p, "inputLevel", 0, 0, 10),
+                     synth_level=get_num(p, "synthLevel", 0, 0, 10),
+                     vocoded_level=get_num(p, "vocoderLevel", 1, 0, 10))
 
         def proc(st, x, sc):
             carrier = sc if sc is not None else x
@@ -300,8 +488,9 @@ def default_registry() -> Registry:
 
     # -- split-freq (2 output ports: lo, hi) ------------------------------
     def _split_freq(ctx, p):
-        xo = Crossover(_num(p, "freqHz", 1000.0),
-                       int(_num(p, "order", 4)), ctx.sample_rate)
+        xo = Crossover(get_num(p, "freqHz", 1000, 20, ctx.sample_rate * 0.49,
+                               aliases=("freq",)),
+                       get_int(p, "order", 4, 2, 8), ctx.sample_rate)
 
         def proc(st, x, sc):
             st2, (lo, hi) = xo.process_stream(st, x)

@@ -41,7 +41,9 @@ _BLOCK = 128  # must be <= min(ALLPASS_TUNINGS)
 
 class Freeverb:
     def __init__(self, *, wet: float = 0.22, dry: float = 1.0,
-                 room_size: float = 0.72, damp: float = 0.45):
+                 room_size: float = 0.72, damp: float = 0.45,
+                 input_gain: float = FIXED_GAIN):
+        self.input_gain = float(input_gain)
         self.wet = float(wet)
         self.dry = float(dry)
         self.room_size = float(room_size)
@@ -85,7 +87,7 @@ class Freeverb:
         T = jnp.asarray(self._damp_T, dtype)
         p = jnp.asarray(self._damp_p, dtype)
 
-        inp = FIXED_GAIN * xb
+        inp = jnp.asarray(self.input_gain, dtype) * xb
         out = jnp.stack([c[..., :B] for c in combs], axis=-2)      # (...,8,B)
         # damping one-pole, blocked-exact
         fs = (jnp.einsum("...ck,tk->...ct", out, T,
@@ -118,7 +120,7 @@ class Freeverb:
 
         def step(carry, xv):
             combs, fstore, allp, n = carry
-            inp = FIXED_GAIN * xv
+            inp = jnp.asarray(self.input_gain, xs.dtype) * xv
             acc = jnp.zeros_like(xv)
             new_combs = []
             new_fstore = []
