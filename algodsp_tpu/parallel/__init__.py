@@ -3,6 +3,7 @@ from algodsp_tpu.parallel.pipeline import biquad_pipeline
 from algodsp_tpu.parallel.sharded import (
     fir_time_sharded,
     biquad_time_sharded,
+    conv_time_sharded,
     reduce_metrics,
 )
 
@@ -10,6 +11,7 @@ __all__ = [
     "biquad_time_sharded",
     "biquad_pipeline",
     "channel_sharding",
+    "conv_time_sharded",
     "fir_time_sharded",
     "make_mesh",
     "reduce_metrics",

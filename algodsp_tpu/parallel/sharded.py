@@ -23,10 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-try:
-    from jax import shard_map
-except ImportError:  # older jax
-    from jax import shard_map
+from jax import shard_map
 
 from algodsp_tpu.ops import linrec
 from algodsp_tpu.filters.biquad import BiquadChain
@@ -87,7 +84,10 @@ def biquad_time_sharded(x, chain: BiquadChain, mesh: Mesh, *,
     if n_local % block:
         raise ValueError(f"local length {n_local} not a multiple of block {block}")
 
-    sos = chain.sos
+    # runtime_sos, not sos: the runtime may split ill-conditioned
+    # real-pole sections (linrec.condition_sos) and chain._kernels is
+    # indexed by RUNTIME section, so the sharded loop must mirror it.
+    sos = chain.runtime_sos
     S = sos.shape[0]
     # Host precompute: full-length homogeneous responses per section.
     h_full = linrec._ar2_impulse_response(sos[:, 3], sos[:, 4], n_local + 1)
@@ -151,3 +151,52 @@ def reduce_metrics(values, mesh: Mesh, axis_name: str = "channel"):
         return jax.lax.psum(v, axis_name)
     return shard_map(local, mesh=mesh, in_specs=(P(axis_name),),
                      out_specs=P(None))(values)
+
+
+def conv_time_sharded(x, kernel, mesh: Mesh, *, time_axis_name: str = "time",
+                      channel_axis_name: str | None = "channel"):
+    """Exact causal FIR/IR convolution over a time-sharded (C, N) signal.
+
+    The distributed form of the overlap-save history contract
+    (`conv/overlap_save.go:47,92`): each shard convolves its local slice
+    (zero-state), producing a tail of kernel_len-1 samples that belongs
+    to FOLLOWING shards; the tails are overlap-added across the mesh
+    with one `ppermute` hop per n_local-sized tail piece, so IRs longer
+    than a shard (conv reverb) stay exact. Payload = kernel_len-1
+    samples per channel total. Output equals the unsharded causal
+    convolution truncated to N samples.
+    """
+    kernel = np.asarray(kernel, dtype=np.float64).reshape(-1)
+    klen = kernel.size
+    n_time = mesh.shape[time_axis_name]
+    n = x.shape[-1]
+    if n % n_time:
+        raise ValueError(f"time length {n} not divisible by {n_time} shards")
+    n_local = n // n_time
+    hops = min(-(-(klen - 1) // n_local), n_time - 1) if klen > 1 else 0
+    in_spec = P(channel_axis_name, time_axis_name)
+
+    def local(xl):
+        from algodsp_tpu.conv import fftconvolve
+        idx = jax.lax.axis_index(time_axis_name)
+        nsh = jax.lax.axis_size(time_axis_name)
+        k = jnp.asarray(kernel, xl.dtype)
+        full = fftconvolve(xl, k)              # (C_l, n_local + klen - 1)
+        y = full[:, :n_local]
+        tail = full[:, n_local:]
+        for p in range(1, hops + 1):
+            piece = tail[:, (p - 1) * n_local:p * n_local]
+            if piece.shape[-1] < n_local:
+                piece = jnp.concatenate(
+                    [piece, jnp.zeros(piece.shape[:-1]
+                                      + (n_local - piece.shape[-1],),
+                                      piece.dtype)], axis=-1)
+            recv = jax.lax.ppermute(
+                piece, time_axis_name,
+                [(i, i + p) for i in range(nsh - p)])
+            recv = jnp.where(idx < p, jnp.zeros_like(recv), recv)
+            y = y + recv
+        return y
+
+    return shard_map(local, mesh=mesh, in_specs=(in_spec,),
+                     out_specs=in_spec)(x)

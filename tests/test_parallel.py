@@ -111,3 +111,50 @@ def test_biquad_pipeline_stages_exact():
         biquad_pipeline(mesh, "stage", sos[:3], x, block=2048)
     with pytest.raises(ValueError):
         biquad_pipeline(mesh, "stage", sos, x[..., :1000], block=2048)
+
+
+def test_conv_time_sharded_long_ir_exact():
+    """IR spans multiple time shards: multi-hop overlap-add halo must
+    reconstruct the exact unsharded convolution (overlap_save.go:47,92
+    history contract, distributed)."""
+    from algodsp_tpu.parallel import conv_time_sharded
+    from algodsp_tpu.conv import fftconvolve
+    mesh = make_mesh({"channel": 2, "time": 4})
+    rng = np.random.default_rng(12)
+    n = 4096  # n_local = 1024
+    ir = (rng.standard_normal(2500) * np.exp(-np.arange(2500) / 400.0))
+    x = rng.standard_normal((4, n))
+    y = np.asarray(conv_time_sharded(jnp.asarray(x, jnp.float64),
+                                     ir, mesh))
+    ref = np.asarray(fftconvolve(jnp.asarray(x, jnp.float64),
+                                 jnp.asarray(ir))[..., :n])
+    np.testing.assert_allclose(y, ref, rtol=1e-9, atol=1e-9)
+
+
+def test_conv_time_sharded_short_kernel():
+    from algodsp_tpu.parallel import conv_time_sharded
+    from algodsp_tpu.conv import fftconvolve
+    mesh = make_mesh({"channel": 1, "time": 8})
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((2, 2048))
+    h = rng.standard_normal(33)
+    y = np.asarray(conv_time_sharded(jnp.asarray(x, jnp.float64), h, mesh))
+    ref = np.asarray(fftconvolve(jnp.asarray(x, jnp.float64),
+                                 jnp.asarray(h))[..., :2048])
+    np.testing.assert_allclose(y, ref, rtol=1e-9, atol=1e-9)
+
+
+def test_biquad_time_sharded_split_sections_exact():
+    """Chains whose runtime sections differ from the logical SOS (the
+    ill-conditioned real-pole split, linrec.condition_sos) must stay
+    exact when time-sharded — regression: the sharded loop must iterate
+    RUNTIME sections, matching chain._kernels indexing."""
+    from algodsp_tpu.filters.weighting import WeightingType, weighting_chain
+    mesh = make_mesh({"channel": 2, "time": 4})
+    chain = weighting_chain(WeightingType.A, 48000.0)
+    assert chain.num_runtime_sections > chain.num_sections  # split occurred
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.standard_normal((4, 4096)), jnp.float32)
+    y = np.asarray(biquad_time_sharded(x, chain, mesh))
+    ref = np.asarray(chain.process(x, mode="blocked"))
+    assert snr_db(ref, y) > 100
