@@ -46,71 +46,94 @@ class WSOLAPitchShifter:
         """WSOLA stretch: output length ~ N/rate... output advances by
         `seq - ov` while input nominally advances by (seq - ov) * rate,
         with per-segment alignment chosen by maximum cross-correlation
-        within ±seek/2."""
+        within ±seek/2.
+
+        TPU formulation: no per-candidate gathers. Each scan step slices
+        ONE contiguous candidate region (static length seek-1+ov) and
+        scores all `seek` offsets against the per-channel reference with
+        a depthwise `conv_general_dilated` (XLA convs are
+        cross-correlations, so scores[k] = <region[k:k+ov], ref>
+        directly); candidate energies come from a second conv with a
+        ones kernel. The only per-channel dynamic reads are the ov-long
+        reference and the final seq-long chosen segments — contiguous
+        dynamic slices, not element gathers. Overlap-add is a reshape
+        (hop=flat >= ov means only neighbor overlap), not a scatter."""
         n = x.shape[-1]
         seq, ov, seek = self.sequence, self.overlap, self.seek
         flat = seq - ov
+        if ov > flat:
+            raise ValueError("wsola: overlap must not exceed sequence-overlap")
         out_segments = max(int((n - seq - seek) / (flat * rate)), 1)
 
         # nominal input positions per segment (static)
         nominal = (np.arange(out_segments) * flat * rate).astype(np.int32) \
             + seek // 2
         nominal = np.minimum(nominal, n - seq - seek // 2 - 1)
-        offsets = np.arange(-(seek // 2), seek - seek // 2, dtype=np.int32)
+        region_starts = nominal - seek // 2         # candidate 0 position
+        L = seek - 1 + ov                           # candidate region length
 
-        # cross-fade window
-        fade_in = jnp.asarray(np.linspace(0.0, 1.0, ov, endpoint=False), x.dtype)
-        fade_out = 1.0 - fade_in
+        batch = x.shape[:-1]
+        x2 = x.reshape((-1, n))
+        C = x2.shape[0]
+        dn = ("NCH", "OIH", "NCH")
+        ones_k = jnp.ones((C, 1, ov), x2.dtype)
+        hi = jax.lax.Precision.HIGHEST
 
-        # The alignment target of segment i is the tail of segment i-1 as
-        # placed in the output. With WSOLA the overlap region of the
-        # previous *input* segment (its last `ov` samples) is the
-        # reference; scoring all candidates is one batched dot product.
-        # Sequential dependency: the chosen offset of segment i-1 shifts
-        # the reference for segment i -> tiny scan over segments with the
-        # heavy math (correlation einsum) precomputed where possible.
-        def gather_win(start, length):
-            """Per-channel window gather: start (...,) -> (..., length)."""
-            idx = start[..., None] + jnp.arange(length)
-            return jnp.take_along_axis(x, idx, axis=-1)
+        def slice_rows(starts, length):
+            """Per-channel contiguous dynamic slice: (C,) -> (C, length)."""
+            return jax.vmap(
+                lambda xc, s: jax.lax.dynamic_slice(xc, (s,), (length,))
+            )(x2, starts)
 
-        def step(prev_tail_start, i):
-            nom = nominal_j[i]
-            # reference: ov samples following the previous segment tail
-            # (the chosen offset differs per channel -> per-channel gathers)
-            ref = gather_win(prev_tail_start, ov)
-            # candidate windows at nom + offsets
-            cand_idx = nom + offsets_j[:, None] + jnp.arange(ov)[None, :]
-            cands = x[..., cand_idx]  # (..., K, ov)
-            scores = jnp.einsum("...ko,...o->...k", cands, ref)
-            norms = jnp.sqrt(jnp.einsum("...ko,...ko->...k", cands, cands) + 1e-12)
-            best = jnp.argmax(scores / norms, axis=-1)
-            off = offsets_j[best]
-            start = nom + off
-            segment = gather_win(start, seq)
-            new_tail_start = (start + flat).astype(jnp.int32)
-            return new_tail_start, segment
+        def step(prev_tail_start, a_i):
+            # reference: ov samples following the previous segment body
+            ref = slice_rows(prev_tail_start, ov)               # (C, ov)
+            region = jax.lax.dynamic_slice(
+                x2, (jnp.int32(0), a_i), (C, L))
+            scores = jax.lax.conv_general_dilated(
+                region[None], ref[:, None, :], (1,), "VALID",
+                dimension_numbers=dn, feature_group_count=C,
+                precision=hi)[0]                                # (C, seek)
+            norm2 = jax.lax.conv_general_dilated(
+                (region * region)[None], ones_k, (1,), "VALID",
+                dimension_numbers=dn, feature_group_count=C,
+                precision=hi)[0]
+            best = jnp.argmax(scores / jnp.sqrt(norm2 + 1e-12), axis=-1)
+            start = a_i + best.astype(jnp.int32)                # (C,)
+            return (start + flat).astype(jnp.int32), start
 
-        nominal_j = jnp.asarray(nominal)
-        offsets_j = jnp.asarray(offsets)
-        init_tail = jnp.full(x.shape[:-1], int(nominal[0]), jnp.int32)
-        _, segments = jax.lax.scan(step, init_tail, jnp.arange(out_segments))
-        # segments: (S, ..., seq) -> overlap-add with linear cross-fades
-        segments = jnp.moveaxis(segments, 0, -2)  # (..., S, seq)
-        out_len = (out_segments - 1) * flat + seq
+        init_tail = jnp.full((C,), int(nominal[0]), jnp.int32)
+        _, starts = jax.lax.scan(step, init_tail,
+                                 jnp.asarray(region_starts))    # (S, C)
+        segments = jax.vmap(lambda st: slice_rows(st, seq))(starts)
+        segments = jnp.moveaxis(segments, 0, 1)                 # (C, S, seq)
+
         # cross-fades: each segment fades in over its first ov samples
         # (except the first) and fades out over its last ov (except the
         # last), so overlapping regions sum to a constant-power blend
-        fade_tail = jnp.ones((out_segments, seq), x.dtype)
+        S = out_segments
+        fade_in = jnp.asarray(np.linspace(0.0, 1.0, ov, endpoint=False),
+                              x.dtype)
+        fade_out = 1.0 - fade_in
+        fade_tail = jnp.ones((S, seq), x.dtype)
         fade_tail = fade_tail.at[:-1, seq - ov:].set(fade_out)
-        fade_head = jnp.ones((out_segments, seq), x.dtype)
+        fade_head = jnp.ones((S, seq), x.dtype)
         fade_head = fade_head.at[1:, :ov].set(fade_in)
-        shaped = segments * fade_tail * fade_head
-        starts = jnp.arange(out_segments) * flat
-        idx = (starts[:, None] + jnp.arange(seq)[None, :]).reshape(-1)
-        out = jnp.zeros(x.shape[:-1] + (out_len,), x.dtype)
-        out = out.at[..., idx].add(shaped.reshape(shaped.shape[:-2] + (-1,)))
-        return out
+        shaped = segments * fade_tail * fade_head               # (C, S, seq)
+
+        # overlap-add via reshape: hop = flat, overlap only with neighbors
+        out_len = (S - 1) * flat + seq
+        heads = shaped[..., :flat].reshape(C, S * flat)
+        tails = shaped[..., flat:]                              # (C, S, ov)
+        tails = jnp.concatenate(
+            [tails, jnp.zeros((C, S, flat - ov), x.dtype)], axis=-1)
+        tails = jnp.concatenate(
+            [jnp.zeros((C, flat), x.dtype), tails.reshape(C, S * flat)],
+            axis=-1)
+        out = jnp.concatenate(
+            [heads, jnp.zeros((C, ov), x.dtype)], axis=-1) \
+            + tails[:, :out_len]
+        return out.reshape(batch + (out_len,))
 
     def process(self, x):
         """One-shot pitch shift, output length == input length."""
