@@ -1,0 +1,313 @@
+"""Interactive demo server — the L8 browser surface.
+
+The reference ships a wasm web demo whose JS UI pulls audio blocks
+through `ScriptProcessorNode(1024).onaudioprocess -> api.render(n)`
+(`web/app.js:2009-2017`, `web/wasm/main.go:254-260`). The TPU-native
+analog of that JS<->wasm boundary is host<->device dispatch: a producer
+thread renders engine blocks (device compute) into the native SPSC
+ring buffer (`native/algodsp_native.cpp`), and the browser pulls
+decoupled blocks over HTTP — the same render-pull contract with the
+ring absorbing dispatch jitter.
+
+Endpoints (stdlib http.server only — no extra deps):
+  GET  /            minimal player UI (AudioContext + fetch pull loop)
+  GET  /render?n=N  next N mono samples, binary float32 LE
+  GET  /state       engine config JSON
+  POST /steps       JSON [16 floats] sequencer note frequencies (0=rest)
+  POST /eq          JSON [5 x {freq,gain_db,q,family}]
+  POST /graph       effect-chain graph JSON (reference format)
+  POST /config      JSON {bpm?, waveform?}
+  POST /reset
+
+Run: `python -m algodsp_tpu.demo.serve [--port 8765]`.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import urlparse, parse_qs
+
+import numpy as np
+
+from algodsp_tpu.demo.engine import Engine, EQBand, Waveform
+from algodsp_tpu import native
+
+_BLOCK = 1024          # producer render granularity (app.js:2009 node size)
+_RING_BLOCKS = 8       # ring capacity in blocks (~170 ms at 48 kHz)
+
+
+class _FallbackRing:
+    """Pure-Python stand-in when the native library isn't built."""
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self._buf = np.zeros(0, np.float32)
+        self._lock = threading.Lock()
+
+    @property
+    def readable(self) -> int:
+        return self._buf.size
+
+    @property
+    def writable(self) -> int:
+        return self.capacity - self._buf.size
+
+    def write(self, samples) -> int:
+        a = np.ascontiguousarray(samples, dtype=np.float32)
+        with self._lock:
+            room = self.capacity - self._buf.size
+            take = a[:room]
+            self._buf = np.concatenate([self._buf, take])
+            return take.size
+
+    def read(self, n: int) -> np.ndarray:
+        with self._lock:
+            out, self._buf = self._buf[:n], self._buf[n:]
+            return out
+
+
+class DemoServer:
+    """Engine + producer thread + HTTP frontend."""
+
+    def __init__(self, sample_rate: float = 48000.0, *, port: int = 8765,
+                 host: str = "127.0.0.1"):
+        self.engine = Engine(sample_rate)
+        # default pattern so `serve` makes sound out of the box
+        for i, f in enumerate([220.0, 0, 330.0, 0, 277.2, 0, 330.0, 0,
+                               220.0, 0, 330.0, 0, 440.0, 0, 330.0, 0]):
+            self.engine.set_step(i, f)
+        cap = _BLOCK * _RING_BLOCKS
+        self.ring = (native.RingBuffer(cap) if native.available()
+                     else _FallbackRing(cap))
+        self._engine_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._producer = threading.Thread(target=self._produce, daemon=True)
+        self._httpd = ThreadingHTTPServer((host, port), self._handler_class())
+        self.port = self._httpd.server_address[1]
+
+    # -- producer: device renders ahead into the SPSC ring ---------------
+    def _produce(self):
+        while not self._stop.is_set():
+            if self.ring.writable >= _BLOCK:
+                with self._engine_lock:
+                    block = self.engine.render(_BLOCK)
+                self.ring.write(block)
+            else:
+                self._stop.wait(0.002)
+
+    def pull(self, n: int) -> np.ndarray:
+        """The render-pull contract (`web/wasm/main.go:254-260`): return
+        exactly n samples, draining the ring and topping up synchronously
+        if the producer is behind."""
+        out = np.empty(n, np.float32)
+        got = 0
+        while got < n and not self._stop.is_set():
+            chunk = self.ring.read(n - got)
+            if chunk.size:
+                out[got:got + chunk.size] = chunk
+                got += chunk.size
+            else:
+                with self._engine_lock:
+                    self.ring.write(self.engine.render(_BLOCK))
+        return out[:got] if got < n else out
+
+    # -- lifecycle --------------------------------------------------------
+    def start(self):
+        self._producer.start()
+        threading.Thread(target=self._httpd.serve_forever,
+                         daemon=True).start()
+
+    def stop(self):
+        self._stop.set()
+        # join the producer before teardown: a daemon thread killed
+        # mid-JAX-dispatch at interpreter exit aborts the process
+        if self._producer.is_alive():
+            self._producer.join(timeout=5.0)
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+    # -- HTTP -------------------------------------------------------------
+    def state(self) -> dict:
+        e = self.engine
+        return {
+            "sample_rate": e.sample_rate, "bpm": e.bpm,
+            "waveform": e.waveform.name.lower(),
+            "steps": [float(s) for s in e.steps],
+            "eq": [{"freq": b.freq_hz, "gain_db": b.gain_db, "q": b.q,
+                    "family": b.family} for b in e.eq_bands],
+            "has_chain": e.chain is not None,
+            "ring_readable": self.ring.readable,
+        }
+
+    def _handler_class(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code, body, ctype="application/json"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                if url.path == "/":
+                    self._send(200, _INDEX_HTML.encode(), "text/html")
+                elif url.path == "/render":
+                    q = parse_qs(url.query)
+                    n = int(q.get("n", [str(_BLOCK)])[0])
+                    n = max(1, min(n, 1 << 17))
+                    data = server.pull(n)
+                    self._send(200, data.tobytes(),
+                               "application/octet-stream")
+                elif url.path == "/state":
+                    self._send(200, json.dumps(server.state()).encode())
+                else:
+                    self._send(404, b'{"error": "not found"}')
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(n).decode() if n else ""
+                try:
+                    server._apply(urlparse(self.path).path, raw)
+                    self._send(200, b'{"ok": true}')
+                except Exception as exc:  # surface config errors to UI
+                    self._send(400, json.dumps(
+                        {"error": str(exc)}).encode())
+
+        return Handler
+
+    def _apply(self, path: str, raw: str):
+        with self._engine_lock:
+            if path == "/steps":
+                steps = json.loads(raw)
+                if not isinstance(steps, list) or len(steps) != 16:
+                    raise ValueError("steps must be a 16-element list")
+                for i, f in enumerate(steps):
+                    self.engine.set_step(i, float(f))
+            elif path == "/eq":
+                bands = json.loads(raw)
+                self.engine.set_eq([
+                    EQBand(float(b["freq"]), float(b.get("gain_db", 0.0)),
+                           q=float(b.get("q", 0.7071)),
+                           family=b.get("family", "peak"))
+                    for b in bands])
+            elif path == "/graph":
+                self.engine.load_chain(raw)
+            elif path == "/config":
+                cfg = json.loads(raw)
+                if "bpm" in cfg:
+                    bpm = float(cfg["bpm"])
+                    if not (20.0 <= bpm <= 400.0):
+                        raise ValueError(f"bpm out of range: {bpm}")
+                    self.engine.bpm = bpm
+                if "waveform" in cfg:
+                    self.engine.waveform = Waveform[
+                        str(cfg["waveform"]).upper()]
+            elif path == "/reset":
+                self.engine.reset()
+            else:
+                raise ValueError(f"unknown endpoint {path}")
+
+
+_INDEX_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>algodsp-tpu demo</title>
+<style>
+ body{font-family:system-ui;margin:2rem;max-width:720px}
+ button{font-size:1rem;padding:.4rem 1rem;margin-right:.5rem}
+ textarea{width:100%;height:8rem;font-family:monospace}
+ .step{width:3.2rem}
+</style></head><body>
+<h2>algodsp-tpu demo</h2>
+<p>16-step sequencer &rarr; 5-band EQ &rarr; effect chain, rendered by
+the TPU engine and pulled in 1024-sample blocks (the reference
+web demo's render-pull contract).</p>
+<button id="play">play</button><button id="stop">stop</button>
+<label>bpm <input id="bpm" type="number" value="120" min="20" max="400">
+</label>
+<h3>steps (Hz, 0 = rest)</h3><div id="steps"></div>
+<h3>effect chain graph JSON</h3>
+<textarea id="graph">{"nodes":[{"id":"verb","type":"reverb-freeverb",
+"params":{"roomSize":0.7,"damping":0.4,"wet":0.25,"dry":0.9}}],
+"connections":[{"from":"_input","to":"verb"},
+{"from":"verb","to":"_output"}]}</textarea><br>
+<button id="load">load chain</button> <span id="msg"></span>
+<script>
+const BLOCK = 4096;
+let ctx = null, playing = false, nextT = 0, sr = 48000;
+async function getState() {
+  const s = await (await fetch('/state')).json();
+  sr = s.sample_rate;
+  const div = document.getElementById('steps');
+  div.innerHTML = '';
+  s.steps.forEach((f, i) => {
+    const inp = document.createElement('input');
+    inp.className = 'step'; inp.value = f; inp.type = 'number';
+    inp.onchange = async () => {
+      const steps = [...div.querySelectorAll('input')].map(e => +e.value);
+      await fetch('/steps', {method: 'POST', body: JSON.stringify(steps)});
+    };
+    div.appendChild(inp);
+  });
+  document.getElementById('bpm').value = s.bpm;
+}
+async function pump() {
+  if (!playing) return;
+  // keep ~3 blocks queued ahead of the playhead
+  while (nextT < ctx.currentTime + 3 * BLOCK / sr) {
+    const buf = await (await fetch('/render?n=' + BLOCK)).arrayBuffer();
+    const data = new Float32Array(buf);
+    const ab = ctx.createBuffer(1, data.length, sr);
+    ab.copyToChannel(data, 0);
+    const src = ctx.createBufferSource();
+    src.buffer = ab; src.connect(ctx.destination);
+    if (nextT < ctx.currentTime) nextT = ctx.currentTime + 0.05;
+    src.start(nextT);
+    nextT += data.length / sr;
+  }
+  setTimeout(pump, 250 * BLOCK / sr);
+}
+document.getElementById('play').onclick = async () => {
+  if (!ctx) ctx = new AudioContext({sampleRate: sr});
+  await ctx.resume(); playing = true; nextT = 0; pump();
+};
+document.getElementById('stop').onclick = () => { playing = false; };
+document.getElementById('bpm').onchange = async (e) =>
+  fetch('/config', {method: 'POST',
+                    body: JSON.stringify({bpm: +e.target.value})});
+document.getElementById('load').onclick = async () => {
+  const r = await fetch('/graph', {method: 'POST',
+    body: document.getElementById('graph').value});
+  document.getElementById('msg').textContent =
+    r.ok ? 'chain loaded' : JSON.stringify(await r.json());
+};
+getState();
+</script></body></html>
+"""
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(description="algodsp-tpu demo server")
+    ap.add_argument("--port", type=int, default=8765)
+    ap.add_argument("--host", default="127.0.0.1")
+    args = ap.parse_args(argv)
+    srv = DemoServer(port=args.port, host=args.host)
+    srv.start()
+    print(f"demo server on http://{args.host}:{srv.port}/ "
+          f"(ring: {'native SPSC' if native.available() else 'fallback'})")
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        srv.stop()
+
+
+if __name__ == "__main__":
+    main()

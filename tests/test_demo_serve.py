@@ -1,0 +1,74 @@
+"""Demo server tests (L8 surface; render-pull contract of
+`web/wasm/main.go:254-260` over HTTP)."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from algodsp_tpu.demo.serve import DemoServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = DemoServer(port=0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _url(srv, path):
+    return f"http://127.0.0.1:{srv.port}{path}"
+
+
+def _post(srv, path, body: str):
+    req = urllib.request.Request(_url(srv, path), data=body.encode(),
+                                 method="POST")
+    return urllib.request.urlopen(req)
+
+
+def test_render_pull_returns_audio(server):
+    data = urllib.request.urlopen(_url(server, "/render?n=4096")).read()
+    a = np.frombuffer(data, np.float32)
+    assert a.shape == (4096,)
+    assert np.all(np.isfinite(a))
+    assert float(np.sqrt(np.mean(a ** 2))) > 1e-4  # default pattern sounds
+
+
+def test_state_and_config(server):
+    st = json.load(urllib.request.urlopen(_url(server, "/state")))
+    assert st["sample_rate"] == 48000.0
+    assert len(st["steps"]) == 16 and len(st["eq"]) == 5
+    _post(server, "/config", json.dumps({"bpm": 140}))
+    st2 = json.load(urllib.request.urlopen(_url(server, "/state")))
+    assert st2["bpm"] == 140.0
+
+
+def test_steps_and_graph_edit(server):
+    _post(server, "/steps", json.dumps([330.0] + [0.0] * 15))
+    graph = {"nodes": [{"id": "v", "type": "reverb-freeverb",
+                        "params": {"roomSize": 0.7, "wet": 0.3,
+                                   "dry": 0.7}}],
+             "connections": [{"from": "_input", "to": "v"},
+                             {"from": "v", "to": "_output"}]}
+    _post(server, "/graph", json.dumps(graph))
+    st = json.load(urllib.request.urlopen(_url(server, "/state")))
+    assert st["has_chain"] is True
+    data = urllib.request.urlopen(_url(server, "/render?n=2048")).read()
+    a = np.frombuffer(data, np.float32)
+    assert a.shape == (2048,) and np.all(np.isfinite(a))
+
+
+def test_invalid_posts_return_400(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server, "/steps", "[1, 2]")
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server, "/config", json.dumps({"bpm": 9999}))
+    assert ei.value.code == 400
+
+
+def test_index_page(server):
+    html = urllib.request.urlopen(_url(server, "/")).read().decode()
+    assert "render" in html and "sequencer" in html.lower()
