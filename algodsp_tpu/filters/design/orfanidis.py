@@ -38,32 +38,38 @@ def peak_raw(G0: float, G1: float, G: float, GB: float,
     if Omega0 == 0 or not math.isfinite(Omega0):
         raise PeakParamError("degenerate center")
 
+    # Orfanidis 1997 eq. set (the paper's peq algebra with arbitrary
+    # Nyquist gain G1). DOCUMENTED DEVIATION from the reference: the Go
+    # port (`peak_orfanidis.go:80-133`) drops the square roots on
+    # W2/DeltaOmega and replaces sqrt(G00*G11)/sqrt(F00*F11) with signed
+    # products, so its realized center gain misses the prescription and
+    # its own verification step rejects the result — the reference's
+    # Orfanidis path always silently falls back to RBJ
+    # (`design.go:112-120`). This implementation realizes the
+    # prescribed gains exactly (asserted closed-form in
+    # tests/test_parity_closed_form.py).
     gb2, g02, g12, g2 = GB * GB, G0 * G0, G1 * G1, G * G
-    den1, den2 = gb2 - g12, g2 - g02
-    num1, num2 = gb2 - g02, g2 - g12
-    if 0 in (den1, den2, num1, num2):
+    F = abs(g2 - gb2)
+    G00, F00 = abs(g2 - g02), abs(gb2 - g02)
+    G01, F01 = abs(g2 - G0 * G1), abs(gb2 - G0 * G1)
+    G11, F11 = abs(g2 - g12), abs(gb2 - g12)
+    if 0 in (F, G00, F11):
         raise PeakParamError("degenerate gain constraints")
 
-    radicand = (num1 / den1) * (num2 / den2) * (Omega0 * Omega0)
-    if radicand <= 0 or not math.isfinite(radicand):
-        raise PeakParamError("unsatisfiable constraints")
-    DeltaOmega = (1.0 + math.sqrt(radicand)) * math.tan(dw / 2.0)
+    W2 = math.sqrt(G11 / G00) * Omega0 * Omega0
+    if W2 <= 0 or not math.isfinite(W2):
+        raise PeakParamError("invalid W2")
+    DeltaOmega = (1.0 + math.sqrt(F00 / F11) * W2) * math.tan(dw / 2.0)
     if DeltaOmega <= 0 or not math.isfinite(DeltaOmega):
         raise PeakParamError("invalid bandwidth")
 
-    W2 = (num2 / den2) * (Omega0 * Omega0)
-    if W2 <= 0 or not math.isfinite(W2):
-        raise PeakParamError("invalid W2")
-
-    q = 1.0 if G >= 1 else -1.0
-    C = (DeltaOmega * DeltaOmega * abs(gb2 - g12)
-         - 2.0 * W2 * (abs(gb2 - G0 * G1) - q * (gb2 - g02) * (gb2 - g12)))
-    D = 2.0 * W2 * (abs(g2 - G0 * G1) - q * (g2 - g02) * (g2 - g12))
-    den_ab = abs(g2 - gb2)
-    if den_ab == 0 or (C + D) <= 0:
+    C = (F11 * DeltaOmega * DeltaOmega
+         - 2.0 * W2 * (F01 - math.sqrt(F00 * F11)))
+    D = 2.0 * W2 * (G01 - math.sqrt(G00 * G11))
+    if (C + D) <= 0:
         raise PeakParamError("unsatisfiable constraints")
-    A = math.sqrt((C + D) / den_ab)
-    B = math.sqrt((g2 * C + gb2 * D) / den_ab)
+    A = math.sqrt((C + D) / F)
+    B = math.sqrt((g2 * C + gb2 * D) / F)
     if not (math.isfinite(A) and math.isfinite(B)):
         raise PeakParamError("unsatisfiable constraints")
 
@@ -95,10 +101,13 @@ def peak_orfanidis(freq: float, gain_db: float, q: float, sample_rate: float,
     w0 = 2.0 * math.pi * freq / sample_rate
     G0 = 10.0 ** (dc_gain_db / 20.0) if dc_gain_db is not None else 1.0
     G1 = 10.0 ** (nyquist_gain_db / 20.0) if nyquist_gain_db is not None else 1.0
-    # Orfanidis inverted dB mapping (peak_orfanidis.go:170-177)
-    G = 10.0 ** (-gain_db / 20.0)
+    # Direct dB mapping, default band-edge gain = half-gain in dB.
+    # (The reference inverts the sign here, `peak_orfanidis.go:170-177`
+    # — combined with its algebra bugs this makes its Orfanidis path
+    # always fall back to RBJ; see peak_raw's deviation note.)
+    G = 10.0 ** (gain_db / 20.0)
     GB = (10.0 ** (band_edge_gain_db / 20.0) if band_edge_gain_db is not None
-          else 10.0 ** (-gain_db / 40.0))
+          else 10.0 ** (gain_db / 40.0))
 
     dw = 2.0 * w0 * math.sinh((math.sin(w0) / w0) * math.asinh(1.0 / (2.0 * q)))
     if not (0 < dw < math.pi):
