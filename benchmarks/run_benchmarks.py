@@ -149,6 +149,34 @@ def main():
     row("feedback delay 250ms (blocked), 64ch x 2048",
         bench(f_dl, dl.init_state((64,)), x), 64 * 2048)
 
+    # 10. multirate octave analyzer + vocoder + WSOLA (round-2 rows)
+    from algodsp_tpu.filters.bank import Bank, MultirateOctaveAnalyzer
+    bank = Bank.octave(3, sr)
+    f_b = jax.jit(bank.process)
+    x = jnp.asarray(rng.standard_normal((64, 16384)), jnp.float32)
+    row(f"1/3-octave bank ({bank.centers.size} bands), 64ch x 16384",
+        bench(f_b, x), 64 * 16384)
+    ana = MultirateOctaveAnalyzer(3, sr)
+    f_a = jax.jit(ana.process)
+    sa = ana.init_state((64,))
+    xa = jnp.asarray(rng.standard_normal((64, 16384)), jnp.float32)
+    row("1/3-octave analyzer (multirate groups), 64ch x 16384",
+        bench(f_a, sa, xa), 64 * 16384)
+    from algodsp_tpu.effects.vocoder import Vocoder
+    voc = Vocoder(sr)
+    f_v = jax.jit(voc.process)
+    sv = voc.init_state((8,))
+    xv = jnp.asarray(rng.standard_normal((8, 16384)), jnp.float32)
+    cv = jnp.asarray(rng.standard_normal((8, 16384)), jnp.float32)
+    row(f"vocoder (1/3-octave, {voc.num_bands} bands), 8ch x 16384",
+        bench(f_v, sv, xv, cv), 8 * 16384)
+    from algodsp_tpu.effects.pitch import WSOLAPitchShifter
+    ws = WSOLAPitchShifter(sr, pitch_ratio=2 ** (3 / 12))
+    f_w = jax.jit(ws.process)
+    xw = jnp.asarray(rng.standard_normal((64, 1 << 16)), jnp.float32)
+    row("WSOLA pitch shift +3 st, 64ch x 2^16",
+        bench(f_w, xw), 64 * (1 << 16))
+
     print(f"\nBackend: {jax.default_backend()}, devices: {jax.devices()}\n")
     print("| Benchmark | ms/call | Msamples/s | Notes |")
     print("|---|---:|---:|---|")
@@ -156,5 +184,124 @@ def main():
         print(f"| {name} | {ms:.2f} | {msps:.1f} | {note} |")
 
 
+def roofline_main():
+    """Per-hot-kernel roofline table (SURVEY §5.1 / BASELINE metric
+    mandate): achieved FLOP/s and HBM bandwidth vs the v5e peaks, for
+    the fused/blocked kernels that carry the framework's hot loops.
+
+    FLOP counts are analytic (documented per row); bytes are the
+    minimal HBM traffic model (operands read + results written once per
+    logical pass; intermediates that XLA fuses are not charged). IIR
+    scan kernels are *bandwidth*-bound by design — the roofline % that
+    matters for them is the HBM column.
+    """
+    from algodsp_tpu.filters import BiquadChain, design
+    from algodsp_tpu.filters.weighting import WeightingType, weighting_chain
+    from algodsp_tpu.conv import PartitionedConvolver, fftconvolve
+    from algodsp_tpu.filters.moog import MoogFilter, MoogVariant
+    from algodsp_tpu.ops.pallas_kernels import envelope_scan_dispatch
+    from algodsp_tpu.utils.profiling import (
+        measure_op, biquad_cascade_flops, fft_conv_flops)
+
+    sr = 48000.0
+    rng = np.random.default_rng(0)
+    rows = []
+
+    def row(name, m, note=""):
+        rows.append((name, m, note))
+        print(f"... {name}: {m.seconds*1e3:.2f} ms, "
+              f"{(m.achieved_flops or 0)/1e12:.2f} TFLOP/s "
+              f"({m.flops_roofline_pct or 0:.1f}% f32 peak), "
+              f"{(m.achieved_gbps or 0)/1e9:.0f} GB/s "
+              f"({m.bandwidth_roofline_pct or 0:.1f}% HBM)", file=sys.stderr)
+
+    # 1. folded biquad cascade (headline formulation, 8ch folded -> 128
+    #    lanes). FLOPs: Toeplitz matmul, 2*B MACs/sample/section.
+    #    Bytes: signal read+written once per section pass (f32).
+    bq = BiquadChain(design.butterworth_lp(2000.0, 10, sr))
+    aw = weighting_chain(WeightingType.A, sr)
+    C, n = 8, 1 << 20
+    x = jnp.asarray(rng.standard_normal((C, n)), jnp.float32)
+    f = jax.jit(lambda x: aw.process_folded(bq.process_folded(x)))
+    secs = bq.num_runtime_sections + aw.num_runtime_sections
+    m = measure_op(f, x, reps=5,
+                   flops=2.0 * biquad_cascade_flops(C, n, secs),
+                   bytes_accessed=2.0 * 4 * C * n * secs)
+    row(f"folded biquad cascade ({secs} sections), 8ch x 2^20", m,
+        "Toeplitz matmul 2B MACs/sample/section")
+
+    # 2. wide biquad cascade (512 ch, lanes full without folding)
+    C2 = 512
+    x2 = jnp.asarray(rng.standard_normal((C2, 96000)), jnp.float32)
+    f2 = jax.jit(bq.process)
+    m = measure_op(f2, x2, reps=5,
+                   flops=2.0 * biquad_cascade_flops(C2, 96000, 10),
+                   bytes_accessed=2.0 * 4 * C2 * 96000 * 10)
+    row("blocked biquad cascade (10 sections), 512ch x 96000", m,
+        "MXU-bound regime")
+
+    # 3. Pallas envelope follower kernel (1 mul + 2 add/sample => VPU;
+    #    bytes: x read, env written)
+    C3, n3 = 512, 1 << 16
+    x3 = jnp.abs(jnp.asarray(rng.standard_normal((C3, n3)), jnp.float32))
+    att = jnp.full((C3,), 0.01, jnp.float32)
+    rel = jnp.full((C3,), 0.001, jnp.float32)
+    f3 = jax.jit(lambda x: envelope_scan_dispatch(
+        x, jnp.zeros((C3,), jnp.float32), att, rel))
+    m = measure_op(f3, x3, reps=5, flops=4.0 * C3 * n3,
+                   bytes_accessed=2.0 * 4 * C3 * n3)
+    row("Pallas envelope scan, 512ch x 2^16", m,
+        "sequential scan: latency-bound, not FLOP-bound")
+
+    # 4. fused Pallas Moog ladder (classic: ~36 flops/sample incl tanh)
+    mg = MoogFilter(sr, variant=MoogVariant.CLASSIC, cutoff_hz=2000.0,
+                    resonance=0.5)
+    C4, n4 = 128, 1 << 15
+    x4 = jnp.asarray(rng.standard_normal((C4, n4)), jnp.float32)
+    st4 = mg.init_state((C4,))
+    f4 = jax.jit(lambda s, x: mg.process(s, x))
+    m = measure_op(f4, st4, x4, reps=5, flops=36.0 * C4 * n4,
+                   bytes_accessed=2.0 * 4 * C4 * n4)
+    row("fused Pallas Moog ladder (classic), 128ch x 2^15", m,
+        "5 tanh + 4 one-poles/sample in VMEM")
+
+    # 5. FDL conv reverb bulk (FFT MACs on the MXU)
+    ir = (rng.standard_normal(1 << 17)
+          * np.exp(-np.arange(1 << 17) / 20000)).astype(np.float32)
+    pc = PartitionedConvolver(ir, min_block_order=10)
+    C5, n5 = 8, 1 << 20
+    x5 = jnp.asarray(rng.standard_normal((C5, n5)), jnp.float32)
+    f5 = jax.jit(pc.process)
+    B = 1 << 13
+    P = -(-(1 << 17) // B)
+    fl = (fft_conv_flops(C5, n5, 2 * B)          # fwd+inv FFTs + mults
+          + 8.0 * C5 * (n5 // B) * P * (B + 1))  # FDL MAC tail
+    m = measure_op(f5, x5, reps=3, flops=fl,
+                   bytes_accessed=4.0 * 4 * C5 * n5)
+    row("FDL conv reverb 2^17-tap IR (bulk), 8ch x 2^20", m,
+        "rfft batch + P-tap freq-domain FIR")
+
+    # 6. one-shot fftconvolve (pure FFT roofline anchor)
+    f6 = jax.jit(lambda x: fftconvolve(x, jnp.asarray(ir)))
+    x6 = jnp.asarray(rng.standard_normal((64, 1 << 17)), jnp.float32)
+    m = measure_op(f6, x6, reps=3,
+                   flops=fft_conv_flops(64, 1 << 17, 1 << 18),
+                   bytes_accessed=4.0 * 4 * 64 * (1 << 18))
+    row("fftconvolve 2^17 x 2^17-tap, 64ch", m, "single big rfft pair")
+
+    print(f"\nBackend: {jax.default_backend()}\n")
+    print("| Kernel | ms | TFLOP/s | % f32 peak | GB/s | % HBM | Notes |")
+    print("|---|---:|---:|---:|---:|---:|---|")
+    for name, m, note in rows:
+        print(f"| {name} | {m.seconds*1e3:.2f} | "
+              f"{(m.achieved_flops or 0)/1e12:.2f} | "
+              f"{m.flops_roofline_pct or 0:.1f} | "
+              f"{(m.achieved_gbps or 0)/1e9:.0f} | "
+              f"{m.bandwidth_roofline_pct or 0:.1f} | {note} |")
+
+
 if __name__ == "__main__":
-    main()
+    if "--roofline" in sys.argv:
+        roofline_main()
+    else:
+        main()
