@@ -76,8 +76,12 @@ class WSOLAPitchShifter:
         x2 = x.reshape((-1, n))
         C = x2.shape[0]
         dn = ("NCH", "OIH", "NCH")
-        ones_k = jnp.ones((C, 1, ov), x2.dtype)
         hi = jax.lax.Precision.HIGHEST
+        # candidate energies come from ONE prefix-sum of x^2 (outside
+        # the scan): sum(region[k:k+ov]^2) = csq[k+ov] - csq[k]
+        csq = jnp.concatenate(
+            [jnp.zeros((C, 1), x2.dtype),
+             jnp.cumsum(x2 * x2, axis=-1, dtype=jnp.float32)], axis=-1)
 
         def slice_rows(starts, length):
             """Per-channel contiguous dynamic slice: (C,) -> (C, length)."""
@@ -94,10 +98,10 @@ class WSOLAPitchShifter:
                 region[None], ref[:, None, :], (1,), "VALID",
                 dimension_numbers=dn, feature_group_count=C,
                 precision=hi)[0]                                # (C, seek)
-            norm2 = jax.lax.conv_general_dilated(
-                (region * region)[None], ones_k, (1,), "VALID",
-                dimension_numbers=dn, feature_group_count=C,
-                precision=hi)[0]
+            norm2 = (jax.lax.dynamic_slice(
+                        csq, (jnp.int32(0), a_i + ov), (C, seek))
+                     - jax.lax.dynamic_slice(
+                        csq, (jnp.int32(0), a_i), (C, seek)))
             best = jnp.argmax(scores / jnp.sqrt(norm2 + 1e-12), axis=-1)
             start = a_i + best.astype(jnp.int32)                # (C,)
             return (start + flat).astype(jnp.int32), start
