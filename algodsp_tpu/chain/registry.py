@@ -359,7 +359,11 @@ def default_registry() -> Registry:
             from algodsp_tpu.utils.irlib import builtin_irs
             irs = builtin_irs(ctx.sample_rate)
             names = sorted(irs)
-            idx = get_int(p, "irIndex", 0, 0, len(names) - 1)
+            name = get_str(p, "irName", "", aliases=("ir",))
+            if name in irs:
+                idx = names.index(name)
+            else:
+                idx = get_int(p, "irIndex", 0, 0, len(names) - 1)
             _, ir = irs[names[idx]]
             ir = np.asarray(ir, dtype=np.float64)
             if ir.ndim > 1:  # downmix like runtime_misc.go:36-44

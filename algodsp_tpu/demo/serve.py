@@ -141,6 +141,16 @@ class DemoServer:
             "ring_readable": self.ring.readable,
         }
 
+    def ir_list(self) -> list:
+        """IR library catalog (the webdemo's IRProvider surface,
+        `internal/webdemo/irlib.go:13-30`): name + index usable as
+        `irName`/`irIndex` params of a `reverb-conv` chain node."""
+        from algodsp_tpu.utils.irlib import builtin_irs
+        irs = builtin_irs(self.engine.sample_rate)
+        return [{"index": i, "name": name,
+                 "seconds": len(irs[name][1]) / irs[name][0]}
+                for i, name in enumerate(sorted(irs))]
+
     def _handler_class(self):
         server = self
 
@@ -169,6 +179,8 @@ class DemoServer:
                                "application/octet-stream")
                 elif url.path == "/state":
                     self._send(200, json.dumps(server.state()).encode())
+                elif url.path == "/irs":
+                    self._send(200, json.dumps(server.ir_list()).encode())
                 else:
                     self._send(404, b'{"error": "not found"}')
 

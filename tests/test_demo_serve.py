@@ -72,3 +72,18 @@ def test_invalid_posts_return_400(server):
 def test_index_page(server):
     html = urllib.request.urlopen(_url(server, "/")).read().decode()
     assert "render" in html and "sequencer" in html.lower()
+
+
+def test_ir_catalog_and_conv_reverb_by_name(server):
+    irs = json.load(urllib.request.urlopen(_url(server, "/irs")))
+    assert len(irs) >= 5 and {"index", "name", "seconds"} <= set(irs[0])
+    names = [e["name"] for e in irs]
+    assert "small-room" in names
+    graph = {"nodes": [{"id": "cv", "type": "reverb-conv",
+                        "params": {"irName": "small-room", "wet": 0.4}}],
+             "connections": [{"from": "_input", "to": "cv"},
+                             {"from": "cv", "to": "_output"}]}
+    _post(server, "/graph", json.dumps(graph))
+    data = urllib.request.urlopen(_url(server, "/render?n=2048")).read()
+    a = np.frombuffer(data, np.float32)
+    assert a.shape == (2048,) and np.all(np.isfinite(a))
