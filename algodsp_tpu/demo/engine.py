@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from algodsp_tpu.filters.biquad import BiquadChain
 from algodsp_tpu.filters.design import rbj, cascades
 from algodsp_tpu.chain import Chain
+from algodsp_tpu.demo.spectrum import SpectrumAnalyzer
 
 MAX_VOICES = 64
 NUM_STEPS = 16
@@ -97,6 +98,7 @@ class Engine:
         self._chain_state = None
         self._voices: list[_Voice] = []
         self._cursor = 0  # absolute sample position
+        self.spectrum = SpectrumAnalyzer(sample_rate)
         self._rebuild_eq()
 
     # -- configuration ----------------------------------------------------
@@ -173,11 +175,19 @@ class Engine:
         if self.chain is not None:
             self._chain_state, block = self.chain.process(self._chain_state, block)
         self._cursor += n
-        return np.asarray(block, dtype=np.float32)
+        out = np.asarray(block, dtype=np.float32)
+        self.spectrum.push(out)  # master-bus analyzer (`spectrum.go:114`)
+        return out
+
+    def eq_curve_db(self, freqs) -> np.ndarray:
+        """Master EQ magnitude response in dB at freqs (the eq-canvas
+        curve the reference draws from `eq.go` chain responses)."""
+        return self._eq_chain.magnitude_db(freqs, self.sample_rate)
 
     def reset(self):
         self._voices = []
         self._cursor = 0
         self._eq_state = self._eq_chain.init_state((), jnp.float32)
+        self.spectrum.reset()
         if self.chain is not None:
             self._chain_state = self.chain.init_state((), jnp.float32)

@@ -139,6 +139,7 @@ class DemoServer:
                     "family": b.family} for b in e.eq_bands],
             "has_chain": e.chain is not None,
             "ring_readable": self.ring.readable,
+            "spectrum": dict(e.spectrum.params),
         }
 
     def ir_list(self) -> list:
@@ -150,6 +151,27 @@ class DemoServer:
         return [{"index": i, "name": name,
                  "seconds": len(irs[name][1]) / irs[name][0]}
                 for i, name in enumerate(sorted(irs))]
+
+    def curve(self, path: str, q: dict) -> dict:
+        """Analyzer / EQ curve for the canvas (`SpectrumCurveDB`,
+        `spectrum.go:63` and the eq-canvas response plot). Frequencies:
+        either explicit `?freqs=a,b,c` or `points` log-spaced between
+        `fmin`/`fmax`."""
+        if "freqs" in q:
+            freqs = np.asarray([float(v) for v in q["freqs"][0].split(",")])
+        else:
+            points = max(2, min(int(q.get("points", ["128"])[0]), 4096))
+            fmin = float(q.get("fmin", ["20"])[0])
+            fmax = float(q.get("fmax", [str(self.engine.sample_rate / 2)])[0])
+            freqs = np.geomspace(max(fmin, 1e-3), max(fmax, fmin + 1), points)
+        with self._engine_lock:
+            if path == "/spectrum":
+                db = self.engine.spectrum.curve_db(freqs)
+            else:
+                db = self.engine.eq_curve_db(freqs)
+        db = np.where(np.isfinite(db), db, -130.0)
+        return {"freqs": [round(float(f), 3) for f in freqs],
+                "db": [round(float(d), 2) for d in db]}
 
     def _handler_class(self):
         server = self
@@ -181,6 +203,9 @@ class DemoServer:
                     self._send(200, json.dumps(server.state()).encode())
                 elif url.path == "/irs":
                     self._send(200, json.dumps(server.ir_list()).encode())
+                elif url.path in ("/spectrum", "/eq_curve"):
+                    self._send(200, json.dumps(
+                        server.curve(url.path, parse_qs(url.query))).encode())
                 else:
                     self._send(404, b'{"error": "not found"}')
 
@@ -223,6 +248,13 @@ class DemoServer:
                 if "waveform" in cfg:
                     self.engine.waveform = Waveform[
                         str(cfg["waveform"]).upper()]
+            elif path == "/spectrum":
+                cfg = json.loads(raw)
+                self.engine.spectrum.configure(
+                    fft_size=int(cfg.get("fftSize", 2048)),
+                    overlap=float(cfg.get("overlap", 0.75)),
+                    window=str(cfg.get("window", "blackmanharris")),
+                    smoothing=float(cfg.get("smoothing", 0.65)))
             elif path == "/reset":
                 self.engine.reset()
             else:
@@ -244,6 +276,9 @@ web demo's render-pull contract).</p>
 <button id="play">play</button><button id="stop">stop</button>
 <label>bpm <input id="bpm" type="number" value="120" min="20" max="400">
 </label>
+<h3>spectrum &amp; EQ</h3>
+<canvas id="scope" width="700" height="160"
+        style="border:1px solid #ccc;width:100%"></canvas>
 <h3>steps (Hz, 0 = rest)</h3><div id="steps"></div>
 <h3>effect chain graph JSON</h3>
 <textarea id="graph">{"nodes":[{"id":"verb","type":"reverb-freeverb",
@@ -286,9 +321,28 @@ async function pump() {
   }
   setTimeout(pump, 250 * BLOCK / sr);
 }
+async function drawScope() {
+  const cv = document.getElementById('scope'), g = cv.getContext('2d');
+  const [spec, eq] = await Promise.all([
+    (await fetch('/spectrum?points=256')).json(),
+    (await fetch('/eq_curve?points=256')).json()]);
+  g.clearRect(0, 0, cv.width, cv.height);
+  const y = db => cv.height * (1 - (db + 130) / 154);  // -130..+24 dB
+  const plot = (d, color) => {
+    g.strokeStyle = color; g.beginPath();
+    d.db.forEach((v, i) => {
+      const px = cv.width * i / (d.db.length - 1);
+      i ? g.lineTo(px, y(v)) : g.moveTo(px, y(v));
+    });
+    g.stroke();
+  };
+  plot(spec, '#36c');
+  plot(eq, '#c63');
+  if (playing) setTimeout(drawScope, 120);
+}
 document.getElementById('play').onclick = async () => {
   if (!ctx) ctx = new AudioContext({sampleRate: sr});
-  await ctx.resume(); playing = true; nextT = 0; pump();
+  await ctx.resume(); playing = true; nextT = 0; pump(); drawScope();
 };
 document.getElementById('stop').onclick = () => { playing = false; };
 document.getElementById('bpm').onchange = async (e) =>

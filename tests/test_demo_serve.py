@@ -87,3 +87,24 @@ def test_ir_catalog_and_conv_reverb_by_name(server):
     data = urllib.request.urlopen(_url(server, "/render?n=2048")).read()
     a = np.frombuffer(data, np.float32)
     assert a.shape == (2048,) and np.all(np.isfinite(a))
+
+
+def test_spectrum_and_eq_curve_endpoints(server):
+    # prime the analyzer by pulling some audio
+    urllib.request.urlopen(_url(server, "/render?n=8192")).read()
+    spec = json.load(urllib.request.urlopen(_url(server, "/spectrum?points=64")))
+    assert len(spec["freqs"]) == 64 and len(spec["db"]) == 64
+    assert all(-130.0 <= d <= 24.0 for d in spec["db"])
+    eq = json.load(urllib.request.urlopen(
+        _url(server, "/eq_curve?freqs=100,1000,10000")))
+    assert eq["freqs"] == [100.0, 1000.0, 10000.0]
+    assert all(abs(d) < 1.0 for d in eq["db"])  # default EQ flat
+    # reconfigure the analyzer (POST /spectrum) with reference params
+    _post(server, "/spectrum", json.dumps(
+        {"fftSize": 1024, "window": "hann", "overlap": 0.5, "smoothing": 0.3}))
+    st = json.load(urllib.request.urlopen(_url(server, "/state")))
+    assert st["spectrum"] == {"fft_size": 1024, "overlap": 0.5,
+                              "window": "hann", "smoothing": 0.3}
+    spec2 = json.load(urllib.request.urlopen(
+        _url(server, "/spectrum?points=16")))
+    assert all(-130.0 <= d <= 24.0 for d in spec2["db"])
