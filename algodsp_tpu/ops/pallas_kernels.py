@@ -35,8 +35,8 @@ def _env_kernel(att_ref, rel_ref, env0_ref, x_ref, out_ref, envf_ref, carry):
     def _():
         carry[:] = env0_ref[:]
 
-    a = att_ref[0, 0]
-    r = rel_ref[0, 0]
+    a = att_ref[:, :]  # (1, C): per-channel (broadcast if scalar input)
+    r = rel_ref[:, :]
 
     def body(t, env):
         # keep everything 2-D (1, C): Mosaic's layout inference requires
@@ -75,15 +75,19 @@ def envelope_scan_pallas(targets, env0, attack, release):
     xt = xp.T  # (T, C): time on sublanes, channels on lanes
     grid = tp_ // _CHUNK_T
 
-    att = jnp.full((1, 1), attack, dtype)
-    rel = jnp.full((1, 1), release, dtype)
+    # attack/release: scalars or per-channel (C,) vectors, carried as
+    # (1, C) VMEM rows (padded lanes get coeff 0 -> env stays at env0)
+    att = jnp.pad(jnp.broadcast_to(jnp.asarray(attack, dtype), (c,)),
+                  (0, c_pad))[None, :]
+    rel = jnp.pad(jnp.broadcast_to(jnp.asarray(release, dtype), (c,)),
+                  (0, c_pad))[None, :]
 
     out, envf = pl.pallas_call(
         _env_kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_CHUNK_T, cp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -111,7 +115,8 @@ def envelope_scan_dispatch(targets, env0, attack, release):
     for 2-D (C, T) batches, lax.scan elsewhere."""
     from algodsp_tpu.ops.envscan import envelope_scan
     x = jnp.asarray(targets)
-    if jax.default_backend() == "tpu" and x.ndim == 2:
+    if (jax.default_backend() == "tpu" and x.ndim == 2
+            and jnp.ndim(attack) <= 1 and jnp.ndim(release) <= 1):
         return envelope_scan_pallas(x, env0, attack, release)
     return envelope_scan(x, env0, attack, release)
 

@@ -122,3 +122,19 @@ def test_moog_zdf_pallas_interpret_matches_scan():
     np.testing.assert_allclose(np.asarray(yp), np.asarray(yref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(st8f[:4].T),
                                np.asarray(sref["stage"]), atol=1e-5)
+
+
+def test_envelope_pallas_per_channel_coefficients():
+    # attack/release as (C,) vectors (the bench's 512-ch case shape)
+    rng = np.random.default_rng(7)
+    x = np.abs(rng.standard_normal((5, 2100)))
+    att = rng.uniform(0.01, 0.5, 5)
+    rel = rng.uniform(0.001, 0.05, 5)
+    ef_ref, traj_ref = envelope_scan(
+        jnp.asarray(x), jnp.zeros(5), jnp.asarray(att), jnp.asarray(rel))
+    ef_p, traj_p = envelope_scan_pallas(
+        jnp.asarray(x, jnp.float32), jnp.zeros(5, jnp.float32),
+        jnp.asarray(att, jnp.float32), jnp.asarray(rel, jnp.float32))
+    assert snr_db(np.asarray(traj_ref), np.asarray(traj_p)) > 100
+    np.testing.assert_allclose(np.asarray(ef_p), np.asarray(ef_ref),
+                               rtol=1e-4)
