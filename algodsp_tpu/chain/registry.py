@@ -51,6 +51,9 @@ class NodeRuntime:
     init_state: Callable          # (batch_shape, dtype) -> pytree
     process: Callable             # (state, x, sidechain) -> (state, y)
     n_outputs: int = 1            # split-freq has 2 ports
+    effect: object = None         # underlying effect object, for curve
+                                  # introspection (webdemo NodeResponseCurveDB
+                                  # / CompressorCurveDB analogs)
 
 
 class Registry:
@@ -84,7 +87,7 @@ def _stateful(fx, *, sidechain: bool = False) -> NodeRuntime:
     else:
         def proc(st, x, sc):
             return fx.process(st, x)
-    return NodeRuntime(init_state=fx.init_state, process=proc)
+    return NodeRuntime(init_state=fx.init_state, process=proc, effect=fx)
 
 
 def default_registry() -> Registry:
@@ -256,7 +259,8 @@ def default_registry() -> Registry:
             chain = BiquadChain(sos, gain=lin_gain)
             return NodeRuntime(
                 init_state=chain.init_state,
-                process=lambda st, x, sc: chain.process_stream(st, x))
+                process=lambda st, x, sc: chain.process_stream(st, x),
+                effect=chain)
         return make
 
     for key in ["filter", "filter-lowpass", "filter-highpass",
@@ -487,7 +491,7 @@ def default_registry() -> Registry:
         def proc(st, x, sc):
             carrier = sc if sc is not None else x
             return fx.process(st, x, carrier)
-        return NodeRuntime(init_state=fx.init_state, process=proc)
+        return NodeRuntime(init_state=fx.init_state, process=proc, effect=fx)
     r.register("vocoder", _vocoder)
 
     # -- split-freq (2 output ports: lo, hi) ------------------------------
@@ -499,7 +503,8 @@ def default_registry() -> Registry:
         def proc(st, x, sc):
             st2, (lo, hi) = xo.process_stream(st, x)
             return st2, (lo, hi)
-        return NodeRuntime(init_state=xo.init_state, process=proc, n_outputs=2)
+        return NodeRuntime(init_state=xo.init_state, process=proc, n_outputs=2,
+                           effect=xo)
     r.register("split-freq", _split_freq)
 
     return r

@@ -13,11 +13,13 @@ Endpoints (stdlib http.server only — no extra deps):
   GET  /            minimal player UI (AudioContext + fetch pull loop)
   GET  /render?n=N  next N mono samples, binary float32 LE
   GET  /state       engine config JSON
-  POST /steps       JSON [16 floats] sequencer note frequencies (0=rest)
+  POST /steps       JSON [16 x float | {enabled, freq}] sequencer steps
   POST /eq          JSON [5 x {freq,gain_db,q,family}]
   POST /graph       effect-chain graph JSON (reference format)
-  POST /config      JSON {bpm?, waveform?}
+  POST /config      JSON {bpm?, waveform?, decay_s?, shuffle?, running?}
   POST /reset
+  GET  /node_curve?id=X   per-node EQ magnitude response (dB)
+  GET  /dyn_curve?id=X    dynamics-node static transfer curve (dB)
 
 Run: `python -m algodsp_tpu.demo.serve [--port 8765]`.
 """
@@ -133,8 +135,11 @@ class DemoServer:
         e = self.engine
         return {
             "sample_rate": e.sample_rate, "bpm": e.bpm,
+            "shuffle": e.shuffle, "decay_s": e.voice_decay,
+            "running": e.running, "current_step": e.current_step,
             "waveform": e.waveform.name.lower(),
-            "steps": [float(s) for s in e.steps],
+            "steps": [{"enabled": s.enabled, "freq": s.freq_hz}
+                      for s in e.steps],
             "eq": [{"freq": b.freq_hz, "gain_db": b.gain_db, "q": b.q,
                     "family": b.family} for b in e.eq_bands],
             "has_chain": e.chain is not None,
@@ -167,11 +172,27 @@ class DemoServer:
         with self._engine_lock:
             if path == "/spectrum":
                 db = self.engine.spectrum.curve_db(freqs)
+            elif path == "/node_curve":
+                db = self.engine.node_response_db(
+                    q.get("id", [""])[0], freqs)
             else:
                 db = self.engine.eq_curve_db(freqs)
         db = np.where(np.isfinite(db), db, -130.0)
         return {"freqs": [round(float(f), 3) for f in freqs],
                 "db": [round(float(d), 2) for d in db]}
+
+    def dyn_curve(self, q: dict) -> dict:
+        """Static transfer curve of a dynamics chain node — the
+        compressor/limiter curve canvases (`engine.go:651-672`)."""
+        points = max(2, min(int(q.get("points", ["121"])[0]), 4096))
+        lo = float(q.get("min", ["-60"])[0])
+        hi = float(q.get("max", ["0"])[0])
+        inputs = np.linspace(lo, hi, points)
+        with self._engine_lock:
+            out = self.engine.node_static_curve_db(
+                q.get("id", [""])[0], inputs)
+        return {"in_db": [round(float(v), 3) for v in inputs],
+                "out_db": [round(float(v), 3) for v in out]}
 
     def _handler_class(self):
         server = self
@@ -203,9 +224,20 @@ class DemoServer:
                     self._send(200, json.dumps(server.state()).encode())
                 elif url.path == "/irs":
                     self._send(200, json.dumps(server.ir_list()).encode())
-                elif url.path in ("/spectrum", "/eq_curve"):
-                    self._send(200, json.dumps(
-                        server.curve(url.path, parse_qs(url.query))).encode())
+                elif url.path in ("/spectrum", "/eq_curve", "/node_curve"):
+                    try:
+                        self._send(200, json.dumps(server.curve(
+                            url.path, parse_qs(url.query))).encode())
+                    except (KeyError, ValueError) as exc:
+                        self._send(400, json.dumps(
+                            {"error": str(exc)}).encode())
+                elif url.path == "/dyn_curve":
+                    try:
+                        self._send(200, json.dumps(server.dyn_curve(
+                            parse_qs(url.query))).encode())
+                    except (KeyError, ValueError) as exc:
+                        self._send(400, json.dumps(
+                            {"error": str(exc)}).encode())
                 else:
                     self._send(404, b'{"error": "not found"}')
 
@@ -227,8 +259,7 @@ class DemoServer:
                 steps = json.loads(raw)
                 if not isinstance(steps, list) or len(steps) != 16:
                     raise ValueError("steps must be a 16-element list")
-                for i, f in enumerate(steps):
-                    self.engine.set_step(i, float(f))
+                self.engine.set_steps(steps)
             elif path == "/eq":
                 bands = json.loads(raw)
                 self.engine.set_eq([
@@ -248,6 +279,13 @@ class DemoServer:
                 if "waveform" in cfg:
                     self.engine.waveform = Waveform[
                         str(cfg["waveform"]).upper()]
+                # transport (`SetTransport`/`SetRunning`,
+                # sequencer.go:39-61)
+                self.engine.set_transport(
+                    decay_s=cfg.get("decay_s"),
+                    shuffle=cfg.get("shuffle"))
+                if "running" in cfg:
+                    self.engine.set_running(bool(cfg["running"]))
             elif path == "/spectrum":
                 cfg = json.loads(raw)
                 self.engine.spectrum.configure(
@@ -294,9 +332,10 @@ async function getState() {
   sr = s.sample_rate;
   const div = document.getElementById('steps');
   div.innerHTML = '';
-  s.steps.forEach((f, i) => {
+  s.steps.forEach((st, i) => {
     const inp = document.createElement('input');
-    inp.className = 'step'; inp.value = f; inp.type = 'number';
+    inp.className = 'step'; inp.type = 'number';
+    inp.value = st.enabled ? st.freq : 0;
     inp.onchange = async () => {
       const steps = [...div.querySelectorAll('input')].map(e => +e.value);
       await fetch('/steps', {method: 'POST', body: JSON.stringify(steps)});

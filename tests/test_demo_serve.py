@@ -89,6 +89,58 @@ def test_ir_catalog_and_conv_reverb_by_name(server):
     assert a.shape == (2048,) and np.all(np.isfinite(a))
 
 
+def test_transport_and_running_config(server):
+    """Transport + run/stop over /config (`sequencer.go:39-61`)."""
+    _post(server, "/config", json.dumps(
+        {"bpm": 120, "shuffle": 0.5, "decay_s": 0.3, "running": True}))
+    st = json.load(urllib.request.urlopen(_url(server, "/state")))
+    assert st["shuffle"] == 0.5 and st["decay_s"] == 0.3
+    assert st["running"] is True and 0 <= st["current_step"] < 16
+    # stop: rendered audio decays to (near) silence once voices die out
+    _post(server, "/config", json.dumps({"running": False}))
+    urllib.request.urlopen(_url(server, "/render?n=131072")).read()
+    data = urllib.request.urlopen(_url(server, "/render?n=8192")).read()
+    a = np.frombuffer(data, np.float32)
+    assert float(np.abs(a).max()) < 1e-3
+    _post(server, "/config", json.dumps(
+        {"running": True, "shuffle": 0.0, "decay_s": 0.25}))
+
+
+def test_step_dict_form_and_node_curves(server):
+    """Dict-form steps + per-node curve endpoints
+    (`engine.go:623-672`)."""
+    steps = [{"enabled": i % 4 == 0, "freq": 220.0 * (1 + i % 4)}
+             for i in range(16)]
+    _post(server, "/steps", json.dumps(steps))
+    st = json.load(urllib.request.urlopen(_url(server, "/state")))
+    assert st["steps"][0] == {"enabled": True, "freq": 220.0}
+    assert st["steps"][1]["enabled"] is False
+    graph = {"nodes": [
+        {"id": "comp", "type": "dyn-compressor",
+         "params": {"thresholdDB": -20.0, "ratio": 4.0, "kneeDB": 0.0,
+                    "makeupGainDB": 0.0}},
+        {"id": "hp", "type": "filter-highpass", "params": {"freq": 200.0}}],
+        "connections": [{"from": "_input", "to": "comp"},
+                        {"from": "comp", "to": "hp"},
+                        {"from": "hp", "to": "_output"}]}
+    _post(server, "/graph", json.dumps(graph))
+    resp = json.load(urllib.request.urlopen(
+        _url(server, "/node_curve?id=hp&freqs=20,2000")))
+    assert resp["db"][0] < -20.0 and abs(resp["db"][1]) < 1.0
+    dyn = json.load(urllib.request.urlopen(
+        _url(server, "/dyn_curve?id=comp&min=-40&max=0&points=3")))
+    assert dyn["in_db"] == [-40.0, -20.0, 0.0]
+    assert dyn["out_db"][0] == pytest.approx(-40.0, abs=0.2)
+    assert dyn["out_db"][2] == pytest.approx(-15.0, abs=0.5)
+    # unknown node id -> 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(_url(server, "/dyn_curve?id=nope"))
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(_url(server, "/node_curve?id=comp&freqs=100"))
+    assert ei.value.code == 400
+
+
 def test_spectrum_and_eq_curve_endpoints(server):
     # prime the analyzer by pulling some audio
     urllib.request.urlopen(_url(server, "/render?n=8192")).read()

@@ -94,6 +94,102 @@ def test_engine_with_effect_chain():
     assert np.abs(y).max() > 0.01
 
 
+def test_engine_transport_shuffle():
+    """Swing timing (`sequencer.go:134-152`): even steps stretch by the
+    shuffle ratio, odd steps shrink, pattern length unchanged."""
+    from algodsp_tpu.demo.engine import shuffle_ratio
+    e = Engine(48000.0, bpm=120.0)
+    e.set_transport(shuffle=1.0)
+    base = e.samples_per_step
+    r = shuffle_ratio(1.0)
+    assert r == pytest.approx(1.0 / 3.0)
+    assert e.step_duration(0) == pytest.approx(base * (1 + r))
+    assert e.step_duration(1) == pytest.approx(base * (1 - r))
+    assert e.step_duration(0) + e.step_duration(1) == pytest.approx(2 * base)
+    # half-shuffle follows the ^1.6 curve, not linear
+    e.set_transport(shuffle=0.5)
+    assert e.step_duration(0) / base - 1 == pytest.approx(
+        (1.0 / 3.0) * 0.5 ** 1.6)
+    # transport setters clamp (`SetTransport`, sequencer.go:39-51)
+    e.set_transport(bpm=-5)          # ignored
+    assert e.bpm == 120.0
+    e.set_transport(decay_s=0.0)     # floored
+    assert e.voice_decay > 0
+
+
+def test_engine_running_gate():
+    """SetRunning stops new triggers; restart rewinds to step 0
+    (`sequencer.go:53-61`)."""
+    e = Engine(48000.0, bpm=960.0)
+    e.set_steps([440.0] * 16)
+    e.set_running(False)
+    y = e.render(4800)
+    assert np.all(y == 0)
+    e.set_running(True)
+    y = e.render(4800)
+    assert np.abs(y).max() > 0.01
+    assert e.current_step >= 0
+
+
+def test_engine_step_config_forms():
+    """set_steps accepts dicts/StepConfig/floats; freq<=0 defaults to
+    110 Hz like `SetSteps` (`sequencer.go:63-73`)."""
+    from algodsp_tpu.demo.engine import StepConfig
+    e = Engine(48000.0)
+    e.set_steps([{"enabled": True, "freq": -1.0},
+                 StepConfig(enabled=True, freq_hz=220.0),
+                 330.0, 0.0])
+    assert e.steps[0].enabled and e.steps[0].freq_hz == 110.0
+    assert e.steps[1].freq_hz == 220.0
+    assert e.steps[2].enabled and e.steps[2].freq_hz == 330.0
+    assert not e.steps[3].enabled
+    e.default_pattern()
+    assert sum(s.enabled for s in e.steps) == 4
+
+
+def test_engine_envelope_attack_decay():
+    """Envelope rises over ~5 ms to the peak then decays exponentially
+    (`sequencer.go:154-173`) — check the rendered onset is ramped, not
+    a hard edge, and the tail decays."""
+    e = Engine(48000.0, bpm=30.0, waveform=Waveform.SINE,
+               voice_decay_s=0.1, voice_amp=0.22)
+    e.set_steps([{"enabled": True, "freq": 1000.0}] + [{"enabled": False}] * 15)
+    y = np.abs(e.render(24000))
+    first_ms = y[:48].max()          # 1 ms in: still ramping
+    at_peak = y[:2400].max()         # peak within the first 50 ms
+    assert first_ms < 0.5 * at_peak
+    assert at_peak == pytest.approx(0.22, rel=0.35)  # EQ is ~flat
+    assert y[12000:].max() < 0.01 * at_peak          # decayed by 250 ms
+
+
+def test_engine_node_curves():
+    """Per-node response + dynamics static curve endpoints
+    (`engine.go:623-672`)."""
+    e = Engine(48000.0)
+    e.load_chain(json.dumps({
+        "nodes": [
+            {"id": "comp", "type": "dyn-compressor",
+             "params": {"thresholdDB": -20.0, "ratio": 4.0, "kneeDB": 0.0,
+                        "makeupGainDB": 0.0}},
+            {"id": "lp", "type": "filter-lowpass",
+             "params": {"freq": 1000.0, "order": 2}}],
+        "connections": [{"from": "_input", "to": "comp"},
+                        {"from": "comp", "to": "lp"},
+                        {"from": "lp", "to": "_output"}]}))
+    # static curve: identity below threshold, 1:4 slope above
+    curve = e.node_static_curve_db("comp", [-40.0, 0.0])
+    assert curve[0] == pytest.approx(-40.0, abs=0.2)
+    assert curve[1] == pytest.approx(-20.0 + 20.0 / 4.0, abs=0.5)
+    # response: lowpass passes 100 Hz, attenuates 10 kHz
+    resp = e.node_response_db("lp", [100.0, 10000.0])
+    assert resp[0] == pytest.approx(0.0, abs=1.0)
+    assert resp[1] < -30.0
+    with pytest.raises((KeyError, ValueError)):
+        e.node_response_db("comp", [100.0])
+    with pytest.raises((KeyError, ValueError)):
+        e.node_static_curve_db("nope", [0.0])
+
+
 def test_engine_voice_stealing():
     e = Engine(48000.0, bpm=960.0)  # very fast steps
     for i in range(16):
