@@ -22,6 +22,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from algodsp_tpu.ops.packfft import rfft_batched, irfft_batched
+
 
 class PartitionedConvolver:
     """Uniformly partitioned frequency-domain delay-line convolver."""
@@ -112,7 +114,7 @@ class PartitionedConvolver:
         frames = jnp.concatenate(
             [ext[..., :-B].reshape(batch + (k, B)),
              ext[..., B:].reshape(batch + (k, B))], axis=-1)   # (..., k, 2B)
-        spec = jnp.fft.rfft(frames, self.fft_size)             # (..., k, F)
+        spec = rfft_batched(frames, self.fft_size)             # (..., k, F)
         X = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
         past = jnp.flip(state["fdl"][..., :P - 1, :, :], axis=-3)
         seq = jnp.concatenate([past.astype(x.dtype), X], axis=-3)  # (...,k+P-1,F,2)
@@ -137,7 +139,7 @@ class PartitionedConvolver:
         acc_re = dconv(sre, kre) - dconv(sim, kim)
         acc_im = dconv(sre, kim) + dconv(sim, kre)
         acc = jax.lax.complex(acc_re, acc_im)                  # (..., k, F)
-        y = jnp.fft.irfft(acc, self.fft_size)[..., B:].astype(x.dtype)
+        y = irfft_batched(acc, self.fft_size)[..., B:].astype(x.dtype)
         y = y.reshape(batch + (n,))
 
         new_fdl = jnp.flip(seq[..., -P:, :, :], axis=-3).astype(state["fdl"].dtype)
@@ -199,9 +201,11 @@ class PartitionedConvolver:
             return self._process_bulk_fdl(x, bulk_block_order)
         from algodsp_tpu.core.numeric import next_pow2
         size = next_pow2(n + self.kernel_len - 1)
-        xf = jnp.fft.rfft(x, size)
+        xf = rfft_batched(x, size) if x.ndim > 1 else jnp.fft.rfft(x, size)
         kf = jnp.fft.rfft(jnp.asarray(self._kernel_f32, x.dtype), size)
-        return jnp.fft.irfft(xf * kf, size)[..., :n].astype(x.dtype)
+        y = xf * kf
+        y = irfft_batched(y, size) if x.ndim > 1 else jnp.fft.irfft(y, size)
+        return y[..., :n].astype(x.dtype)
 
     def _process_bulk_fdl(self, x, block_order: int):
         """Zero-state FDL evaluation at an arbitrary internal partition
@@ -222,7 +226,7 @@ class PartitionedConvolver:
         frames = jnp.concatenate(
             [ext[..., :-B].reshape(batch + (k, B)),
              ext[..., B:].reshape(batch + (k, B))], axis=-1)
-        spec = jnp.fft.rfft(frames, 2 * B)                     # (..., k, F)
+        spec = rfft_batched(frames, 2 * B)                     # (..., k, F)
         X = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
         pad = jnp.zeros(batch + (P - 1, F, 2), x.dtype)
         seq = jnp.concatenate([pad, X], axis=-3)
@@ -245,7 +249,7 @@ class PartitionedConvolver:
         acc_re = dconv(sre, kre) - dconv(sim, kim)
         acc_im = dconv(sre, kim) + dconv(sim, kre)
         acc = jax.lax.complex(acc_re, acc_im)
-        y = jnp.fft.irfft(acc, 2 * B)[..., B:].astype(x.dtype)
+        y = irfft_batched(acc, 2 * B)[..., B:].astype(x.dtype)
         return y.reshape(batch + (n,))
 
     def process_scan(self, x):
