@@ -18,10 +18,13 @@ State per channel: FDL of (P, fft/2+1) complex spectra + input tail.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+from algodsp_tpu.ops import fdlconv
 from algodsp_tpu.ops.packfft import rfft_batched, irfft_batched
 
 
@@ -49,6 +52,7 @@ class PartitionedConvolver:
         self.fft_size = 2 * self.block
         self._part_spectra = np.fft.rfft(parts, self.fft_size, axis=-1)  # (P, F)
         self._kernel_f32 = kernel.astype(np.float64)
+        self._fused_spectra_cache: dict[int, np.ndarray] = {}
 
     @property
     def latency(self) -> int:
@@ -210,12 +214,32 @@ class PartitionedConvolver:
     def _process_bulk_fdl(self, x, block_order: int):
         """Zero-state FDL evaluation at an arbitrary internal partition
         size: 50%-overlap frames -> rfft -> P-tap depthwise FIR along
-        the block axis -> irfft, same algebra as `process_stream`."""
+        the block axis -> irfft, same algebra as `process_stream`.
+
+        On TPU with f32 inputs this dispatches to the fused Pallas
+        kernel (`ops/fdlconv.py`): FFT + spectral MAC + iFFT in one
+        VMEM-resident pass, ~2.4x the XLA formulation below. Set
+        ALGODSP_FDL_FUSED=0 to force the XLA path (=1 forces the
+        kernel, interpreted off-TPU — used by equivalence tests)."""
         n = x.shape[-1]
         B = 1 << block_order
         if n % B:
             raise ValueError(
                 f"partitioned: bulk length {n} not a multiple of 2^{block_order}")
+        mode = os.environ.get("ALGODSP_FDL_FUSED", "auto")
+        use_fused = (mode == "1" or
+                     (mode != "0" and jax.default_backend() == "tpu"))
+        if use_fused and x.dtype == jnp.float32:
+            P = -(-self.kernel_len // B)
+            if fdlconv.supported(B, P, n):
+                hgrid = self._fused_spectra_cache.get(block_order)
+                if hgrid is None:
+                    hgrid = fdlconv.kernel_spectra(self._kernel_f32, B)
+                    self._fused_spectra_cache[block_order] = hgrid
+                batch = x.shape[:-1]
+                flat = x.reshape((-1, n))
+                y = fdlconv.fdl_conv_fused(flat, hgrid, B)
+                return y.reshape(batch + (n,))
         spectra = self._bulk_spectra(block_order)
         P = spectra.shape[0]
         F = B + 1

@@ -1,0 +1,189 @@
+"""Fused Pallas FDL convolution: FFT + spectral MAC + iFFT in one kernel.
+
+The bulk frequency-domain delay-line convolution (conv reverb,
+`conv/partitioned.py`) is FFT-bound: XLA's TPU FFT reaches only ~14%
+of HBM bandwidth, and the frame spectra make three HBM round trips
+(rfft out, MAC in/out, irfft in). This kernel performs the whole FDL
+per frame inside VMEM, so spectra never touch HBM:
+
+  per grid step (channel, frame):
+    1. load two (B/128, 128) sample blocks — the 50%-overlap
+       overlap-save frame [prev_block, cur_block] of length n = 2B;
+    2. forward DFT as a Bailey 4-step factorization n = n1 x n2
+       (n2 = 128 lanes): inner n1-point DFT = one (2*n1, n1)@(n1, 128)
+       matmul on the MXU (real/imag stacked), twiddle on the VPU,
+       outer 128-point DFT = four (n1, 128)@(128, 128) matmuls.
+       Output lives on the (k1, k2) grid — bin k = k2*n1 + k1 — and is
+       never transposed to natural order: the MAC and the inverse use
+       the same grid, so the classic FFT transpose disappears;
+    3. push the spectrum into a VMEM ring of the last P frames and
+       run the P-tap spectral MAC against the partition spectra
+       (the FDL recurrence Y[f] = sum_p H[p] * X[f-p]);
+    4. inverse 4-step DFT computing only rows j1 >= n1/2 — exactly
+       the B kept samples of the overlap-save discard — and only the
+       real part: two (n1/2, n1)@(n1, 128) matmuls close the frame.
+
+All matmuls run at Precision.HIGHEST (the only f32 mode Mosaic
+lowers); measured SNR vs an f64 oracle is ~137 dB — *better* than
+jnp.fft.rfft's ~130 dB — and the 8ch x 2^20 x 2^17-tap reverb drops
+from 12.0 ms to 5.0 ms on a v5e chip (in-pipeline cost ~2 ms).
+
+Reference behavior covered: `dsp/conv/partitioned.go:17-26` (bounded
+per-block cost for long IRs); this is the TPU-shaped replacement for
+the freq-domain MAC hot loop at `partitioned.go:134`.
+
+VMEM budget: constants 8*n1^2 + ~n*12 bytes, ring + partition spectra
+16*P*B bytes each; `supported()` enforces the fit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def supported(B: int, P: int, n_samples: int) -> bool:
+    """True if the fused kernel can run this shape.
+
+    Needs: frame rows n1 = 2B/128 a multiple of 8 (f32 sublane tile)
+    with n1/2 >= 8, whole frames, and everything fitting in VMEM.
+    """
+    if B < 1024 or B % LANES or n_samples % B:
+        return False
+    n1 = 2 * B // LANES
+    if n1 % 8 or n1 // 2 < 8:
+        return False
+    const_bytes = 4 * (2 * n1 * n1 + 4 * n1 * LANES +
+                       4 * LANES * LANES + n1 * n1)
+    ring_bytes = 16 * P * B
+    io_bytes = 4 * 6 * B  # double-buffered in/out blocks
+    return const_bytes + 2 * ring_bytes + io_bytes < _VMEM_BUDGET
+
+
+@functools.lru_cache(maxsize=8)
+def _plan(B: int):
+    """Host-side DFT/twiddle constants for frame size n = 2B."""
+    n = 2 * B
+    n2 = LANES
+    n1 = n // n2
+    j1 = np.arange(n1)
+    j2 = np.arange(n2)
+    # forward: X[k1,k2] = sum_{j2} W_n2^{j2 k2} W_n^{j2 k1}
+    #                     * sum_{j1} W_n1^{j1 k1} x[j1,j2]
+    F1 = np.exp(-2j * np.pi * np.outer(j1, j1) / n1)           # (k1, j1)
+    F1s = np.concatenate([F1.real, F1.imag], 0)                # (2n1, n1)
+    T = np.exp(-2j * np.pi * np.outer(j1, j2) / n)             # (k1, j2)
+    F2 = np.exp(-2j * np.pi * np.outer(j2, j2) / n2)           # (j2, k2)
+    # inverse (1/n folded into E1), output rows j1 in [n1/2, n1)
+    E2 = np.exp(2j * np.pi * np.outer(j2, j2) / n2)            # (k2, j2)
+    j1h = np.arange(n1 // 2, n1)
+    E1 = np.exp(2j * np.pi * np.outer(j1h, j1) / n1) / n       # (j1, k1)
+    f32 = lambda a: np.ascontiguousarray(a, np.float32)
+    return (f32(F1s), f32(T.real), f32(T.imag),
+            f32(F2.real), f32(F2.imag),
+            f32(E2.real), f32(E2.imag),
+            f32(E1.real), f32(E1.imag))
+
+
+def kernel_spectra(kernel, B: int) -> np.ndarray:
+    """Partition spectra on the (k1, k2) grid: (P, 2, n1, n2) f32."""
+    kernel = np.asarray(kernel, np.float64).reshape(-1)
+    n = 2 * B
+    n1, n2 = n // LANES, LANES
+    P = -(-kernel.size // B)
+    padded = np.zeros(P * B)
+    padded[:kernel.size] = kernel
+    full = np.fft.fft(padded.reshape(P, B), n, axis=-1)        # (P, n)
+    grid = full.reshape(P, n2, n1).transpose(0, 2, 1)          # [k1, k2]
+    return np.stack([grid.real, grid.imag], 1).astype(np.float32)
+
+
+def fdl_conv_fused(x, hgrid, B: int):
+    """Zero-state causal FDL convolution of x: (C, N) with the kernel
+    whose partition spectra are `hgrid` (P, 2, n1, 128). N % B == 0.
+    Returns (C, N) float32. Matches `PartitionedConvolver`'s bulk-FDL
+    algebra exactly (ring zeroed per channel = zero initial state)."""
+    x = jnp.asarray(x, jnp.float32)
+    C, N = x.shape
+    n = 2 * B
+    n1, n2 = n // LANES, LANES
+    nf = N // B
+    P = int(hgrid.shape[0])
+    F1s, Tr, Ti, F2r, F2i, E2r, E2i, E1r, E1i = map(jnp.asarray, _plan(B))
+    rows = B // n2                                             # = n1 // 2
+
+    ext = jnp.concatenate([jnp.zeros((C, B), jnp.float32), x], -1)
+    ext = ext.reshape(C, -1, n2)
+
+    mm = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+
+    def kern(prev_ref, cur_ref, h_ref, f1_ref, tr_ref, ti_ref,
+             f2r_ref, f2i_ref, e2r_ref, e2i_ref, e1r_ref, e1i_ref,
+             y_ref, ring_ref):
+        f = pl.program_id(1)
+
+        @pl.when(f == 0)
+        def _():
+            ring_ref[...] = jnp.zeros_like(ring_ref)
+
+        frame = jnp.concatenate([prev_ref[0], cur_ref[0]], 0)  # (n1, n2)
+        # forward 4-step DFT
+        Y = mm(f1_ref[...], frame)                             # (2n1, n2)
+        Yr, Yi = Y[:n1], Y[n1:]
+        Zr = Yr * tr_ref[...] - Yi * ti_ref[...]
+        Zi = Yr * ti_ref[...] + Yi * tr_ref[...]
+        Xr = mm(Zr, f2r_ref[...]) - mm(Zi, f2i_ref[...])       # (n1, n2)
+        Xi = mm(Zr, f2i_ref[...]) + mm(Zi, f2r_ref[...])
+        slot = jax.lax.rem(f, jnp.int32(P))
+        ring_ref[slot, 0] = Xr
+        ring_ref[slot, 1] = Xi
+        # P-tap spectral MAC over the frame ring
+        acc_r = jnp.zeros((n1, n2), jnp.float32)
+        acc_i = jnp.zeros((n1, n2), jnp.float32)
+        for p in range(P):
+            s = jax.lax.rem(slot - p + P, jnp.int32(P))
+            xr = ring_ref[s, 0]
+            xi = ring_ref[s, 1]
+            hr = h_ref[p, 0]
+            hi = h_ref[p, 1]
+            acc_r = acc_r + xr * hr - xi * hi
+            acc_i = acc_i + xr * hi + xi * hr
+        # inverse 4-step DFT: rows j1 >= n1/2 (overlap-save keep), real part
+        Ar = mm(acc_r, e2r_ref[...]) - mm(acc_i, e2i_ref[...])
+        Ai = mm(acc_r, e2i_ref[...]) + mm(acc_i, e2r_ref[...])
+        Br = Ar * tr_ref[...] + Ai * ti_ref[...]
+        Bi = Ai * tr_ref[...] - Ar * ti_ref[...]
+        y_ref[0] = mm(e1r_ref[...], Br) - mm(e1i_ref[...], Bi)
+
+    const = lambda shp: pl.BlockSpec(shp, lambda c, f: tuple([0] * len(shp)),
+                                     memory_space=pltpu.VMEM)
+    blk = lambda: pl.BlockSpec((1, rows, n2), lambda c, f: (c, f, 0),
+                               memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(C, nf),
+        in_specs=[
+            blk(), blk(),
+            const((P, 2, n1, n2)),
+            const((2 * n1, n1)),
+            const((n1, n2)), const((n1, n2)),
+            const((n2, n2)), const((n2, n2)),
+            const((n2, n2)), const((n2, n2)),
+            const((n1 // 2, n1)), const((n1 // 2, n1)),
+        ],
+        out_specs=blk(),
+        out_shape=jax.ShapeDtypeStruct((C, nf * rows, n2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((P, 2, n1, n2), jnp.float32)],
+        interpret=jax.default_backend() != "tpu",
+    )(ext[:, :-rows], ext[:, rows:], jnp.asarray(hgrid),
+      F1s, Tr, Ti, F2r, F2i, E2r, E2i, E1r, E1i)
+    return out.reshape(C, N)

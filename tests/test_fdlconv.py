@@ -1,0 +1,75 @@
+"""Fused Pallas FDL convolution kernel (ops/fdlconv.py).
+
+The TPU analog of the reference's partitioned-convolution hot loop
+(`dsp/conv/partitioned.go:134`); tested here in interpreter mode on
+CPU against a NumPy f64 direct-convolution oracle and against the
+XLA bulk-FDL formulation it replaces (the analog of the reference's
+SIMD dispatch tests, `dispatch_*_test.go`).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from algodsp_tpu.ops import fdlconv
+from algodsp_tpu.conv.partitioned import PartitionedConvolver
+from algodsp_tpu.testutil import snr_db
+
+
+def _oracle(x, ir, n):
+    return np.stack([np.convolve(xi.astype(np.float64),
+                                 ir.astype(np.float64))[:n] for xi in x])
+
+
+@pytest.mark.parametrize("C,nf,P", [(2, 4, 3), (1, 2, 1), (3, 6, 5)])
+def test_fused_matches_f64_oracle(C, nf, P):
+    B = 1024
+    rng = np.random.default_rng(C * 10 + nf + P)
+    ir = (rng.standard_normal(P * B - B // 2) *
+          np.exp(-np.arange(P * B - B // 2) / 500.0)).astype(np.float32)
+    x = rng.standard_normal((C, nf * B)).astype(np.float32)
+    hg = fdlconv.kernel_spectra(ir, B)
+    assert hg.shape == (P, 2, 2 * B // 128, 128)
+    y = np.asarray(fdlconv.fdl_conv_fused(jnp.asarray(x), hg, B))
+    want = _oracle(x, ir, nf * B)
+    assert snr_db(want, y) > 110
+
+
+def test_fused_dispatch_through_convolver(monkeypatch):
+    """ALGODSP_FDL_FUSED=1 forces the Pallas path (interpreted on CPU);
+    it must match the XLA bulk-FDL path bit-for-tolerance."""
+    B = 1024
+    rng = np.random.default_rng(7)
+    ir = (rng.standard_normal(3 * B) *
+          np.exp(-np.arange(3 * B) / 800.0)).astype(np.float32)
+    conv = PartitionedConvolver(ir, 8)
+    x = rng.standard_normal((2, 4 * B)).astype(np.float32)
+
+    monkeypatch.setenv("ALGODSP_FDL_FUSED", "0")
+    y_xla = np.asarray(conv._process_bulk_fdl(jnp.asarray(x), 10))
+    monkeypatch.setenv("ALGODSP_FDL_FUSED", "1")
+    y_fused = np.asarray(conv._process_bulk_fdl(jnp.asarray(x), 10))
+    assert snr_db(y_xla, y_fused) > 110
+
+
+def test_supported_constraints():
+    assert fdlconv.supported(1024, 4, 8192)
+    assert not fdlconv.supported(512, 4, 4096)       # B too small
+    assert not fdlconv.supported(1024, 4, 5000)      # not whole frames
+    assert not fdlconv.supported(1 << 16, 2, 1 << 20)  # VMEM blowout
+    assert not fdlconv.supported(1000, 4, 8000)      # B not lane-aligned
+
+
+def test_leading_silence_and_tail():
+    # impulse IR delayed by one full partition: output = input delayed
+    B = 1024
+    P = 2
+    ir = np.zeros(P * B, np.float32)
+    ir[B + 5] = 1.0
+    hg = fdlconv.kernel_spectra(ir, B)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 3 * B)).astype(np.float32)
+    y = np.asarray(fdlconv.fdl_conv_fused(jnp.asarray(x), hg, B))
+    want = np.zeros_like(y)
+    want[0, B + 5:] = x[0, :2 * B - 5]
+    assert snr_db(want, y) > 110
