@@ -186,8 +186,14 @@ class PartitionedConvolver:
         batch_rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
         if bulk_block_order is None:
             import jax as _jax
-            use_fdl = (_jax.default_backend() == "tpu" and batch_rows < 32
-                       and self.kernel_len >= 4096)
+            # the fused Pallas FDL (ops/fdlconv.py) beats the big-FFT
+            # path at every batch size (64ch x 2^17: 6.6 vs 13.1 ms on
+            # v5e); wide batches route to it only when it can engage
+            fused_ok = (x.dtype == jnp.float32 and
+                        os.environ.get("ALGODSP_FDL_FUSED", "auto") != "0")
+            use_fdl = (_jax.default_backend() == "tpu"
+                       and self.kernel_len >= 4096
+                       and (batch_rows < 32 or fused_ok))
             if use_fdl:
                 # pick the partition size that keeps FFT batch >= ~512
                 # rows while partitions stay >= 8
@@ -195,7 +201,9 @@ class PartitionedConvolver:
                 for cand in range(14, self.min_block_order - 1, -1):
                     bsz = 1 << cand
                     if n % bsz == 0 and self.kernel_len // bsz >= 4 \
-                            and batch_rows * (n // bsz) >= 256:
+                            and batch_rows * (n // bsz) >= 256 \
+                            and (batch_rows < 32 or fdlconv.supported(
+                                bsz, -(-self.kernel_len // bsz), n)):
                         bo = cand
                         break
                 bulk_block_order = bo

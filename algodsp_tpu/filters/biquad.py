@@ -144,13 +144,14 @@ class BiquadChain:
     def process(self, x, *, mode: str = "auto"):
         """One-shot filtering from zero state (`chain.go:74-85`).
 
-        mode: "auto" picks the fused Pallas cascade kernel on TPU for
-        2-D (C, N) inputs (one HBM pass for the whole cascade, ~2x the
-        XLA engine) — lane-packing few-channel inputs via the exact
-        fold correction (`ops/fold.py`) — and the blocked XLA engine
-        elsewhere; "blocked", "scan", "pallas", and "folded" force a
-        specific backend — the dispatch analog of the reference's arch
-        registry (`section.go:56-81`).
+        mode: "auto" picks, on TPU for 2-D (C, N) inputs, either the
+        fused Pallas cascade kernel (C >= 64: channels fill the lanes)
+        or the whole-cascade block engine (`ops/cascade.py`: one
+        Toeplitz matmul for all S sections, ~S times fewer MACs than
+        per-section blocking — the fastest few-channel path), and the
+        blocked XLA engine elsewhere; "blocked", "scan", "pallas",
+        "folded", and "cascade" force a specific backend — the dispatch
+        analog of the reference's arch registry (`section.go:56-81`).
         """
         import jax
         x = jnp.asarray(x)
@@ -159,6 +160,9 @@ class BiquadChain:
                     and self.block_size == 128:
                 if x.shape[0] >= 64:
                     mode = "pallas"
+                elif (x.shape[1] % self.block_size == 0
+                      and self.num_runtime_sections >= 2):
+                    mode = "cascade"
                 elif self._pick_folds(*x.shape) > 1 and x.shape[1] >= 4096:
                     mode = "folded"
                 else:
@@ -170,9 +174,32 @@ class BiquadChain:
             return biquad_cascade_pallas(x, self.runtime_sos, gain=self.gain)
         if mode == "folded":
             return self.process_folded(x)
+        if mode == "cascade":
+            return self.process_cascade(x)
         state = self.init_state(x.shape[:-1], dtype=x.dtype)
         _, y = self._run(x, state, mode=mode)
         return y
+
+    def process_cascade(self, x, state=None, return_state: bool = False):
+        """Whole-cascade block engine (`ops/cascade.py`): the entire
+        SOS cascade closed per 128-sample block by one Toeplitz matmul
+        plus compact-state carry sweeps. Exact (same recurrence,
+        different evaluation order); threads the standard (…, S, 4)
+        streaming state when given."""
+        from algodsp_tpu.ops import cascade as cascmod
+        x = jnp.asarray(x)
+        if self.gain != 1.0:
+            x = x * jnp.asarray(self.gain, x.dtype)
+        s0 = None if state is None else cascmod.chain_state_to_compact(
+            jnp.asarray(state, x.dtype))
+        out = cascmod.cascade_apply_blocked(
+            x, self.runtime_sos, block=self.block_size, s0=s0,
+            return_state=return_state)
+        if return_state:
+            y, s_fin = out
+            return y, cascmod.compact_state_to_chain(
+                s_fin, self.num_runtime_sections)
+        return out
 
     def process_folded(self, x, folds: int | None = None, state=None,
                        return_state: bool = False):

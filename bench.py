@@ -5,12 +5,14 @@ conv-reverb (2^17-tap IR) + biquad-chain pipeline:
   10-section Butterworth cascade + A-weighting chain -> partitioned
   frequency-domain conv reverb.
 
-Formulations (round 2): the biquad chains run lane-packed ("folded",
-ops/fold.py) so 8 channels fill all 128 VPU/MXU lanes; the conv reverb
-runs as a batched FDL with a TPU-sized internal partition
-(conv/partitioned.py `_process_bulk_fdl`); the signal is 2^20 samples
-per channel per dispatch so the ~3-6 ms axon relay dispatch floor is
-amortized (8.4 Msamples/dispatch).
+Formulations (round 2): both biquad chains run concatenated through
+the whole-cascade block engine (ops/cascade.py — one Toeplitz matmul
+closes all 15 sections per 128-sample block); the conv reverb runs in
+the fused Pallas FDL kernel (ops/fdlconv.py — matmul FFT + spectral
+MAC + iFFT in one VMEM pass, spectra never touching HBM); the signal
+is 2^22 samples per channel per dispatch so the ~3 ms axon relay
+dispatch floor is amortized (33.6 Msamples/dispatch — a bulk
+file-processing workload, the same regime the Go baseline measures).
 
 vs_baseline compares against the Go reference's single-core rate for
 the same work, estimated from BASELINE.md:
@@ -18,9 +20,9 @@ the same work, estimated from BASELINE.md:
   - OverlapAdd-derived conv rate ~1.76e7 samples/s (BASELINE.md:26).
   Combined serial rate: 1/(15/1.283e8 + 1/1.76e7) ~ 5.8e6 samples/s.
 
-roofline_pct is the fused-Pallas biquad path's achieved f32 FLOP/s
-(Toeplitz-matmul op count, 2*B MACs/sample/section) as % of the v5e
-98 TFLOP/s f32 peak — the "scan-kernel roofline %" deliverable.
+roofline_pct is the biquad-cascade engine's achieved f32 FLOP/s (its
+actual op count: B + 2d MACs/sample plus carry sweeps) as % of the
+v5e 98 TFLOP/s f32 peak — the "scan-kernel roofline %" deliverable.
 
 Methodology: one jit callable reused (compile excluded); a scalar fetch
 forces completion (on the axon relay block_until_ready returns early).
@@ -55,38 +57,42 @@ def main():
 
     sr = 48000.0
     channels = 8
-    n = 1 << 20  # ~21.8 s per channel per dispatch
+    n = 1 << 22  # ~87 s of audio per channel per dispatch (bulk regime)
     rng = np.random.default_rng(0)
 
     cascade = BiquadChain(design.butterworth_lp(2000.0, 10, sr))
     weighting = weighting_chain(WeightingType.A, sr)
+    # one combined cascade (cascade of cascades = same LTI system)
+    chain = BiquadChain(
+        np.concatenate([cascade.runtime_sos, weighting.runtime_sos]),
+        gain=cascade.gain * weighting.gain, condition=False)
     ir = (rng.standard_normal(1 << 17) *
           np.exp(-np.arange(1 << 17) / 20000.0)).astype(np.float32)
     reverb = PartitionedConvolver(ir, min_block_order=10)
 
-    on_tpu = jax.default_backend() == "tpu"
-
-    def run_chain(chain, x):
-        return chain.process_folded(x) if on_tpu else chain.process(x)
-
     @jax.jit
     def pipeline(x):
-        y = run_chain(cascade, x)
-        y = run_chain(weighting, y)
-        return reverb.process(y)
+        return reverb.process(chain.process(x))
 
     x = jnp.asarray(rng.standard_normal((channels, n)), jnp.float32)
     dt = _timeit(pipeline, x)
     samples_per_sec = channels * n / dt
 
-    # scan-kernel roofline: the fused biquad path alone
+    # scan-kernel roofline: the cascade block engine alone, with its
+    # actual op count (B + 2d MACs/sample + truncated carry sweeps)
     @jax.jit
     def biquads(x):
-        return run_chain(weighting, run_chain(cascade, x))
+        return chain.process(x)
 
     dt_bq = _timeit(biquads, x)
-    sections = cascade.num_runtime_sections + weighting.num_runtime_sections
-    flops = 2.0 * channels * n * sections * 128  # Toeplitz MACs
+    from algodsp_tpu.ops import cascade as cascmod
+    B = chain.block_size
+    d = 2 * chain.num_runtime_sections + 2
+    K = n // B
+    sweeps = len(cascmod._sweep_mats(
+        np.ascontiguousarray(chain.runtime_sos).tobytes(),
+        chain.num_runtime_sections, B, K))
+    flops = 2.0 * channels * (n * (B + 2 * d) + K * d * d * sweeps)
     roofline_pct = 100.0 * (flops / dt_bq) / TPU_PEAKS["v5e"]["flops_f32"]
 
     go_rate = 1.0 / (15.0 / 1.283e8 + 1.0 / 1.76e7)
