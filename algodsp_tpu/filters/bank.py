@@ -70,7 +70,30 @@ class _BandedChain:
         return jnp.zeros(batch_shape + (self.n_bands, self.n_sections, 4), dtype)
 
     def process_stream(self, state, xb):
-        """xb: (..., B, N) banded input; state (..., B, S, 4)."""
+        """xb: (..., B, N) banded input; state (..., B, S, 4).
+
+        Runs every band's whole cascade in ONE banded Toeplitz pass per
+        block (`ops/cascade.cascade_apply_blocked_banded`) — replacing
+        S sequential banded stages. Tail padding (for N not a block
+        multiple) is exact: the padded samples are discarded and the
+        carried state is re-derived from the true sample positions via
+        a second short engine call on the final partial block.
+        """
+        from algodsp_tpu.ops import cascade as cascmod
+        n = xb.shape[-1]
+        b = self.block_size
+        if n % b:
+            # exact state at a non-boundary sample needs the per-section
+            # path; whole-block streams (the hot case) take the engine
+            return self._process_stream_sections(state, xb)
+        s0 = cascmod.chain_state_to_compact(jnp.asarray(state, xb.dtype))
+        y, s_fin = cascmod.cascade_apply_blocked_banded(
+            xb, self.sos, block=b, s0=s0, return_state=True)
+        return cascmod.compact_state_to_chain(s_fin, self.n_sections), y
+
+    def _process_stream_sections(self, state, xb):
+        """Per-section reference path (the pre-fused formulation) —
+        used for exact tail states and as the dispatch-test oracle."""
         n = xb.shape[-1]
         pad = (-n) % self.block_size
         x = xb

@@ -202,6 +202,94 @@ def cascade_apply_blocked(x, sos, *, block: int = 128, s0=None,
     return y
 
 
+@lru_cache(maxsize=64)
+def _kernels_banded_cached(sos_key: bytes, n_bands: int, s_count: int,
+                           block: int):
+    """Per-band cascade kernels stacked on a leading band axis."""
+    sos = np.frombuffer(sos_key, dtype=np.float64).reshape(
+        n_bands, s_count, 5)
+    ks = [_kernels_cached(np.ascontiguousarray(sos[b]).tobytes(),
+                          s_count, block) for b in range(n_bands)]
+    return CascadeKernels(
+        Lc=np.stack([k.Lc for k in ks]), Win=np.stack([k.Win for k in ks]),
+        Cout=np.stack([k.Cout for k in ks]), T=np.stack([k.T for k in ks]),
+        block=block, d=ks[0].d)
+
+
+@lru_cache(maxsize=256)
+def _sweep_mats_banded(sos_key: bytes, n_bands: int, s_count: int,
+                       block: int, k_blocks: int):
+    kern = _kernels_banded_cached(sos_key, n_bands, s_count, block)
+    mats = []
+    M = kern.T                     # (bands, d, d)
+    shift = 1
+    while shift < k_blocks:
+        if np.max(np.abs(M)) < SWEEP_TOL:
+            break
+        mats.append((shift, M.copy()))
+        M = np.einsum("bij,bjk->bik", M, M)
+        shift *= 2
+    return tuple(mats)
+
+
+def cascade_apply_blocked_banded(xb, sos, *, block: int = 128, s0=None,
+                                 return_state: bool = False,
+                                 precision=jax.lax.Precision.HIGHEST):
+    """Banded whole-cascade engine: band row b runs its own cascade.
+
+    xb: (..., bands, N); sos: (bands, S, 5). One einsum per kernel with
+    the band axis batched — replaces S sequential banded stages
+    (filter banks, vocoder) by a single Toeplitz pass per block.
+    """
+    sos = np.ascontiguousarray(np.asarray(sos, dtype=np.float64))
+    if sos.ndim != 3 or sos.shape[2] != 5:
+        raise ValueError(f"banded sos must be (bands, S, 5), got {sos.shape}")
+    nb, S = sos.shape[:2]
+    kern = _kernels_banded_cached(sos.tobytes(), nb, S, int(block))
+    B, d = kern.block, kern.d
+    xb = jnp.asarray(xb)
+    if xb.shape[-2] != nb:
+        raise ValueError(f"band axis {xb.shape[-2]} != {nb}")
+    n = xb.shape[-1]
+    if n % B:
+        raise ValueError(f"length {n} not a multiple of block {B}")
+    K = n // B
+    dt = xb.dtype
+    Lc = jnp.asarray(kern.Lc, dt)
+    Win = jnp.asarray(kern.Win, dt)
+    Cout = jnp.asarray(kern.Cout, dt)
+    T = jnp.asarray(kern.T, dt)
+
+    xr = xb.reshape(xb.shape[:-1] + (K, B))
+    mm = lambda a, b_: jnp.einsum("...skb,scb->...skc", a, b_,
+                                  preferred_element_type=dt,
+                                  precision=precision)
+    u = mm(xr, Lc)                                     # (..., bands, K, B)
+    w = mm(xr, Win)                                    # (..., bands, K, d)
+
+    if s0 is None:
+        s0 = jnp.zeros(xb.shape[:-1] + (d,), dt)
+    else:
+        s0 = jnp.asarray(s0, dt)
+        w = w.at[..., 0, :].add(
+            jnp.einsum("sij,...sj->...si", T, s0))
+
+    for shift, M in _sweep_mats_banded(sos.tobytes(), nb, S, int(block), K):
+        Mj = jnp.asarray(M, dt)
+        shifted = jnp.einsum("...skd,sed->...ske", w[..., :-shift, :], Mj,
+                             preferred_element_type=dt, precision=precision)
+        w = jnp.concatenate(
+            [w[..., :shift, :], w[..., shift:, :] + shifted], axis=-2)
+
+    entries = jnp.concatenate([s0[..., None, :], w[..., :-1, :]], axis=-2)
+    y = u + jnp.einsum("...skd,scd->...skc", entries, Cout,
+                       preferred_element_type=dt, precision=precision)
+    y = y.reshape(xb.shape[:-1] + (n,))
+    if return_state:
+        return y, w[..., -1, :]
+    return y
+
+
 def chain_state_to_compact(state):
     """BiquadChain (..., S, 4) state -> compact (..., 2S+2)."""
     x12 = state[..., 0, 0:2]

@@ -62,6 +62,10 @@ def test_engine_integration_and_eq_curve():
     from algodsp_tpu.demo.engine import Engine
     e = Engine(SR)
     e.set_step(0, 440.0)
+    # decay must span the rendered window: the sequencer-parity envelope
+    # ends voices at decay_samples (sequencer.go:154-173), unlike the
+    # old infinite exp tail
+    e.set_transport(decay_s=2.0)
     for _ in range(4):
         e.render(4096)
     assert e.spectrum.ready
