@@ -251,9 +251,25 @@ class BiquadChain:
             return y, s_final.reshape(c, self.num_runtime_sections, 4)
         return y
 
-    def process_stream(self, state, x, *, mode: str = "blocked"):
-        """Streaming block processing: (state, x) -> (state, y)."""
-        return self._run(jnp.asarray(x), state, mode=mode)
+    def process_stream(self, state, x, *, mode: str = "auto"):
+        """Streaming block processing: (state, x) -> (state, y).
+
+        mode "auto" routes whole-block streams through the
+        whole-cascade engine on TPU (exact, same state basis) and the
+        per-section blocked engine elsewhere."""
+        import jax
+        x = jnp.asarray(x)
+        if mode == "auto":
+            if (jax.default_backend() == "tpu" and self.block_size == 128
+                    and x.shape[-1] % self.block_size == 0
+                    and self.num_runtime_sections >= 2):
+                mode = "cascade"
+            else:
+                mode = "blocked"
+        if mode == "cascade":
+            y, st = self.process_cascade(x, state=state, return_state=True)
+            return st, y
+        return self._run(x, state, mode=mode)
 
     # -- analysis (host-side float64) ------------------------------------
     def response(self, freqs, sample_rate: float) -> np.ndarray:
