@@ -289,6 +289,43 @@ def roofline_main():
                    bytes_accessed=4.0 * 4 * 64 * (1 << 18))
     row("fftconvolve 2^17 x 2^17-tap, 64ch", m, "single big rfft pair")
 
+    # 7. whole-cascade block engine (ops/cascade.py) — its ACTUAL op
+    #    count: (B + 2d) MACs/sample + d^2 per block per kept sweep
+    from algodsp_tpu.ops import cascade as cascmod
+    sosc = np.concatenate([bq.runtime_sos, aw.runtime_sos])
+    chain = BiquadChain(sosc, condition=False)
+    Bc = chain.block_size
+    dd = 2 * chain.num_runtime_sections + 2
+    Kc = n // Bc
+    nsw = len(cascmod._sweep_mats(
+        np.ascontiguousarray(chain.runtime_sos).tobytes(),
+        chain.num_runtime_sections, Bc, Kc))
+    f7 = jax.jit(lambda x: chain.process(x, mode="cascade"))
+    m = measure_op(f7, x, reps=5,
+                   flops=2.0 * C * (n * (Bc + 2 * dd) + Kc * dd * dd * nsw),
+                   bytes_accessed=4.0 * 4 * C * n)
+    row(f"whole-cascade engine ({chain.num_runtime_sections} sections), "
+        f"8ch x 2^20", m,
+        f"one Toeplitz pass for all sections; {nsw} carry sweeps")
+
+    # 8. fused Pallas FDL conv kernel — actual matmul op count
+    from algodsp_tpu.ops import fdlconv
+    Bf = 1 << 14
+    Pf = -(-(1 << 17) // Bf)
+    hg = fdlconv.kernel_spectra(ir, Bf)
+    f8 = jax.jit(lambda x: fdlconv.fdl_conv_fused(x, hg, Bf))
+    n1 = 2 * Bf // 128
+    per_frame = (2 * (2 * n1) * n1 * 128      # fwd inner (stacked re/im)
+                 + 4 * 2 * n1 * 128 * 128     # fwd outer (4 matmuls)
+                 + 2 * 8 * n1 * 128 * Pf      # MAC (complex, P taps)
+                 + 4 * 2 * n1 * 128 * 128     # inv inner
+                 + 2 * 2 * (n1 // 2) * n1 * 128)  # inv outer (real half)
+    m = measure_op(f8, x5, reps=5,
+                   flops=float(per_frame) * C5 * (n5 // Bf),
+                   bytes_accessed=3.0 * 4 * C5 * n5)
+    row("fused Pallas FDL (matmul FFT+MAC+iFFT), 8ch x 2^20", m,
+        "HIGHEST-precision MXU matmuls; spectra never leave VMEM")
+
     print(f"\nBackend: {jax.default_backend()}\n")
     print("| Kernel | ms | TFLOP/s | % f32 peak | GB/s | % HBM | Notes |")
     print("|---|---:|---:|---:|---:|---:|---|")
