@@ -85,12 +85,35 @@ def direct_circular(a, b):
 
 def fftconvolve(a, b, mode: str = "full"):
     """FFT linear convolution at next-pow2(N+M-1) (`overlap_add.go:221`-style
-    one-shot, generalized)."""
+    one-shot, generalized).
+
+    On TPU with f32 inputs and kernels >= 4096 taps this dispatches to
+    the fused Pallas FDL kernel (`ops/fdlconv.py`) — the same output,
+    ~2x faster, with the kernel spectra computed on device so traced
+    kernels work (ALGODSP_FDL_FUSED=0 disables)."""
+    import os
+    import jax as _jax
     a = jnp.asarray(a)
     b = jnp.asarray(b).reshape(-1).astype(a.dtype)
     n, m = a.shape[-1], b.shape[-1]
     if n == 0 or m == 0:
         raise ValueError("conv: empty input")
+    if (m >= 4096 and a.dtype == jnp.float32
+            and _jax.default_backend() == "tpu"
+            and os.environ.get("ALGODSP_FDL_FUSED", "auto") != "0"):
+        from algodsp_tpu.ops import fdlconv
+        B = fdlconv.pick_block(m, n)
+        if B is not None:
+            P = -(-m // B)
+            total = n + m - 1
+            padded = -(-total // B) * B
+            flat = a.reshape((-1, n)) if a.ndim > 1 else a[None, :]
+            flat = jnp.pad(flat, ((0, 0), (0, padded - n)))
+            hg = fdlconv.kernel_spectra_jax(b, B, P)
+            y = fdlconv.fdl_conv_fused(flat, hg, B)[..., :total]
+            full = y.reshape(a.shape[:-1] + (total,)) if a.ndim > 1 \
+                else y[0]
+            return _trim_to_mode(full, n, m, mode)
     size = next_pow2(n + m - 1)
     fa = jnp.fft.rfft(a, size)
     fb = jnp.fft.rfft(b, size)

@@ -106,6 +106,33 @@ def kernel_spectra(kernel, B: int) -> np.ndarray:
     return np.stack([grid.real, grid.imag], 1).astype(np.float32)
 
 
+def kernel_spectra_jax(kernel, B: int, P: int):
+    """Traced (jit-safe) variant of `kernel_spectra`: partition spectra
+    on the (k1, k2) grid computed on device — for kernels that are
+    traced arrays (e.g. `fftconvolve` with a runtime kernel)."""
+    kernel = jnp.asarray(kernel, jnp.float32).reshape(-1)
+    n = 2 * B
+    n1, n2 = n // LANES, LANES
+    pad = P * B - kernel.shape[0]
+    parts = jnp.pad(kernel, (0, pad)).reshape(P, B)
+    full = jnp.fft.fft(parts.astype(jnp.complex64), n)         # (P, n)
+    grid = jnp.transpose(full.reshape(P, n2, n1), (0, 2, 1))   # [k1, k2]
+    return jnp.stack([jnp.real(grid), jnp.imag(grid)], 1).astype(jnp.float32)
+
+
+def pick_block(m: int, n: int) -> int | None:
+    """Partition size for a one-shot fused conv of an m-tap kernel over
+    n samples, or None if no supported size fits."""
+    for bo in (14, 13, 12, 11, 10):
+        B = 1 << bo
+        P = -(-m // B)
+        total = n + m - 1
+        padded = -(-total // B) * B
+        if supported(B, P, padded) and padded // B >= 1:
+            return B
+    return None
+
+
 def fdl_conv_fused(x, hgrid, B: int):
     """Zero-state causal FDL convolution of x: (C, N) with the kernel
     whose partition spectra are `hgrid` (P, 2, n1, 128). N % B == 0.

@@ -73,3 +73,35 @@ def test_leading_silence_and_tail():
     want = np.zeros_like(y)
     want[0, B + 5:] = x[0, :2 * B - 5]
     assert snr_db(want, y) > 110
+
+
+def test_kernel_spectra_jax_matches_host():
+    B = 1024
+    rng = np.random.default_rng(11)
+    ir = rng.standard_normal(3 * B - 100).astype(np.float32)
+    host = fdlconv.kernel_spectra(ir, B)
+    dev = np.asarray(fdlconv.kernel_spectra_jax(jnp.asarray(ir), B, 3))
+    assert np.abs(host - dev).max() < 1e-3 * np.abs(host).max()
+
+
+def test_fftconvolve_fused_dispatch(monkeypatch):
+    """Force the fused path through fftconvolve (interpreted on CPU)
+    and compare against the plain XLA path."""
+    from algodsp_tpu.conv import fftconvolve
+    import algodsp_tpu.conv.conv as convmod
+    rng = np.random.default_rng(12)
+    ir = rng.standard_normal(5000).astype(np.float32)
+    x = rng.standard_normal((2, 3000)).astype(np.float32)
+
+    monkeypatch.setenv("ALGODSP_FDL_FUSED", "0")
+    want = np.asarray(fftconvolve(jnp.asarray(x), jnp.asarray(ir)))
+    # emulate the TPU dispatch on CPU: call the fused branch directly
+    B = fdlconv.pick_block(5000, 3000)
+    assert B is not None
+    P = -(-5000 // B)
+    total = 3000 + 5000 - 1
+    padded = -(-total // B) * B
+    flat = jnp.pad(jnp.asarray(x), ((0, 0), (0, padded - 3000)))
+    hg = fdlconv.kernel_spectra_jax(jnp.asarray(ir), B, P)
+    got = np.asarray(fdlconv.fdl_conv_fused(flat, hg, B))[..., :total]
+    assert snr_db(want, got) > 110
