@@ -112,6 +112,21 @@ class PartitionedConvolver:
         if n % B:
             raise ValueError(
                 f"partitioned: length {n} not a multiple of block {B}")
+        # Long-IR fast path: the FDL state spans P*B >= kernel_len input
+        # samples, so an exact continuation equals a ZERO-STATE bulk
+        # convolution over [recovered history || x] with the first P*B
+        # outputs discarded — which rides the fused Pallas kernel.
+        # Engaged when the bulk recompute overhead is bounded (n >= P*B).
+        mode = os.environ.get("ALGODSP_FDL_FUSED", "auto")
+        batch_rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+        # wide batches keep the depthwise path unless the call is long
+        # enough to amortize the P*B-sample history recompute (measured
+        # crossover: 8ch 22.6 -> 5.6 ms, 64ch needs n >> P*B)
+        if (P >= 16 and n >= P * B and x.dtype == jnp.float32
+                and (batch_rows < 32 or n >= 4 * P * B)
+                and (mode == "1" or (mode != "0" and
+                                     jax.default_backend() == "tpu"))):
+            return self._process_stream_rehistory(state, x)
         k = n // B
         batch = x.shape[:-1]
         ext = jnp.concatenate([state["tail"].astype(x.dtype), x], axis=-1)
@@ -147,6 +162,34 @@ class PartitionedConvolver:
         y = y.reshape(batch + (n,))
 
         new_fdl = jnp.flip(seq[..., -P:, :, :], axis=-3).astype(state["fdl"].dtype)
+        return {"fdl": new_fdl, "tail": x[..., -B:]}, y
+
+    def _process_stream_rehistory(self, state, x):
+        """Streaming continuation as a zero-state bulk call.
+
+        The state's FDL holds the spectra of the last P frames, whose
+        kept halves are exactly the last P*B input samples — at least
+        one kernel span. Since no older sample can reach the output,
+        conv([history || x])[P*B:] IS the exact continuation. History
+        is recovered by one batched irfft; the new state re-frames the
+        combined signal's last P frames with one batched rfft."""
+        B, P = self.block, self.num_parts
+        batch = x.shape[:-1]
+        spec = jax.lax.complex(state["fdl"][..., 0], state["fdl"][..., 1])
+        frames = jnp.fft.irfft(spec, self.fft_size)        # (..., P, 2B)
+        # fdl index 0 = newest frame; kept half = that block's samples
+        hist = jnp.flip(frames[..., B:], axis=-2).reshape(
+            batch + (P * B,)).astype(x.dtype)              # oldest first
+        combined = jnp.concatenate([hist, x], axis=-1)
+        y = self.process(combined)[..., P * B:]
+        # rebuild the FDL state from the last (P+1) blocks
+        seg = combined[..., -(P + 1) * B:]
+        new_frames = jnp.stack(
+            [seg[..., (P - 1 - i) * B:(P + 1 - i) * B] for i in range(P)],
+            axis=-2)                                       # newest first
+        new_spec = rfft_batched(new_frames, self.fft_size)
+        new_fdl = jnp.stack([jnp.real(new_spec), jnp.imag(new_spec)],
+                            axis=-1).astype(state["fdl"].dtype)
         return {"fdl": new_fdl, "tail": x[..., -B:]}, y
 
     def _bulk_spectra(self, block_order: int) -> np.ndarray:

@@ -105,3 +105,39 @@ def test_fftconvolve_fused_dispatch(monkeypatch):
     hg = fdlconv.kernel_spectra_jax(jnp.asarray(ir), B, P)
     got = np.asarray(fdlconv.fdl_conv_fused(flat, hg, B))[..., :total]
     assert snr_db(want, got) > 110
+
+
+def test_process_stream_rehistory_continuation(monkeypatch):
+    """The rehistory streaming fast path must continue exactly where a
+    previous call left off and return a reusable state."""
+    monkeypatch.setenv("ALGODSP_FDL_FUSED", "1")
+    B = 128
+    P = 16
+    rng = np.random.default_rng(21)
+    ir = (rng.standard_normal(P * B - 30) *
+          np.exp(-np.arange(P * B - 30) / 600.0)).astype(np.float32)
+    conv = PartitionedConvolver(ir, 7)     # block 128
+    assert conv.num_parts == P
+    N = P * B                              # minimum fast-path length
+    x = rng.standard_normal((2, 3 * N)).astype(np.float32)
+    xj = jnp.asarray(x)
+
+    st = conv.init_state((2,))
+    st, y1 = conv.process_stream(st, xj[..., :N])
+    st, y2 = conv.process_stream(st, xj[..., N:2 * N])
+    st, y3 = conv.process_stream(st, xj[..., 2 * N:])
+    got = np.concatenate([np.asarray(y1), np.asarray(y2), np.asarray(y3)],
+                         axis=-1)
+    want = np.stack([np.convolve(xi.astype(np.float64),
+                                 ir.astype(np.float64))[:3 * N]
+                     for xi in x])
+    assert snr_db(want, got) > 100
+
+    # and the state interoperates with the depthwise streaming path
+    monkeypatch.setenv("ALGODSP_FDL_FUSED", "0")
+    st2 = conv.init_state((2,))
+    st2, z1 = conv.process_stream(st2, xj[..., :N])
+    monkeypatch.setenv("ALGODSP_FDL_FUSED", "1")
+    st2, z2 = conv.process_stream(st2, xj[..., N:2 * N])
+    got2 = np.concatenate([np.asarray(z1), np.asarray(z2)], axis=-1)
+    assert snr_db(want[..., :2 * N], got2) > 100
