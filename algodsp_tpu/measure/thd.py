@@ -207,7 +207,8 @@ def analyze_channels(x, cfg: THDConfig, *, max_harmonics: int = 32):
     fft_size = cfg.fft_size if cfg.fft_size > 0 else next_pow2(n)
     sample_rate = cfg.sample_rate if cfg.sample_rate > 0 else float(fft_size)
     coeffs = jnp.asarray(win.generate(cfg.window_type, n), x.dtype)
-    spec = jnp.fft.rfft(x * coeffs, fft_size)
+    from algodsp_tpu.ops.packfft import rfft_batched
+    spec = rfft_batched(x * coeffs, fft_size)
     mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2)  # (C, bins)
     bins = mag.shape[-1]
     max_bin = bins - 1

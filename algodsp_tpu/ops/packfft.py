@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -85,17 +86,129 @@ def _use_packing(x) -> bool:
             and x.ndim >= 2 and x.shape[-2] >= 2)
 
 
+# ---------------------------------------------------------------------------
+# Bailey 4-step matmul FFT (natural bin order)
+#
+# XLA's TPU FFT reaches only ~14% of HBM bandwidth; re-expressing the
+# DFT as n = n1 x 128 matmul stages puts the butterflies on the MXU.
+# Measured at (520, 32768) f32 on v5e: 2.26 ms in-graph vs 3.35 ms for
+# jnp.fft.rfft (1.49x) at BETTER accuracy (139.7 vs 130.3 dB vs f64 —
+# HIGHEST-precision matmuls beat the f32 butterfly cascade's rounding).
+# Arithmetic grows as sqrt(n) per sample, so the dispatch engages only
+# for the sizes where the MXU win beats the extra FLOPs (2^15..2^16).
+# ---------------------------------------------------------------------------
+
+_MX_MIN_N = 1 << 15
+_MX_MAX_N = 1 << 16
+_MX_LANES = 128
+
+
+_lru_cache_plans: dict = {}
+
+
+def _mx_plan(n: int):
+    plan = _lru_cache_plans.get(n)
+    if plan is not None:
+        return plan
+    import numpy as np
+    n2 = _MX_LANES
+    n1 = n // n2
+    j1 = np.arange(n1)
+    j2 = np.arange(n2)
+    F1 = np.exp(-2j * np.pi * np.outer(j1, j1) / n1)
+    F1s = np.concatenate([F1.real, F1.imag], 0).astype(np.float32)
+    T = np.exp(-2j * np.pi * np.outer(j1, j2) / n)
+    k2 = np.arange(n2 // 2 + 1)
+    F2 = np.exp(-2j * np.pi * np.outer(j2, k2) / n2)
+    # inverse: full-grid 4-step, 1/n folded into E1
+    E2 = np.exp(2j * np.pi * np.outer(j2, j2) / n2)
+    E1 = np.exp(2j * np.pi * np.outer(j1, j1) / n1) / n
+    f32 = lambda a: jnp.asarray(np.ascontiguousarray(a, np.float32))
+    plan = (n1, n2, f32(F1s), f32(T.real), f32(T.imag),
+            f32(F2.real), f32(F2.imag),
+            f32(E2.real), f32(E2.imag), f32(E1.real), f32(E1.imag))
+    _lru_cache_plans[n] = plan
+    return plan
+
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def rfft_mx(x, n: int):
+    """Natural-order rfft via the 4-step matmul factorization.
+
+    x: (..., m) real f32, m <= n, n = n1*128 pow2.
+    Returns (..., n//2 + 1) complex64, bit-order identical to
+    jnp.fft.rfft (the (k1,k2) grid is transposed back)."""
+    n1, n2, F1s, Tr, Ti, F2r, F2i, *_ = _mx_plan(n)
+    x = jnp.asarray(x, jnp.float32)
+    m = x.shape[-1]
+    if m < n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - m)])
+    lead = x.shape[:-1]
+    xr = x.reshape(lead + (n1, n2))
+    Y = jnp.einsum("Ka,...ab->...Kb", F1s, xr, precision=_HI)
+    Yr, Yi = Y[..., :n1, :], Y[..., n1:, :]
+    Zr = Yr * Tr - Yi * Ti
+    Zi = Yr * Ti + Yi * Tr
+    Xr = (jnp.einsum("...Kb,bC->...KC", Zr, F2r, precision=_HI)
+          - jnp.einsum("...Kb,bC->...KC", Zi, F2i, precision=_HI))
+    Xi = (jnp.einsum("...Kb,bC->...KC", Zr, F2i, precision=_HI)
+          + jnp.einsum("...Kb,bC->...KC", Zi, F2r, precision=_HI))
+    F = n // 2 + 1
+    Xr = jnp.swapaxes(Xr, -1, -2).reshape(lead + (-1,))[..., :F]
+    Xi = jnp.swapaxes(Xi, -1, -2).reshape(lead + (-1,))[..., :F]
+    return jax.lax.complex(Xr, Xi)
+
+
+def irfft_mx(spec, n: int):
+    """Natural-order irfft via the 4-step matmul factorization.
+
+    spec: (..., n//2+1) complex; returns (..., n) real f32."""
+    n1, n2, _, Tr, Ti, _, _, E2r, E2i, E1r, E1i = _mx_plan(n)
+    spec = jnp.asarray(spec)
+    # full Hermitian spectrum, then onto the (k1, k2) grid
+    mid = jnp.conj(jnp.flip(spec[..., 1:-1], axis=-1))
+    full = jnp.concatenate([spec, mid], axis=-1)          # (..., n)
+    lead = full.shape[:-1]
+    grid = jnp.swapaxes(full.reshape(lead + (n2, n1)), -1, -2)
+    Gr = jnp.real(grid).astype(jnp.float32)
+    Gi = jnp.imag(grid).astype(jnp.float32)
+    Ar = (jnp.einsum("...Kb,bC->...KC", Gr, E2r, precision=_HI)
+          - jnp.einsum("...Kb,bC->...KC", Gi, E2i, precision=_HI))
+    Ai = (jnp.einsum("...Kb,bC->...KC", Gr, E2i, precision=_HI)
+          + jnp.einsum("...Kb,bC->...KC", Gi, E2r, precision=_HI))
+    Br = Ar * Tr + Ai * Ti
+    Bi = Ai * Tr - Ar * Ti
+    y = (jnp.einsum("Ja,...ab->...Jb", E1r, Br, precision=_HI)
+         - jnp.einsum("Ja,...ab->...Jb", E1i, Bi, precision=_HI))
+    return y.reshape(lead + (n,))
+
+
+def _use_mx(x, n: int) -> bool:
+    return (os.environ.get("ALGODSP_MXFFT", "auto") != "0"
+            and jax.default_backend() == "tpu"
+            and _MX_MIN_N <= n <= _MX_MAX_N
+            and n % _MX_LANES == 0 and (n & (n - 1)) == 0
+            and x.ndim >= 2 and int(np.prod(x.shape[:-1])) >= 8)
+
+
 def rfft_batched(x, n: int):
-    """rfft along the last axis; packs row pairs on TPU."""
+    """rfft along the last axis: 4-step matmul FFT for the sizes/batches
+    where the MXU wins on TPU, packing if opted in, else jnp.fft."""
     x = jnp.asarray(x)
+    if x.dtype == jnp.float32 and _use_mx(x, n):
+        return rfft_mx(x, n)
     if _use_packing(x):
         return rfft_packed(x, n)
     return jnp.fft.rfft(x, n)
 
 
 def irfft_batched(spec, n: int):
-    """irfft along the last axis; packs row pairs on TPU."""
+    """irfft along the last axis; dispatch mirror of `rfft_batched`."""
     spec = jnp.asarray(spec)
+    if spec.dtype == jnp.complex64 and _use_mx(spec, n):
+        return irfft_mx(spec, n)
     if _use_packing(spec):
         return irfft_packed(spec, n)
     return jnp.fft.irfft(spec, n)

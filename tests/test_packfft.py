@@ -62,3 +62,28 @@ def test_1d_input_dispatch():
     x = rng.standard_normal(128)
     got = np.asarray(rfft_batched(jnp.asarray(x), 128))
     assert np.abs(got - np.fft.rfft(x, 128)).max() < 1e-10
+
+
+@pytest.mark.parametrize("m", [32768, 30000])
+def test_rfft_mx_matches_numpy(m):
+    from algodsp_tpu.ops.packfft import rfft_mx
+    n = 32768
+    rng = np.random.default_rng(m)
+    x = rng.standard_normal((4, m)).astype(np.float32)
+    got = np.asarray(rfft_mx(jnp.asarray(x), n))
+    want = np.fft.rfft(x.astype(np.float64), n)
+    snr = -20 * np.log10(np.linalg.norm(got - want) / np.linalg.norm(want))
+    assert snr > 120
+
+
+def test_irfft_mx_roundtrip():
+    from algodsp_tpu.ops.packfft import rfft_mx, irfft_mx
+    n = 32768
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((4, n)).astype(np.float32)
+    spec = rfft_mx(jnp.asarray(x), n)
+    back = np.asarray(irfft_mx(spec, n))
+    assert snr_db(x, back) > 110
+    # and against numpy's irfft of the same spectrum
+    want = np.fft.irfft(np.asarray(spec), n)
+    assert snr_db(want, back) > 110
