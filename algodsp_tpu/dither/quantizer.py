@@ -170,7 +170,21 @@ class Quantizer:
         return amp * (u - 1.5)
 
     def process(self, state, x):
-        """(state, x in [-1,1]) -> (state, quantized float)."""
+        """(state, x in [-1,1]) -> (state, quantized float).
+
+        Float output is `(code + 0.5) * bit_div` (`quantizer.go:118-120`).
+        """
+        state, q = self._process_codes(state, x)
+        dtype = jnp.asarray(x).dtype
+        return state, (q + 0.5) * jnp.asarray(self.bit_div, dtype)
+
+    def process_integer(self, state, x):
+        """(state, x in [-1,1]) -> (state, int32 codes in the bit-depth
+        range) — `Quantizer.ProcessInteger` (`quantizer.go:95-114`)."""
+        state, q = self._process_codes(state, x)
+        return state, q.astype(jnp.int32)
+
+    def _process_codes(self, state, x):
         x = jnp.asarray(x)
         n = x.shape[-1]
         order = self.shaper_coeffs.size
@@ -182,8 +196,7 @@ class Quantizer:
             q = jnp.floor(scaled + noise)
             if self.limit:
                 q = jnp.clip(q, self.limit_lo, self.limit_hi)
-            return ({"err": state["err"], "key": key},
-                    (q + 0.5) * jnp.asarray(self.bit_div, x.dtype))
+            return ({"err": state["err"], "key": key}, q)
 
         coeffs = jnp.asarray(self.shaper_coeffs, x.dtype)
         seq = jnp.moveaxis(jnp.stack([scaled, noise], axis=-1), -2, 0)
@@ -200,5 +213,4 @@ class Quantizer:
 
         hist, qs = jax.lax.scan(step, state["err"], seq)
         q = jnp.moveaxis(qs, 0, -1)
-        return ({"err": hist, "key": key},
-                (q + 0.5) * jnp.asarray(self.bit_div, x.dtype))
+        return ({"err": hist, "key": key}, q)

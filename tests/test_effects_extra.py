@@ -284,3 +284,19 @@ def test_wsola_batched_matches_mono():
     yb = np.asarray(ws.process(jnp.asarray(np.stack([x0, x1]))))
     np.testing.assert_array_equal(yb[0], np.asarray(ws.process(jnp.asarray(x0))))
     np.testing.assert_array_equal(yb[1], np.asarray(ws.process(jnp.asarray(x1))))
+
+
+def test_quantizer_process_integer_codes():
+    """Integer codes obey `ProcessInteger` (`quantizer.go:95-119`):
+    float output == (code + 0.5) * bit_div, codes within range."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(-1.0, 1.0, 512))
+    q = Quantizer(SR, bit_depth=8, preset=Preset.FC3,
+                  dither_type=DitherType.TRIANGULAR, seed=11)
+    s0 = q.init_state(dtype=jnp.float64)
+    _, codes = q.process_integer(s0, x)
+    _, y = q.process(s0, x)
+    assert codes.dtype == jnp.int32
+    np.testing.assert_allclose(
+        np.asarray(y), (np.asarray(codes) + 0.5) * q.bit_div, rtol=0, atol=0)
+    assert int(codes.min()) >= q.limit_lo and int(codes.max()) <= q.limit_hi
