@@ -121,9 +121,10 @@ class PartitionedConvolver:
         batch_rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
         # wide batches keep the depthwise path unless the call is long
         # enough to amortize the P*B-sample history recompute (measured
-        # crossover: 8ch 22.6 -> 5.6 ms, 64ch needs n >> P*B)
+        # v5e crossovers: 8ch 22.6 -> 5.6 ms at n=P*B; 64ch ties at
+        # n=P*B and wins from 2*P*B up — 23.8 vs 28.3 ms at 2^18)
         if (P >= 16 and n >= P * B and x.dtype == jnp.float32
-                and (batch_rows < 32 or n >= 4 * P * B)
+                and (batch_rows < 32 or n >= 2 * P * B)
                 and (mode == "1" or (mode != "0" and
                                      jax.default_backend() == "tpu"))):
             return self._process_stream_rehistory(state, x)
