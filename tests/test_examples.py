@@ -13,7 +13,9 @@ EX_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
 EXAMPLES = ["spectrum_analysis", "mastering_chain", "room_measurement",
             "sharded_analysis", "dynamics_metering", "thd_measurement",
-            "octave_analyzer"]
+            "octave_analyzer", "goertzel_detect", "resampling", "loudness_meter",
+            "crossover_multiband", "effect_chain_graph", "delay_estimation",
+            "hilbert_envelope"]
 
 
 @pytest.mark.parametrize("name", EXAMPLES)
