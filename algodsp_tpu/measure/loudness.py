@@ -63,11 +63,23 @@ class Meter:
     """Multi-channel loudness meter with explicit streaming state."""
 
     def __init__(self, sample_rate: float = 48000.0, channels: int = 2,
-                 *, max_blocks: int = 36000, true_peak: bool = True):
+                 *, max_blocks: int = 36000, true_peak: bool = True,
+                 channel_weights=None):
         if sample_rate <= 0 or channels <= 0:
             raise ValueError("loudness: invalid sample rate / channels")
         self.sample_rate = sample_rate
         self.channels = channels
+        # BS.1770-4 channel weights G_i (1.0 front, 1.41 surround);
+        # the reference meter weighs all channels equally (meter.go:80-93)
+        if channel_weights is None:
+            self.channel_weights = np.ones(channels)
+        else:
+            self.channel_weights = np.asarray(channel_weights, np.float64)
+            if self.channel_weights.shape != (channels,):
+                raise ValueError(
+                    f"loudness: channel_weights must have shape ({channels},)")
+            if np.any(self.channel_weights < 0):
+                raise ValueError("loudness: channel weights must be >= 0")
         q = 1.0 / math.sqrt(2.0)
         sos = np.stack([rbj.high_shelf(K_SHELF_FREQ, K_SHELF_GAIN, q, sample_rate),
                         rbj.highpass(K_HPF_FREQ, q, sample_rate)])
@@ -120,7 +132,8 @@ class Meter:
         dtype = state["history"].dtype
         xw = x.astype(dtype)
         fstate, weighted = self.k_chain.process_stream(state["filters"], xw)
-        sq = weighted * weighted
+        sq = weighted * weighted \
+            * jnp.asarray(self.channel_weights, dtype)[:, None]
         history = jnp.concatenate([state["history"], sq],
                                   axis=-1)[..., -self.short_win:]
         peaks = jnp.maximum(state["peaks"],
