@@ -84,6 +84,11 @@ class DemoServer:
         self.ring = (native.RingBuffer(cap) if native.available()
                      else _FallbackRing(cap))
         self._engine_lock = threading.Lock()
+        # the native ring is single-producer/single-consumer: serialize
+        # the two writer call sites (producer thread + pull top-up) and
+        # the reader side (ThreadingHTTPServer handlers run concurrently)
+        self._write_lock = threading.Lock()
+        self._read_lock = threading.Lock()
         self._stop = threading.Event()
         self._producer = threading.Thread(target=self._produce, daemon=True)
         self._httpd = ThreadingHTTPServer((host, port), self._handler_class())
@@ -95,7 +100,8 @@ class DemoServer:
             if self.ring.writable >= _BLOCK:
                 with self._engine_lock:
                     block = self.engine.render(_BLOCK)
-                self.ring.write(block)
+                with self._write_lock:
+                    self.ring.write(block)
             else:
                 self._stop.wait(0.002)
 
@@ -105,14 +111,17 @@ class DemoServer:
         if the producer is behind."""
         out = np.empty(n, np.float32)
         got = 0
-        while got < n and not self._stop.is_set():
-            chunk = self.ring.read(n - got)
-            if chunk.size:
-                out[got:got + chunk.size] = chunk
-                got += chunk.size
-            else:
-                with self._engine_lock:
-                    self.ring.write(self.engine.render(_BLOCK))
+        with self._read_lock:
+            while got < n and not self._stop.is_set():
+                chunk = self.ring.read(n - got)
+                if chunk.size:
+                    out[got:got + chunk.size] = chunk
+                    got += chunk.size
+                else:
+                    with self._engine_lock:
+                        block = self.engine.render(_BLOCK)
+                    with self._write_lock:
+                        self.ring.write(block)
         return out[:got] if got < n else out
 
     # -- lifecycle --------------------------------------------------------

@@ -37,6 +37,11 @@ class WSOLAPitchShifter:
         self.sequence = max(int(sequence_ms * 1e-3 * sample_rate), 32)
         self.overlap = max(int(overlap_ms * 1e-3 * sample_rate), 8)
         self.seek = max(int(seek_window_ms * 1e-3 * sample_rate), 4)
+        # reference contract (`pitch_shifter.go:257-268`): ov < seq
+        if self.overlap >= self.sequence:
+            raise ValueError(
+                f"wsola: overlap must be smaller than sequence: "
+                f"overlap={overlap_ms} sequence={sequence_ms} ms")
         self.resample_quality = resample_quality
 
     def set_pitch_semitones(self, semitones: float):
@@ -61,8 +66,6 @@ class WSOLAPitchShifter:
         n = x.shape[-1]
         seq, ov, seek = self.sequence, self.overlap, self.seek
         flat = seq - ov
-        if ov > flat:
-            raise ValueError("wsola: overlap must not exceed sequence-overlap")
         out_segments = max(int((n - seq - seek) / (flat * rate)), 1)
 
         # nominal input positions per segment (static)
@@ -112,32 +115,29 @@ class WSOLAPitchShifter:
         segments = jax.vmap(lambda st: slice_rows(st, seq))(starts)
         segments = jnp.moveaxis(segments, 0, 1)                 # (C, S, seq)
 
-        # cross-fades: each segment fades in over its first ov samples
-        # (except the first) and fades out over its last ov (except the
-        # last), so overlapping regions sum to a constant-power blend
+        # overlap-add as the reference's sequential tail crossfade
+        # (`pitch_shifter.go:328-337`): each step crossfades the last ov
+        # samples of the output so far with the new segment's head, then
+        # appends the remaining flat samples. Correct for ANY ov < seq
+        # (ov > flat re-fades carried samples, exactly like the Go loop);
+        # identical to fixed-window neighbor OLA when ov <= flat.
         S = out_segments
         fade_in = jnp.asarray(np.linspace(0.0, 1.0, ov, endpoint=False),
                               x.dtype)
         fade_out = 1.0 - fade_in
-        fade_tail = jnp.ones((S, seq), x.dtype)
-        fade_tail = fade_tail.at[:-1, seq - ov:].set(fade_out)
-        fade_head = jnp.ones((S, seq), x.dtype)
-        fade_head = fade_head.at[1:, :ov].set(fade_in)
-        shaped = segments * fade_tail * fade_head               # (C, S, seq)
 
-        # overlap-add via reshape: hop = flat, overlap only with neighbors
-        out_len = (S - 1) * flat + seq
-        heads = shaped[..., :flat].reshape(C, S * flat)
-        tails = shaped[..., flat:]                              # (C, S, ov)
-        tails = jnp.concatenate(
-            [tails, jnp.zeros((C, S, flat - ov), x.dtype)], axis=-1)
-        tails = jnp.concatenate(
-            [jnp.zeros((C, flat), x.dtype), tails.reshape(C, S * flat)],
-            axis=-1)
+        def ola_step(carry, seg):                    # carry (C, ov)
+            t = fade_out * carry + fade_in * seg[:, :ov]
+            full = jnp.concatenate([t, seg[:, ov:]], axis=-1)   # (C, seq)
+            return full[:, flat:], full[:, :flat]
+        seg0 = segments[:, 0]
+        carry, emitted = jax.lax.scan(
+            ola_step, seg0[:, flat:], jnp.moveaxis(segments[:, 1:], 1, 0))
         out = jnp.concatenate(
-            [heads, jnp.zeros((C, ov), x.dtype)], axis=-1) \
-            + tails[:, :out_len]
-        return out.reshape(batch + (out_len,))
+            [seg0[:, :flat],
+             jnp.moveaxis(emitted, 0, 1).reshape(C, (S - 1) * flat),
+             carry], axis=-1)                        # ((S-1)*flat + seq,)
+        return out.reshape(batch + (out.shape[-1],))
 
     def process(self, x):
         """One-shot pitch shift, output length == input length."""

@@ -53,6 +53,7 @@ class BiquadChain:
         self.sos = sos_array(sos)
         self.gain = float(gain)
         self.block_size = int(block_size)
+        self._condition = bool(condition)
         # Runtime coefficients: ill-conditioned real-pole sections are
         # split into first-order pairs so the blocked algebra stays
         # accurate in f32 (see linrec.condition_sos). `self.sos` keeps
@@ -81,10 +82,14 @@ class BiquadChain:
 
     def update_coefficients(self, sos, gain: float | None = None) -> "BiquadChain":
         """Return a new chain with swapped coefficients. State objects
-        remain valid when the section count is unchanged — the analog of
-        the reference's state-preserving hot swap (`chain.go:99-114`)."""
+        remain valid when the RUNTIME section count is unchanged — the
+        analog of the reference's state-preserving hot swap
+        (`chain.go:99-114`); `process_stream` rejects a stale state
+        whose section count no longer matches. Conditioning mode is
+        preserved."""
         return BiquadChain(sos, gain=self.gain if gain is None else gain,
-                           block_size=self.block_size)
+                           block_size=self.block_size,
+                           condition=self._condition)
 
     # -- state ------------------------------------------------------------
     def init_state(self, batch_shape: tuple[int, ...] = (), dtype=jnp.float32):
@@ -132,12 +137,11 @@ class BiquadChain:
         y_out = x[..., :n] if pad else x
         return jnp.stack(new_states, axis=-2), y_out
 
-    @staticmethod
-    def _pick_folds(channels: int, n: int) -> int:
+    def _pick_folds(self, channels: int, n: int) -> int:
         """Largest fold factor F such that C*F <= 128 lanes, N % F == 0,
-        and the fold length stays a 128-block multiple."""
+        and the fold length stays a block-size multiple."""
         f = max(128 // max(channels, 1), 1)
-        while f > 1 and (n % f or (n // f) % 128):
+        while f > 1 and (n % f or (n // f) % self.block_size):
             f //= 2
         return f
 
@@ -259,6 +263,13 @@ class BiquadChain:
         per-section blocked engine elsewhere."""
         import jax
         x = jnp.asarray(x)
+        state = jnp.asarray(state)
+        if state.shape[-2:] != (self.num_runtime_sections, 4):
+            raise ValueError(
+                f"biquad: state has {state.shape[-2:]} trailing dims, chain "
+                f"needs ({self.num_runtime_sections}, 4) — after a "
+                f"coefficient hot-swap the runtime section count must "
+                f"match (chain.go:99-114 contract)")
         if mode == "auto":
             if (jax.default_backend() == "tpu" and self.block_size == 128
                     and x.shape[-1] % self.block_size == 0

@@ -161,11 +161,12 @@ class Meter:
         energies = (jnp.take(cs, starts_c + self.block_len)
                     - jnp.take(cs, starts_c)) / self.block_len
         n_new = jnp.sum(valid.astype(jnp.int32))
-        # masked append: invalid slots re-write the value already there
-        pos = jnp.clip(jnp.where(valid, b_idx, 0), 0, self.max_blocks - 1)
-        current = jnp.take(state["block_energies"], pos)
-        write = jnp.where(valid, energies, current)
-        block_energies = state["block_energies"].at[pos].set(write)
+        # masked append: invalid slots scatter out of bounds and are
+        # dropped (duplicate-index .at[].set ordering is undefined, so
+        # aliasing them onto a real slot would be nondeterministic)
+        pos = jnp.where(valid, b_idx, jnp.int32(self.max_blocks))
+        block_energies = state["block_energies"].at[pos].set(
+            energies, mode="drop")
         block_count = jnp.minimum(bc + n_new, self.max_blocks)
 
         new_state = {
@@ -193,6 +194,24 @@ class Meter:
             sample_peaks=peaks,
             true_peaks=true_peaks)
 
+    def flush_true_peak(self, state):
+        """Final true-peak value including the oversampler's tail.
+
+        The 4x polyphase filter delays its output by ~taps/2 input
+        samples, so inter-sample peaks in the last few input samples
+        have not yet appeared in any `process` call's oversampled
+        stream. Feeding one filter-memory's worth of zeros flushes
+        them; call once at end-of-measurement (one-shot `measure` does).
+        """
+        if not self.true_peak:
+            return state["true_peaks"]
+        hist = state["tp_hist"]
+        zeros = jnp.zeros((self.channels, self._tp_resampler.max_phase_len),
+                          hist.dtype)
+        _, up = self._tp_resampler.process_stream(hist, zeros)
+        return jnp.maximum(state["true_peaks"],
+                           jnp.max(jnp.abs(up), axis=-1))
+
     def _integrated(self, energies, count):
         """Two-stage gated mean (`meter.go:245-295`) as masked reductions."""
         have = jnp.arange(self.max_blocks) < count
@@ -219,7 +238,9 @@ def measure(x, sample_rate: float = 48000.0,
                   max_blocks=max(x.shape[-1] // meter_step(sample_rate) + 2, 16),
                   true_peak=true_peak)
     state = meter.init_state(dtype=jnp.float64)
-    _, reading = meter.process(state, x)
+    state, reading = meter.process(state, x)
+    if true_peak:
+        reading = reading._replace(true_peaks=meter.flush_true_peak(state))
     return reading
 
 

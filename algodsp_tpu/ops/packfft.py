@@ -25,6 +25,7 @@ Exactness: untangling is pure arithmetic — results match
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -103,13 +104,13 @@ _MX_MAX_N = 1 << 16
 _MX_LANES = 128
 
 
-_lru_cache_plans: dict = {}
-
-
+@functools.lru_cache(maxsize=8)
 def _mx_plan(n: int):
-    plan = _lru_cache_plans.get(n)
-    if plan is not None:
-        return plan
+    # Deliberately not shared with fdlconv._plan: that kernel keeps the
+    # (k1, k2) grid order and computes only the kept half-frame rows of
+    # the inverse, while this natural-order path truncates the forward
+    # outer DFT to rfft bins (F2 is (j2, n2/2+1)) and inverts the full
+    # grid. Only F1s/T/E2 coincide.
     import numpy as np
     n2 = _MX_LANES
     n1 = n // n2
@@ -127,7 +128,6 @@ def _mx_plan(n: int):
     plan = (n1, n2, f32(F1s), f32(T.real), f32(T.imag),
             f32(F2.real), f32(F2.imag),
             f32(E2.real), f32(E2.imag), f32(E1.real), f32(E1.imag))
-    _lru_cache_plans[n] = plan
     return plan
 
 
@@ -145,6 +145,8 @@ def rfft_mx(x, n: int):
     m = x.shape[-1]
     if m < n:
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - m)])
+    elif m > n:
+        x = x[..., :n]  # jnp.fft.rfft truncation semantics
     lead = x.shape[:-1]
     xr = x.reshape(lead + (n1, n2))
     Y = jnp.einsum("Ka,...ab->...Kb", F1s, xr, precision=_HI)

@@ -86,7 +86,7 @@ def main():
         @jax.jit
         def pipe_old(v):
             y = cascade.process(v, mode="blocked")
-            y = weighting.process(v, mode="blocked")
+            y = weighting.process(y, mode="blocked")
             return conv10.process(y)
 
         dt = timeit(pipe_old, x)

@@ -161,3 +161,24 @@ def test_update_coefficients_preserves_state_shape():
     # same section count -> same state works (hot swap, chain.go:99-114)
     state2, _ = chain2.process_stream(state, jnp.zeros(128, dtype=jnp.float64))
     assert state2.shape == state.shape
+
+
+def test_hot_swap_state_count_guard():
+    """After `update_coefficients`, a stale state whose runtime section
+    count no longer matches is rejected instead of silently sliced
+    (`chain.go:99-114` contract); conditioning mode is preserved."""
+    import pytest
+    from algodsp_tpu.filters.weighting import WeightingType, weighting_chain
+    sr = 48000.0
+    aw = weighting_chain(WeightingType.A, sr)   # conditioning splits
+    assert aw.num_runtime_sections > aw.num_sections
+    state = aw.init_state((2,))
+    swapped = aw.update_coefficients(design.butterworth_lp(2000.0, 3, sr))
+    assert swapped._condition == aw._condition
+    if swapped.num_runtime_sections != aw.num_runtime_sections:
+        with pytest.raises(ValueError, match="hot-swap|section"):
+            swapped.process_stream(state, jnp.zeros((2, 256), jnp.float32))
+    # same-count swap keeps the state valid
+    same = aw.update_coefficients(aw.sos)
+    _, y = same.process_stream(state, jnp.zeros((2, 256), jnp.float32))
+    assert y.shape == (2, 256)

@@ -84,3 +84,35 @@ def test_channel_weights_validation():
         loudness.Meter(SR, channels=2, channel_weights=[1.0])
     with pytest.raises(ValueError):
         loudness.Meter(SR, channels=2, channel_weights=[1.0, -0.5])
+
+
+def test_true_peak_flush_catches_trailing_peak():
+    """A transient in the last few samples must appear in true_peaks:
+    the one-shot `measure` flushes the 4x-oversampler's group delay, so
+    an end-of-signal impulse reads the same true peak as a mid-signal
+    one (without the flush the tail impulse reads ~0)."""
+    n = 48000
+    tail = np.zeros((1, n), np.float32)
+    tail[0, -3] = 1.0  # impulse right at the end
+    mid = np.zeros((1, n), np.float32)
+    mid[0, n // 2] = 1.0
+    tp_tail = float(loudness.measure(jnp.asarray(tail), SR).true_peaks[0])
+    tp_mid = float(loudness.measure(jnp.asarray(mid), SR).true_peaks[0])
+    assert abs(tp_tail - tp_mid) < 1e-3, (tp_tail, tp_mid)
+    assert tp_tail > 0.9
+
+
+def test_gating_block_zero_not_dropped():
+    """First gating block survives the masked append (the first call's
+    invalid scatter slots must not collide with block 0): its stored
+    energy equals the first 400 ms mean square."""
+    n = int(1.2 * SR)
+    t = np.arange(n) / SR
+    x = np.sin(2 * np.pi * 997.0 * t)[None, :]
+    m = loudness.Meter(SR, 1, true_peak=False, max_blocks=16)
+    state = m.init_state()
+    state, _ = m.process(state, jnp.asarray(x))
+    e0 = float(state["block_energies"][0])
+    # 0.5 (sine ms) x the K-weighting gain at 997 Hz (~ +0.66 dB)
+    assert abs(e0 - 0.5 * 10 ** (0.066)) < 0.01, e0
+    assert int(state["block_count"]) == 9

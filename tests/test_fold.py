@@ -85,10 +85,15 @@ def test_folded_state_matches_blocked_stream_state():
 
 
 def test_pick_folds():
-    assert BiquadChain._pick_folds(8, 1 << 17) == 16
-    assert BiquadChain._pick_folds(1, 1 << 17) == 128
-    assert BiquadChain._pick_folds(64, 1 << 17) == 2
-    assert BiquadChain._pick_folds(8, 1000) == 1  # not block-divisible
+    chain = BiquadChain(np.array([[1.0, 0, 0, 0, 0]]))
+    assert chain._pick_folds(8, 1 << 17) == 16
+    assert chain._pick_folds(1, 1 << 17) == 128
+    assert chain._pick_folds(64, 1 << 17) == 2
+    assert chain._pick_folds(8, 1000) == 1  # not block-divisible
+    # fold length must stay a multiple of the chain's OWN block size
+    chain256 = BiquadChain(np.array([[1.0, 0, 0, 0, 0]]), block_size=256)
+    f = chain256._pick_folds(8, 8 * 128 * 3)
+    assert (8 * 128 * 3 // f) % 256 == 0
 
 
 def test_cascade_transfer_matches_direct_power():
