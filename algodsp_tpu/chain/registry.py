@@ -243,6 +243,11 @@ def default_registry() -> Registry:
             freq = get_num(p, "freq", 1200, 20, ctx.sample_rate * 0.49,
                            aliases=("freqHz",))
             gain_db = get_num(p, "gain", 0, -24, 24)
+            # NOTE: the [0.2, 8] pre-clamp is reference parity, NOT a
+            # bug: the Go runtime also clamps q to [0.2, 8] BEFORE
+            # ClampShape reinterprets it as bandwidth-Hz/ripple-dB per
+            # shape mode (runtime_filter_pitch_reverb.go:48,131), so
+            # e.g. a 200 Hz peak bandwidth saturates at 8 there too.
             shape = get_num(p, "q", 0.707, 0.2, 8)
             if family == FAMILY_MOOG:
                 order = get_int(p, "order", 8, 1, 16)
