@@ -80,3 +80,12 @@ def next_pow2(n: int) -> int:
     if n <= 1:
         return 1
     return 1 << (int(n - 1).bit_length())
+
+
+def best_float():
+    """float64 when x64 is enabled, else float32 — the widest dtype
+    that will not be silently truncated (with a UserWarning) by JAX.
+    Use as the default for f64-preferring state (meters, oracles)."""
+    import jax
+    import jax.numpy as jnp
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

@@ -96,7 +96,10 @@ class Meter:
             self._tp_resampler = Resampler(TRUE_PEAK_OVERSAMPLE, 1,
                                            quality=Quality.BEST)
 
-    def init_state(self, dtype=jnp.float64):
+    def init_state(self, dtype=None):
+        if dtype is None:
+            from algodsp_tpu.core.numeric import best_float
+            dtype = best_float()
         state = {
             "filters": self.k_chain.init_state((self.channels,), dtype),
             # weighted-square history (short-term window is the longest)
@@ -237,7 +240,7 @@ def measure(x, sample_rate: float = 48000.0,
     meter = Meter(sample_rate, x.shape[0],
                   max_blocks=max(x.shape[-1] // meter_step(sample_rate) + 2, 16),
                   true_peak=true_peak)
-    state = meter.init_state(dtype=jnp.float64)
+    state = meter.init_state()
     state, reading = meter.process(state, x)
     if true_peak:
         reading = reading._replace(true_peaks=meter.flush_true_peak(state))
