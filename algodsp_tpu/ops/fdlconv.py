@@ -137,8 +137,24 @@ def fdl_conv_fused(x, hgrid, B: int):
     """Zero-state causal FDL convolution of x: (C, N) with the kernel
     whose partition spectra are `hgrid` (P, 2, n1, 128). N % B == 0.
     Returns (C, N) float32. Matches `PartitionedConvolver`'s bulk-FDL
-    algebra exactly (ring zeroed per channel = zero initial state)."""
+    algebra exactly (ring zeroed per channel = zero initial state).
+
+    With C >= 2 channels, pairs ride one complex DFT (`_fdl_fused_pair`)
+    — ~1.4x fewer matmul FLOPs per channel."""
     x = jnp.asarray(x, jnp.float32)
+    C, N = x.shape
+    if C >= 2:
+        Cp = C + (C % 2)
+        if Cp != C:
+            x = jnp.concatenate(
+                [x, jnp.zeros((Cp - C, N), jnp.float32)], 0)
+        y = _fdl_fused_pair(x, hgrid, B)
+        return y[:C]
+    return _fdl_fused_single(x, hgrid, B)
+
+
+def _fdl_fused_single(x, hgrid, B: int):
+    """One-channel-per-grid-step variant (real 4-step DFT per frame)."""
     C, N = x.shape
     n = 2 * B
     n1, n2 = n // LANES, LANES
@@ -214,3 +230,105 @@ def fdl_conv_fused(x, hgrid, B: int):
     )(ext[:, :-rows], ext[:, rows:], jnp.asarray(hgrid),
       F1s, Tr, Ti, F2r, F2i, E2r, E2i, E1r, E1i)
     return out.reshape(C, N)
+
+
+def _fdl_fused_pair(x, hgrid, B: int):
+    """Channel-pair variant: channels (2c, 2c+1) = (a, b) share one
+    complex DFT pipeline per frame via the packing z = a + i*b.
+
+    The FDL spectral MAC is complex-linear and the same H applies to
+    every channel, so H * (A + iB) = H*A + i*(H*B): the packed spectrum
+    rides the ring and the MAC untouched, and because both convolution
+    outputs are real, the inverse DFT's real part is channel a and its
+    imaginary part is channel b — no Hermitian split anywhere. Only
+    stage 1 of the forward 4-step (which already exploits real input)
+    stays per-channel; twiddles, stage 2, the P-tap MAC, and the
+    inverse stage collapse to once per pair (~1.4x fewer FLOPs).
+    Requires C even (caller pads)."""
+    x = jnp.asarray(x, jnp.float32)
+    C, N = x.shape
+    assert C % 2 == 0
+    n = 2 * B
+    n1, n2 = n // LANES, LANES
+    nf = N // B
+    P = int(hgrid.shape[0])
+    F1s, Tr, Ti, F2r, F2i, E2r, E2i, E1r, E1i = map(jnp.asarray, _plan(B))
+    rows = B // n2
+
+    ext = jnp.concatenate([jnp.zeros((C, B), jnp.float32), x], -1)
+    ext = ext.reshape(C, -1, n2)
+
+    mm = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+
+    def kern(prev_a, cur_a, prev_b, cur_b, h_ref, f1_ref, tr_ref, ti_ref,
+             f2r_ref, f2i_ref, e2r_ref, e2i_ref, e1r_ref, e1i_ref,
+             ya_ref, yb_ref, ring_ref):
+        f = pl.program_id(1)
+
+        @pl.when(f == 0)
+        def _():
+            ring_ref[...] = jnp.zeros_like(ring_ref)
+
+        frame_a = jnp.concatenate([prev_a[0], cur_a[0]], 0)    # (n1, n2)
+        frame_b = jnp.concatenate([prev_b[0], cur_b[0]], 0)
+        # stage 1 per channel (real input trick), then pack z = a + i*b
+        Ya = mm(f1_ref[...], frame_a)                          # (2n1, n2)
+        Yb = mm(f1_ref[...], frame_b)
+        Zr = Ya[:n1] - Yb[n1:]
+        Zi = Ya[n1:] + Yb[:n1]
+        # shared twiddle + stage 2
+        Wr = Zr * tr_ref[...] - Zi * ti_ref[...]
+        Wi = Zr * ti_ref[...] + Zi * tr_ref[...]
+        Xr = mm(Wr, f2r_ref[...]) - mm(Wi, f2i_ref[...])       # (n1, n2)
+        Xi = mm(Wr, f2i_ref[...]) + mm(Wi, f2r_ref[...])
+        slot = jax.lax.rem(f, jnp.int32(P))
+        ring_ref[slot, 0] = Xr
+        ring_ref[slot, 1] = Xi
+        # P-tap spectral MAC on the packed spectrum
+        acc_r = jnp.zeros((n1, n2), jnp.float32)
+        acc_i = jnp.zeros((n1, n2), jnp.float32)
+        for p in range(P):
+            s = jax.lax.rem(slot - p + P, jnp.int32(P))
+            xr = ring_ref[s, 0]
+            xi = ring_ref[s, 1]
+            hr = h_ref[p, 0]
+            hi = h_ref[p, 1]
+            acc_r = acc_r + xr * hr - xi * hi
+            acc_i = acc_i + xr * hi + xi * hr
+        # inverse 4-step, rows j1 >= n1/2; real part -> a, imag -> b
+        Ar = mm(acc_r, e2r_ref[...]) - mm(acc_i, e2i_ref[...])
+        Ai = mm(acc_r, e2i_ref[...]) + mm(acc_i, e2r_ref[...])
+        Br = Ar * tr_ref[...] + Ai * ti_ref[...]
+        Bi = Ai * tr_ref[...] - Ar * ti_ref[...]
+        ya_ref[0] = mm(e1r_ref[...], Br) - mm(e1i_ref[...], Bi)
+        yb_ref[0] = mm(e1r_ref[...], Bi) + mm(e1i_ref[...], Br)
+
+    const = lambda shp: pl.BlockSpec(shp, lambda c, f: tuple([0] * len(shp)),
+                                     memory_space=pltpu.VMEM)
+    blk = lambda ch: pl.BlockSpec((1, rows, n2),
+                                  lambda c, f, ch=ch: (2 * c + ch, f, 0),
+                                  memory_space=pltpu.VMEM)
+    oblk = lambda: pl.BlockSpec((1, rows, n2), lambda c, f: (c, f, 0),
+                                memory_space=pltpu.VMEM)
+    ya, yb = pl.pallas_call(
+        kern,
+        grid=(C // 2, nf),
+        in_specs=[
+            blk(0), blk(0), blk(1), blk(1),
+            const((P, 2, n1, n2)),
+            const((2 * n1, n1)),
+            const((n1, n2)), const((n1, n2)),
+            const((n2, n2)), const((n2, n2)),
+            const((n2, n2)), const((n2, n2)),
+            const((n1 // 2, n1)), const((n1 // 2, n1)),
+        ],
+        out_specs=(oblk(), oblk()),
+        out_shape=(jax.ShapeDtypeStruct((C // 2, nf * rows, n2), jnp.float32),
+                   jax.ShapeDtypeStruct((C // 2, nf * rows, n2), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((P, 2, n1, n2), jnp.float32)],
+        interpret=jax.default_backend() != "tpu",
+    )(ext[:, :-rows], ext[:, rows:], ext[:, :-rows], ext[:, rows:],
+      jnp.asarray(hgrid), F1s, Tr, Ti, F2r, F2i, E2r, E2i, E1r, E1i)
+    y = jnp.stack([ya, yb], 1)                                 # (C/2, 2, ...)
+    return y.reshape(C, nf * rows, n2).reshape(C, N)
