@@ -242,7 +242,10 @@ class PartitionedConvolver:
                 # pick the partition size that keeps FFT batch >= ~512
                 # rows while partitions stay >= 8
                 bo = self.min_block_order
-                for cand in range(14, self.min_block_order - 1, -1):
+                cands = [c for c in (13, 14, 12, 11, 10)
+                         if c >= self.min_block_order]
+                cands += [c for c in range(9, self.min_block_order - 1, -1)]
+                for cand in cands:
                     bsz = 1 << cand
                     if n % bsz == 0 and self.kernel_len // bsz >= 4 \
                             and batch_rows * (n // bsz) >= 256 \

@@ -64,7 +64,9 @@ def supported(B: int, P: int, n_samples: int) -> bool:
     const_bytes = 4 * (2 * n1 * n1 + 4 * n1 * LANES +
                        4 * LANES * LANES + n1 * n1)
     ring_bytes = 16 * P * B
-    io_bytes = 4 * 6 * B  # double-buffered in/out blocks
+    # double-buffered in/out blocks of the two-frame pair kernel:
+    # 4 input frames (2B samples each) + 2 output frames, f32, x2 buffers
+    io_bytes = 96 * B
     return const_bytes + 2 * ring_bytes + io_bytes < _VMEM_BUDGET
 
 
@@ -123,7 +125,9 @@ def kernel_spectra_jax(kernel, B: int, P: int):
 def pick_block(m: int, n: int) -> int | None:
     """Partition size for a one-shot fused conv of an m-tap kernel over
     n samples, or None if no supported size fits."""
-    for bo in (14, 13, 12, 11, 10):
+    # 2^13 measured fastest on v5e (lowest matmul count per sample once
+    # the two-frame pair kernel amortizes per-step overheads)
+    for bo in (13, 14, 12, 11, 10):
         B = 1 << bo
         P = -(-m // B)
         total = n + m - 1
@@ -148,8 +152,13 @@ def fdl_conv_fused(x, hgrid, B: int):
         if Cp != C:
             x = jnp.concatenate(
                 [x, jnp.zeros((Cp - C, N), jnp.float32)], 0)
+        nf = N // B
+        if nf % 2:
+            # pad one zero block at the end (zero-state FDL: appended
+            # silence cannot affect earlier outputs), slice after
+            x = jnp.concatenate([x, jnp.zeros((Cp, B), jnp.float32)], -1)
         y = _fdl_fused_pair(x, hgrid, B)
-        return y[:C]
+        return y[:C, :N]
     return _fdl_fused_single(x, hgrid, B)
 
 
@@ -233,26 +242,35 @@ def _fdl_fused_single(x, hgrid, B: int):
 
 
 def _fdl_fused_pair(x, hgrid, B: int):
-    """Channel-pair variant: channels (2c, 2c+1) = (a, b) share one
-    complex DFT pipeline per frame via the packing z = a + i*b.
+    """Channel-pair, two-frames-per-step variant.
 
-    The FDL spectral MAC is complex-linear and the same H applies to
-    every channel, so H * (A + iB) = H*A + i*(H*B): the packed spectrum
-    rides the ring and the MAC untouched, and because both convolution
-    outputs are real, the inverse DFT's real part is channel a and its
-    imaginary part is channel b — no Hermitian split anywhere. Only
-    stage 1 of the forward 4-step (which already exploits real input)
-    stays per-channel; twiddles, stage 2, the P-tap MAC, and the
-    inverse stage collapse to once per pair (~1.4x fewer FLOPs).
-    Requires C even (caller pads)."""
+    Channels (2c, 2c+1) = (a, b) share one complex DFT pipeline per
+    frame via the packing z = a + i*b: the FDL spectral MAC is
+    complex-linear and the same H applies to every channel, so
+    H * (A + iB) = H*A + i*(H*B) — the packed spectrum rides the ring
+    and the MAC untouched, and because both convolution outputs are
+    real, the inverse DFT's real part is channel a and its imaginary
+    part is channel b, with no Hermitian split anywhere. Only stage 1
+    of the forward 4-step (which already exploits real input) stays
+    per-channel; twiddles, stage 2, the P-tap MAC, and the inverse
+    collapse to once per pair (~1.4x fewer FLOPs).
+
+    Each grid step additionally closes TWO consecutive frames (2g,
+    2g+1): frame 2g+1's newest MAC tap is frame 2g's spectrum, computed
+    in the same step, so batching them costs nothing algorithmically —
+    it halves the per-step overheads and doubles every matmul's M or N
+    dimension (stage 1 runs as one (2n1, n1)@(n1, 4*128) dot). Requires
+    C and nf even (caller pads)."""
     x = jnp.asarray(x, jnp.float32)
     C, N = x.shape
-    assert C % 2 == 0
+    assert C % 2 == 0 and (N // B) % 2 == 0
     n = 2 * B
     n1, n2 = n // LANES, LANES
     nf = N // B
     P = int(hgrid.shape[0])
     F1s, Tr, Ti, F2r, F2i, E2r, E2i, E1r, E1i = map(jnp.asarray, _plan(B))
+    Tr2 = jnp.concatenate([Tr, Tr], 0)                         # (2n1, n2)
+    Ti2 = jnp.concatenate([Ti, Ti], 0)
     rows = B // n2
 
     ext = jnp.concatenate([jnp.zeros((C, B), jnp.float32), x], -1)
@@ -261,64 +279,89 @@ def _fdl_fused_pair(x, hgrid, B: int):
     mm = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
 
-    def kern(prev_a, cur_a, prev_b, cur_b, h_ref, f1_ref, tr_ref, ti_ref,
-             f2r_ref, f2i_ref, e2r_ref, e2i_ref, e1r_ref, e1i_ref,
-             ya_ref, yb_ref, ring_ref):
-        f = pl.program_id(1)
+    def kern(fa0_ref, fa1_ref, fb0_ref, fb1_ref, h_ref, f1_ref,
+             tr2_ref, ti2_ref, f2r_ref, f2i_ref, e2r_ref, e2i_ref,
+             e1r_ref, e1i_ref, ya_ref, yb_ref, ring_ref):
+        g = pl.program_id(1)
 
-        @pl.when(f == 0)
+        @pl.when(g == 0)
         def _():
             ring_ref[...] = jnp.zeros_like(ring_ref)
 
-        frame_a = jnp.concatenate([prev_a[0], cur_a[0]], 0)    # (n1, n2)
-        frame_b = jnp.concatenate([prev_b[0], cur_b[0]], 0)
-        # stage 1 per channel (real input trick), then pack z = a + i*b
-        Ya = mm(f1_ref[...], frame_a)                          # (2n1, n2)
-        Yb = mm(f1_ref[...], frame_b)
-        Zr = Ya[:n1] - Yb[n1:]
-        Zi = Ya[n1:] + Yb[:n1]
-        # shared twiddle + stage 2
-        Wr = Zr * tr_ref[...] - Zi * ti_ref[...]
-        Wi = Zr * ti_ref[...] + Zi * tr_ref[...]
-        Xr = mm(Wr, f2r_ref[...]) - mm(Wi, f2i_ref[...])       # (n1, n2)
+        # stage 1 for all four frames (a0, a1, b0, b1) in one dot
+        frames = jnp.concatenate(
+            [fa0_ref[0], fa1_ref[0], fb0_ref[0], fb1_ref[0]], 1)  # (n1, 4n2)
+        S = mm(f1_ref[...], frames)                               # (2n1, 4n2)
+        Ya0, Ya1 = S[:, :n2], S[:, n2:2 * n2]
+        Yb0, Yb1 = S[:, 2 * n2:3 * n2], S[:, 3 * n2:]
+        # pack z = a + i*b per frame, frames stacked on rows
+        Zr = jnp.concatenate([Ya0[:n1] - Yb0[n1:],
+                              Ya1[:n1] - Yb1[n1:]], 0)         # (2n1, n2)
+        Zi = jnp.concatenate([Ya0[n1:] + Yb0[:n1],
+                              Ya1[n1:] + Yb1[:n1]], 0)
+        # shared twiddle (tiled) + stage 2, both frames in one dot
+        Wr = Zr * tr2_ref[...] - Zi * ti2_ref[...]
+        Wi = Zr * ti2_ref[...] + Zi * tr2_ref[...]
+        Xr = mm(Wr, f2r_ref[...]) - mm(Wi, f2i_ref[...])       # (2n1, n2)
         Xi = mm(Wr, f2i_ref[...]) + mm(Wi, f2r_ref[...])
-        slot = jax.lax.rem(f, jnp.int32(P))
-        ring_ref[slot, 0] = Xr
-        ring_ref[slot, 1] = Xi
-        # P-tap spectral MAC on the packed spectrum
-        acc_r = jnp.zeros((n1, n2), jnp.float32)
-        acc_i = jnp.zeros((n1, n2), jnp.float32)
+        slot0 = jax.lax.rem(2 * g, jnp.int32(P))
+        slot1 = jax.lax.rem(2 * g + 1, jnp.int32(P))
+        X0r, X1r = Xr[:n1], Xr[n1:]
+        X0i, X1i = Xi[:n1], Xi[n1:]
+        ring_ref[slot0, 0] = X0r
+        ring_ref[slot0, 1] = X0i
+        # P-tap spectral MAC for both frames; tap p of frame 2g is tap
+        # p+1 of frame 2g+1, so each ring slot is read once. Frame
+        # 2g+1's spectrum is written only AFTER the loop: slot1 still
+        # holds frame 2g-(P-1), which is frame 2g's oldest tap.
+        a0r = jnp.zeros((n1, n2), jnp.float32)
+        a0i = jnp.zeros((n1, n2), jnp.float32)
+        a1r = X1r * h_ref[0, 0] - X1i * h_ref[0, 1]
+        a1i = X1r * h_ref[0, 1] + X1i * h_ref[0, 0]
         for p in range(P):
-            s = jax.lax.rem(slot - p + P, jnp.int32(P))
+            s = jax.lax.rem(slot0 - p + P, jnp.int32(P))
             xr = ring_ref[s, 0]
             xi = ring_ref[s, 1]
             hr = h_ref[p, 0]
             hi = h_ref[p, 1]
-            acc_r = acc_r + xr * hr - xi * hi
-            acc_i = acc_i + xr * hi + xi * hr
+            a0r = a0r + xr * hr - xi * hi
+            a0i = a0i + xr * hi + xi * hr
+            if p + 1 < P:
+                hr1 = h_ref[p + 1, 0]
+                hi1 = h_ref[p + 1, 1]
+                a1r = a1r + xr * hr1 - xi * hi1
+                a1i = a1i + xr * hi1 + xi * hr1
+        ring_ref[slot1, 0] = X1r
+        ring_ref[slot1, 1] = X1i
+        acc_r = jnp.concatenate([a0r, a1r], 0)                 # (2n1, n2)
+        acc_i = jnp.concatenate([a0i, a1i], 0)
         # inverse 4-step, rows j1 >= n1/2; real part -> a, imag -> b
         Ar = mm(acc_r, e2r_ref[...]) - mm(acc_i, e2i_ref[...])
         Ai = mm(acc_r, e2i_ref[...]) + mm(acc_i, e2r_ref[...])
-        Br = Ar * tr_ref[...] + Ai * ti_ref[...]
-        Bi = Ai * tr_ref[...] - Ar * ti_ref[...]
-        ya_ref[0] = mm(e1r_ref[...], Br) - mm(e1i_ref[...], Bi)
-        yb_ref[0] = mm(e1r_ref[...], Bi) + mm(e1i_ref[...], Br)
+        Br = Ar * tr2_ref[...] + Ai * ti2_ref[...]
+        Bi = Ai * tr2_ref[...] - Ar * ti2_ref[...]
+        Bc_r = jnp.concatenate([Br[:n1], Br[n1:]], 1)          # (n1, 2n2)
+        Bc_i = jnp.concatenate([Bi[:n1], Bi[n1:]], 1)
+        Cr = mm(e1r_ref[...], Bc_r) - mm(e1i_ref[...], Bc_i)   # (n1/2, 2n2)
+        Ci = mm(e1r_ref[...], Bc_i) + mm(e1i_ref[...], Bc_r)
+        ya_ref[0] = jnp.concatenate([Cr[:, :n2], Cr[:, n2:]], 0)
+        yb_ref[0] = jnp.concatenate([Ci[:, :n2], Ci[:, n2:]], 0)
 
-    const = lambda shp: pl.BlockSpec(shp, lambda c, f: tuple([0] * len(shp)),
+    const = lambda shp: pl.BlockSpec(shp, lambda c, g: tuple([0] * len(shp)),
                                      memory_space=pltpu.VMEM)
-    blk = lambda ch: pl.BlockSpec((1, rows, n2),
-                                  lambda c, f, ch=ch: (2 * c + ch, f, 0),
+    blk = lambda ch: pl.BlockSpec((1, n1, n2),
+                                  lambda c, g, ch=ch: (2 * c + ch, g, 0),
                                   memory_space=pltpu.VMEM)
-    oblk = lambda: pl.BlockSpec((1, rows, n2), lambda c, f: (c, f, 0),
+    oblk = lambda: pl.BlockSpec((1, n1, n2), lambda c, g: (c, g, 0),
                                 memory_space=pltpu.VMEM)
     ya, yb = pl.pallas_call(
         kern,
-        grid=(C // 2, nf),
+        grid=(C // 2, nf // 2),
         in_specs=[
             blk(0), blk(0), blk(1), blk(1),
             const((P, 2, n1, n2)),
             const((2 * n1, n1)),
-            const((n1, n2)), const((n1, n2)),
+            const((2 * n1, n2)), const((2 * n1, n2)),
             const((n2, n2)), const((n2, n2)),
             const((n2, n2)), const((n2, n2)),
             const((n1 // 2, n1)), const((n1 // 2, n1)),
@@ -329,6 +372,6 @@ def _fdl_fused_pair(x, hgrid, B: int):
         scratch_shapes=[pltpu.VMEM((P, 2, n1, n2), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
     )(ext[:, :-rows], ext[:, rows:], ext[:, :-rows], ext[:, rows:],
-      jnp.asarray(hgrid), F1s, Tr, Ti, F2r, F2i, E2r, E2i, E1r, E1i)
+      jnp.asarray(hgrid), F1s, Tr2, Ti2, F2r, F2i, E2r, E2i, E1r, E1i)
     y = jnp.stack([ya, yb], 1)                                 # (C/2, 2, ...)
     return y.reshape(C, nf * rows, n2).reshape(C, N)

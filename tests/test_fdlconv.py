@@ -21,7 +21,8 @@ def _oracle(x, ir, n):
                                  ir.astype(np.float64))[:n] for xi in x])
 
 
-@pytest.mark.parametrize("C,nf,P", [(2, 4, 3), (1, 2, 1), (3, 6, 5)])
+@pytest.mark.parametrize("C,nf,P", [(2, 4, 3), (1, 2, 1), (3, 6, 5),
+                                    (2, 3, 2), (4, 5, 1)])
 def test_fused_matches_f64_oracle(C, nf, P):
     B = 1024
     rng = np.random.default_rng(C * 10 + nf + P)
