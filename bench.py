@@ -10,8 +10,8 @@ the whole-cascade block engine (ops/cascade.py — one Toeplitz matmul
 closes all 15 sections per 128-sample block); the conv reverb runs in
 the fused Pallas FDL kernel (ops/fdlconv.py — matmul FFT + spectral
 MAC + iFFT in one VMEM pass, spectra never touching HBM); the signal
-is 2^23 samples per channel per dispatch so the ~3 ms axon relay
-dispatch floor is amortized (67.1 Msamples/dispatch — a bulk
+is 2^24 samples per channel per dispatch so the ~3 ms axon relay
+dispatch floor is amortized (134 Msamples/dispatch — a bulk
 file-processing workload, the same regime the Go baseline measures).
 
 vs_baseline compares against the Go reference's single-core rate for
@@ -57,7 +57,7 @@ def main():
 
     sr = 48000.0
     channels = 8
-    n = 1 << 23  # ~175 s of audio per channel per dispatch (bulk regime)
+    n = 1 << 24  # ~350 s of audio per channel per dispatch (bulk regime)
     rng = np.random.default_rng(0)
 
     cascade = BiquadChain(design.butterworth_lp(2000.0, 10, sr))
