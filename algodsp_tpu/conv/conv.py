@@ -102,7 +102,8 @@ def fftconvolve(a, b, mode: str = "full"):
             and _jax.default_backend() == "tpu"
             and os.environ.get("ALGODSP_FDL_FUSED", "auto") != "0"):
         from algodsp_tpu.ops import fdlconv
-        B = fdlconv.pick_block(m, n)
+        rows = int(np.prod(a.shape[:-1])) if a.ndim > 1 else 1
+        B = fdlconv.pick_block(m, n, channels=rows)
         if B is not None:
             P = -(-m // B)
             total = n + m - 1

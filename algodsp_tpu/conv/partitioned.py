@@ -242,7 +242,9 @@ class PartitionedConvolver:
                 # pick the partition size that keeps FFT batch >= ~512
                 # rows while partitions stay >= 8
                 bo = self.min_block_order
-                cands = [c for c in (13, 14, 12, 11, 10)
+                # 2^13 measured fastest on v5e; any shape admitting a
+                # larger order also admits 2^13, so descend from there
+                cands = [c for c in (13, 12, 11, 10)
                          if c >= self.min_block_order]
                 cands += [c for c in range(9, self.min_block_order - 1, -1)]
                 for cand in cands:
@@ -250,7 +252,8 @@ class PartitionedConvolver:
                     if n % bsz == 0 and self.kernel_len // bsz >= 4 \
                             and batch_rows * (n // bsz) >= 256 \
                             and (batch_rows < 32 or fdlconv.supported(
-                                bsz, -(-self.kernel_len // bsz), n)):
+                                bsz, -(-self.kernel_len // bsz), n,
+                                channels=batch_rows)):
                         bo = cand
                         break
                 bulk_block_order = bo
@@ -286,7 +289,8 @@ class PartitionedConvolver:
                      (mode != "0" and jax.default_backend() == "tpu"))
         if use_fused and x.dtype == jnp.float32:
             P = -(-self.kernel_len // B)
-            if fdlconv.supported(B, P, n):
+            batch_rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+            if fdlconv.supported(B, P, n, channels=batch_rows):
                 hgrid = self._fused_spectra_cache.get(block_order)
                 if hgrid is None:
                     hgrid = fdlconv.kernel_spectra(self._kernel_f32, B)

@@ -9,6 +9,7 @@ path.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _DEFAULT_EPSILON = 1e-12
@@ -86,6 +87,4 @@ def best_float():
     """float64 when x64 is enabled, else float32 — the widest dtype
     that will not be silently truncated (with a UserWarning) by JAX.
     Use as the default for f64-preferring state (meters, oracles)."""
-    import jax
-    import jax.numpy as jnp
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

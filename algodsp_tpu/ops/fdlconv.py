@@ -50,11 +50,13 @@ LANES = 128
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def supported(B: int, P: int, n_samples: int) -> bool:
+def supported(B: int, P: int, n_samples: int, channels: int = 2) -> bool:
     """True if the fused kernel can run this shape.
 
     Needs: frame rows n1 = 2B/128 a multiple of 8 (f32 sublane tile)
     with n1/2 >= 8, whole frames, and everything fitting in VMEM.
+    `channels` picks the io budget: >= 2 routes to the two-frame pair
+    kernel (4 in + 2 out frames per step), 1 to the single kernel.
     """
     if B < 1024 or B % LANES or n_samples % B:
         return False
@@ -64,9 +66,10 @@ def supported(B: int, P: int, n_samples: int) -> bool:
     const_bytes = 4 * (2 * n1 * n1 + 4 * n1 * LANES +
                        4 * LANES * LANES + n1 * n1)
     ring_bytes = 16 * P * B
-    # double-buffered in/out blocks of the two-frame pair kernel:
-    # 4 input frames (2B samples each) + 2 output frames, f32, x2 buffers
-    io_bytes = 96 * B
+    # double-buffered in/out blocks: the two-frame pair kernel moves
+    # 4 input frames (2B samples each) + 2 output frames per step, f32,
+    # x2 buffers; the single kernel 2 in + 1 out blocks of B samples
+    io_bytes = 96 * B if channels >= 2 else 24 * B
     return const_bytes + 2 * ring_bytes + io_bytes < _VMEM_BUDGET
 
 
@@ -122,17 +125,19 @@ def kernel_spectra_jax(kernel, B: int, P: int):
     return jnp.stack([jnp.real(grid), jnp.imag(grid)], 1).astype(jnp.float32)
 
 
-def pick_block(m: int, n: int) -> int | None:
+def pick_block(m: int, n: int, channels: int = 2) -> int | None:
     """Partition size for a one-shot fused conv of an m-tap kernel over
     n samples, or None if no supported size fits."""
     # 2^13 measured fastest on v5e (lowest matmul count per sample once
-    # the two-frame pair kernel amortizes per-step overheads)
-    for bo in (13, 14, 12, 11, 10):
+    # the two-frame pair kernel amortizes per-step overheads); every
+    # shape that admits a larger order also admits 2^13, so candidates
+    # only descend from there
+    for bo in (13, 12, 11, 10):
         B = 1 << bo
         P = -(-m // B)
         total = n + m - 1
         padded = -(-total // B) * B
-        if supported(B, P, padded) and padded // B >= 1:
+        if supported(B, P, padded, channels=channels) and padded // B >= 1:
             return B
     return None
 
@@ -144,10 +149,19 @@ def fdl_conv_fused(x, hgrid, B: int):
     algebra exactly (ring zeroed per channel = zero initial state).
 
     With C >= 2 channels, pairs ride one complex DFT (`_fdl_fused_pair`)
-    — ~1.4x fewer matmul FLOPs per channel."""
+    — ~1.4x fewer matmul FLOPs per channel. Channels are normalized to
+    unit peak before pairing and rescaled after (convolution is
+    linear), so a quiet channel sharing a DFT with a loud one keeps its
+    own relative noise floor instead of inheriting the loud channel's
+    absolute f32 roundoff as crosstalk."""
     x = jnp.asarray(x, jnp.float32)
     C, N = x.shape
     if C >= 2:
+        s = jnp.max(jnp.abs(x), axis=-1, keepdims=True)        # (C, 1)
+        # zero/denormal channels get the smallest normal scale: x/s
+        # stays 0 and the rescale crushes any pair crosstalk to ~1e-45
+        s = jnp.maximum(s, jnp.float32(np.finfo(np.float32).tiny))
+        x = x / s
         Cp = C + (C % 2)
         if Cp != C:
             x = jnp.concatenate(
@@ -158,7 +172,7 @@ def fdl_conv_fused(x, hgrid, B: int):
             # silence cannot affect earlier outputs), slice after
             x = jnp.concatenate([x, jnp.zeros((Cp, B), jnp.float32)], -1)
         y = _fdl_fused_pair(x, hgrid, B)
-        return y[:C, :N]
+        return y[:C, :N] * s
     return _fdl_fused_single(x, hgrid, B)
 
 

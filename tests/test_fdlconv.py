@@ -53,6 +53,30 @@ def test_fused_dispatch_through_convolver(monkeypatch):
     assert snr_db(y_xla, y_fused) > 110
 
 
+def test_quiet_channel_keeps_relative_snr():
+    """A -120 dBFS channel paired with a full-scale one must keep its
+    own relative noise floor (per-channel normalization before the
+    a+ib packing): without it, the quiet channel inherits the loud
+    channel's absolute f32 roundoff as ~21 dB SNR crosstalk."""
+    B, P = 1024, 3
+    rng = np.random.default_rng(99)
+    ir = (rng.standard_normal(P * B) *
+          np.exp(-np.arange(P * B) / 500.0)).astype(np.float32)
+    x = rng.standard_normal((2, 4 * B)).astype(np.float32)
+    x[0] *= 1e-6                      # -120 dBFS stem next to 0 dBFS
+    hg = fdlconv.kernel_spectra(ir, B)
+    y = np.asarray(fdlconv.fdl_conv_fused(jnp.asarray(x), hg, B))
+    want = _oracle(x, ir, 4 * B)
+    snr_quiet = snr_db(want[0], y[0])
+    assert snr_quiet > 110, snr_quiet
+    # and an all-zero channel stays silent: the tiny-normal scale guard
+    # crushes pair crosstalk below the f32 subnormal range
+    x[1] = 0.0
+    y = np.asarray(fdlconv.fdl_conv_fused(jnp.asarray(x), hg, B))
+    assert np.max(np.abs(y[1])) < 1e-37
+    assert np.all(np.isfinite(y))
+
+
 def test_supported_constraints():
     assert fdlconv.supported(1024, 4, 8192)
     assert not fdlconv.supported(512, 4, 4096)       # B too small
