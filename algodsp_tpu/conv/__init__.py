@@ -24,6 +24,8 @@ from algodsp_tpu.conv.correlate import (
     index_from_lag,
 )
 from algodsp_tpu.conv.deconvolve import (
+    DeconvMethod,
+    DeconvOptions,
     deconvolve,
     inverse_filter,
     snr,
@@ -41,6 +43,8 @@ __all__ = [
     "correlate_direct",
     "correlate_fft",
     "correlate_normalized",
+    "DeconvMethod",
+    "DeconvOptions",
     "deconvolve",
     "direct",
     "direct_circular",

@@ -16,10 +16,12 @@ from algodsp_tpu.effects.dynamics.processors import (
     TransientShaper,
     MultibandCompressor,
     BandConfig,
+    BlockMetrics,
 )
 
 __all__ = [
     "BandConfig",
+    "BlockMetrics",
     "Compressor",
     "DeEsser",
     "DetectorMode",

@@ -30,6 +30,28 @@ DEFAULT_COEFFICIENT_COUNT = 8
 DEFAULT_TRANSITION = 0.1
 
 
+class Preset:
+    """Coefficient-count/transition design profiles (`preset.go:5-45`)."""
+    FAST = "fast"                       # legacy default, low cost
+    BALANCED = "balanced"               # better low-mid image rejection
+    LOW_FREQUENCY = "low_frequency"     # prioritizes LF quadrature
+
+
+_PRESETS = {
+    Preset.FAST: (8, 0.1),
+    Preset.BALANCED: (12, 0.06),
+    Preset.LOW_FREQUENCY: (20, 0.02),
+}
+
+
+def preset_config(preset: str) -> tuple[int, float]:
+    """(number_of_coeffs, transition) for a preset (`preset.go:34-45`)."""
+    try:
+        return _PRESETS[preset]
+    except KeyError:
+        raise ValueError(f"hilbert: invalid preset: {preset!r}") from None
+
+
 def _transition_params(transition: float) -> tuple[float, float]:
     """(k, q) elliptic modulus/nome from transition BW (`designer.go:96-105`)."""
     k = math.tan((1.0 - transition * 2.0) * math.pi * 0.25) ** 2
@@ -120,6 +142,12 @@ class HilbertTransformer:
         # even-indexed chain and B the odd-indexed chain when the total
         # count is even; for odd counts A is the longer chain.
         self._a_is_even_chain = (self.coeffs.size % 2 == 0)
+
+    @classmethod
+    def from_preset(cls, preset: str) -> "HilbertTransformer":
+        """Build from a named profile (`preset.go:47-63` New64Preset)."""
+        n, tr = preset_config(preset)
+        return cls(n, tr)
 
     def process(self, x):
         """x: (..., N) -> (a, b): in-phase and quadrature outputs.

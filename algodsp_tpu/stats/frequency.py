@@ -75,3 +75,57 @@ def calculate(magnitude, sample_rate: float, *,
         centroid_hz=float(centroid), spread_hz=float(spread),
         flatness=float(flatness), rolloff_hz=float(rolloff),
         bandwidth_3db_hz=float(bw))
+
+
+# -- standalone helpers (stats.go:148-287) -----------------------------------
+
+def _freqs(bins: int, sample_rate: float):
+    fft_size = 2 * (bins - 1) if bins > 1 else 1
+    return jnp.arange(bins) * (sample_rate / fft_size)
+
+
+def centroid(magnitude, sample_rate: float):
+    """Spectral centroid in Hz (`stats.go:148`)."""
+    mag = jnp.abs(jnp.asarray(magnitude))
+    if mag.shape[-1] < 2:
+        return jnp.zeros(mag.shape[:-1])
+    p = jnp.square(mag)
+    tot = jnp.sum(p, axis=-1)
+    w = jnp.sum(p * _freqs(mag.shape[-1], sample_rate), axis=-1)
+    return jnp.where(tot > 0, w / jnp.where(tot > 0, tot, 1.0), 0.0)
+
+
+def flatness(magnitude):
+    """Wiener entropy: geometric/arithmetic mean of power (`stats.go:198`)."""
+    mag = jnp.abs(jnp.asarray(magnitude))
+    p = jnp.square(mag)
+    am = jnp.mean(p, axis=-1)
+    gm = jnp.exp(jnp.mean(jnp.log(jnp.maximum(p, 1e-300)), axis=-1))
+    return jnp.where(am > 0, gm / jnp.where(am > 0, am, 1.0), 0.0)
+
+
+def rolloff(magnitude, sample_rate: float, percent: float = 0.85):
+    """Lowest frequency below which `percent` of power lies (`stats.go:246`)."""
+    mag = jnp.abs(jnp.asarray(magnitude))
+    if mag.shape[-1] < 2:
+        return jnp.zeros(mag.shape[:-1])
+    p = jnp.square(mag)
+    csum = jnp.cumsum(p, axis=-1)
+    target = percent * csum[..., -1:]
+    idx = jnp.argmax(csum >= target, axis=-1)
+    return _freqs(mag.shape[-1], sample_rate)[idx]
+
+
+def bandwidth(magnitude, sample_rate: float):
+    """3 dB bandwidth around the spectral peak (`stats.go:283`)."""
+    mag = jnp.abs(jnp.asarray(magnitude))
+    if mag.shape[-1] < 2:
+        return jnp.zeros(mag.shape[:-1])
+    bins = mag.shape[-1]
+    fft_size = 2 * (bins - 1)
+    pk = jnp.max(mag, axis=-1, keepdims=True)
+    above = mag >= pk / jnp.sqrt(2.0)
+    idx = jnp.arange(bins)
+    lo = jnp.min(jnp.where(above, idx, bins), axis=-1)
+    hi = jnp.max(jnp.where(above, idx, -1), axis=-1)
+    return jnp.where(hi >= lo, (hi - lo) * (sample_rate / fft_size), 0.0)

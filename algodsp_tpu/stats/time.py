@@ -178,3 +178,70 @@ class StreamingStats:
             zero_crossings=self.zero_crossings, variance=variance,
             skewness=(self.m3 / self.n / std ** 3 if std > 0 else 0.0),
             kurtosis=(self.m4 / self.n / variance ** 2 if variance > 0 else 0.0))
+
+
+# -- standalone helpers (stats.go:172-282) -----------------------------------
+# Thin jnp reductions batched over leading dims; empty input returns 0
+# like the reference's guard clauses.
+
+def dc(x):
+    """Mean value (`stats.go:186`)."""
+    x = jnp.asarray(x)
+    return jnp.mean(x, axis=-1) if x.shape[-1] else jnp.zeros(x.shape[:-1])
+
+
+def rms(x):
+    """Root mean square (`stats.go:172`)."""
+    x = jnp.asarray(x)
+    if not x.shape[-1]:
+        return jnp.zeros(x.shape[:-1])
+    return jnp.sqrt(jnp.mean(jnp.square(x), axis=-1))
+
+
+def peak(x):
+    """Largest absolute value (`stats.go:203`)."""
+    x = jnp.asarray(x)
+    if not x.shape[-1]:
+        return jnp.zeros(x.shape[:-1])
+    return jnp.max(jnp.abs(x), axis=-1)
+
+
+def crest_factor(x):
+    """peak/rms, 0 where rms is 0 (`stats.go:221`)."""
+    r = rms(x)
+    return jnp.where(r > 0, peak(x) / jnp.where(r > 0, r, 1.0), 0.0)
+
+
+def zero_crossings(x):
+    """Sign-change count (`stats.go:232`); zeros carry the previous sign."""
+    x = jnp.asarray(x)
+    if x.shape[-1] < 2:
+        return jnp.zeros(x.shape[:-1], jnp.int32)
+    s = jnp.sign(x)
+    # propagate last nonzero sign through exact zeros, like the scalar loop
+    def fwd(carry, v):
+        cur = jnp.where(v == 0, carry, v)
+        return cur, cur
+    import jax as _jax
+    _, signs = _jax.lax.scan(fwd, jnp.zeros(x.shape[:-1], x.dtype),
+                             jnp.moveaxis(s, -1, 0))
+    signs = jnp.moveaxis(signs, 0, -1)
+    flips = (signs[..., 1:] * signs[..., :-1]) < 0
+    return jnp.sum(flips, axis=-1).astype(jnp.int32)
+
+
+def moments(x):
+    """(mean, variance, skewness, kurtosis) (`stats.go:250-282`)."""
+    x = jnp.asarray(x)
+    if not x.shape[-1]:
+        z = jnp.zeros(x.shape[:-1])
+        return z, z, z, z
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    d = x - mean
+    variance = jnp.mean(jnp.square(d), axis=-1)
+    std = jnp.sqrt(variance)
+    ok = std > 0
+    safe = jnp.where(ok, std, 1.0)
+    skew = jnp.where(ok, jnp.mean(d ** 3, axis=-1) / safe ** 3, 0.0)
+    kurt = jnp.where(ok, jnp.mean(d ** 4, axis=-1) / safe ** 4, 0.0)
+    return mean[..., 0], variance, skew, kurt

@@ -381,3 +381,34 @@ def test_loudness_gating_block_capacity_saturates():
     state, reading = m.process(state, x)
     assert int(state["block_count"]) == 4
     assert np.isfinite(float(reading.integrated_lufs))
+
+
+def test_standalone_stat_helpers():
+    """One-off helpers (stats/time/stats.go:172-282,
+    stats/frequency/stats.go:148-287) agree with calculate()."""
+    from algodsp_tpu.stats import time as st, frequency as sf
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((3, 1000))
+    full = st.calculate(x[0])
+    assert float(st.rms(x)[0]) == pytest.approx(full.rms, rel=1e-5)
+    assert float(st.dc(x)[0]) == pytest.approx(full.dc, rel=1e-5)
+    assert float(st.peak(x)[0]) == pytest.approx(full.peak, rel=1e-5)
+    assert float(st.crest_factor(x)[0]) == pytest.approx(full.crest, rel=1e-5)
+    assert int(st.zero_crossings(x)[0]) == full.zero_crossings
+    mean, var, skew, kurt = st.moments(x)
+    assert float(var[0]) == pytest.approx(full.variance, rel=1e-5)
+    assert float(skew[0]) == pytest.approx(full.skewness, rel=1e-4, abs=1e-6)
+    assert float(kurt[0]) == pytest.approx(full.kurtosis, rel=1e-4)
+    # empty input returns zeros like the reference guard clauses
+    assert float(st.rms(np.zeros((0,)))) == 0.0
+    assert int(st.zero_crossings(np.zeros((1,)))) == 0
+
+    mag = np.abs(np.fft.rfft(x[0] * np.hanning(1000)))
+    fs = sf.calculate(mag, 48000.0)
+    assert float(sf.centroid(mag, 48000.0)) == pytest.approx(
+        fs.centroid_hz, rel=1e-4)
+    assert float(sf.flatness(mag)) == pytest.approx(fs.flatness, rel=1e-4)
+    assert float(sf.rolloff(mag, 48000.0)) == pytest.approx(
+        fs.rolloff_hz, rel=1e-4)
+    assert float(sf.bandwidth(mag, 48000.0)) == pytest.approx(
+        fs.bandwidth_3db_hz, rel=1e-4)

@@ -217,6 +217,19 @@ def test_hilbert_oracle_parity():
     assert snr_db(exp_b, np.asarray(b)) > 140
 
 
+def test_hilbert_presets():
+    """Preset profiles mirror `hilbert/preset.go:34-45`."""
+    from algodsp_tpu.filters.hilbert import Preset, preset_config
+    assert preset_config(Preset.FAST) == (8, 0.1)
+    assert preset_config(Preset.BALANCED) == (12, 0.06)
+    assert preset_config(Preset.LOW_FREQUENCY) == (20, 0.02)
+    ht = HilbertTransformer.from_preset(Preset.BALANCED)
+    assert ht.coeffs.size == 12
+    assert ht.transition == 0.06
+    with pytest.raises(ValueError, match="invalid preset"):
+        preset_config("extreme")
+
+
 def test_hilbert_quadrature_phase():
     # steady sine: outputs ~90 degrees apart with unit magnitude
     t = np.arange(8192) / SR
