@@ -24,9 +24,11 @@ per frame inside VMEM, so spectra never touch HBM:
        real part: two (n1/2, n1)@(n1, 128) matmuls close the frame.
 
 All matmuls run at Precision.HIGHEST (the only f32 mode Mosaic
-lowers); measured SNR vs an f64 oracle is ~137 dB — *better* than
-jnp.fft.rfft's ~130 dB — and the 8ch x 2^20 x 2^17-tap reverb drops
-from 12.0 ms to 5.0 ms on a v5e chip (in-pipeline cost ~2 ms).
+lowers); measured SNR vs an f64 oracle is 130-134 dB, matching
+jnp.fft.rfft, and scale-independent per channel (peak normalization
+around the channel-pair packing). 8ch x 2^23 x 2^17-tap reverb runs
+at 20.4 ms on a v5e chip (~3x the XLA FDL formulation); see
+BENCHMARKS.md for the full sweep.
 
 Reference behavior covered: `dsp/conv/partitioned.go:17-26` (bounded
 per-block cost for long IRs); this is the TPU-shaped replacement for
