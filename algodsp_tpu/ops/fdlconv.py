@@ -41,6 +41,7 @@ VMEM budget: constants 8*n1^2 + ~n*12 bytes, ring + partition spectra
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -50,6 +51,38 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 _VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _precision_mode() -> str:
+    """Matmul precision for the fused kernels.
+
+    "highest" (default): Precision.HIGHEST f32 matmuls (6 bf16 MXU
+    passes) — 130-134 dB SNR vs f64.
+    "fast": manual bf16x3 split (3 MXU passes, ~2x matmul throughput,
+    ~105-115 dB SNR) — the TPU analog of the reference's `fastmath`
+    build tag (`dynamics/compressor_math_fast.go:1-32`). Select with
+    ALGODSP_FDL_PRECISION=fast.
+    """
+    mode = os.environ.get("ALGODSP_FDL_PRECISION", "highest").lower()
+    if mode not in ("highest", "fast"):
+        raise ValueError(
+            f"ALGODSP_FDL_PRECISION must be 'highest' or 'fast', got {mode!r}")
+    return mode
+
+
+def _make_mm(mode: str):
+    if mode == "fast":
+        def mm(a, b):
+            ah = a.astype(jnp.bfloat16)
+            al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            bh = b.astype(jnp.bfloat16)
+            bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+            d = functools.partial(jnp.dot,
+                                  preferred_element_type=jnp.float32)
+            return d(ah, bh) + (d(ah, bl) + d(al, bh))
+        return mm
+    return functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
 
 
 def supported(B: int, P: int, n_samples: int, channels: int = 2) -> bool:
@@ -191,8 +224,7 @@ def _fdl_fused_single(x, hgrid, B: int):
     ext = jnp.concatenate([jnp.zeros((C, B), jnp.float32), x], -1)
     ext = ext.reshape(C, -1, n2)
 
-    mm = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+    mm = _make_mm(_precision_mode())
 
     def kern(prev_ref, cur_ref, h_ref, f1_ref, tr_ref, ti_ref,
              f2r_ref, f2i_ref, e2r_ref, e2i_ref, e1r_ref, e1i_ref,
@@ -292,8 +324,7 @@ def _fdl_fused_pair(x, hgrid, B: int):
     ext = jnp.concatenate([jnp.zeros((C, B), jnp.float32), x], -1)
     ext = ext.reshape(C, -1, n2)
 
-    mm = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+    mm = _make_mm(_precision_mode())
 
     def kern(fa0_ref, fa1_ref, fb0_ref, fb1_ref, h_ref, f1_ref,
              tr2_ref, ti2_ref, f2r_ref, f2i_ref, e2r_ref, e2i_ref,

@@ -77,6 +77,25 @@ def test_quiet_channel_keeps_relative_snr():
     assert np.all(np.isfinite(y))
 
 
+def test_fast_precision_mode(monkeypatch):
+    """ALGODSP_FDL_PRECISION=fast (bf16x3 matmuls — the fastmath
+    analog, `compressor_math_fast.go:1-32`) trades ~30 dB SNR for ~2x
+    matmul throughput; must stay well above 16/24-bit audio floors."""
+    B, P = 1024, 3
+    rng = np.random.default_rng(42)
+    ir = (rng.standard_normal(P * B) *
+          np.exp(-np.arange(P * B) / 500.0)).astype(np.float32)
+    x = rng.standard_normal((2, 4 * B)).astype(np.float32)
+    hg = fdlconv.kernel_spectra(ir, B)
+    want = _oracle(x, ir, 4 * B)
+    monkeypatch.setenv("ALGODSP_FDL_PRECISION", "fast")
+    y = np.asarray(fdlconv.fdl_conv_fused(jnp.asarray(x), hg, B))
+    assert snr_db(want, y) > 95
+    monkeypatch.setenv("ALGODSP_FDL_PRECISION", "nope")
+    with pytest.raises(ValueError, match="ALGODSP_FDL_PRECISION"):
+        fdlconv.fdl_conv_fused(jnp.asarray(x), hg, B)
+
+
 def test_supported_constraints():
     assert fdlconv.supported(1024, 4, 8192)
     assert not fdlconv.supported(512, 4, 4096)       # B too small
