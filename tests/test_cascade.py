@@ -163,3 +163,26 @@ def test_banded_cascade_matches_per_section():
     st3r, y3r = ch._process_stream_sections(st, jnp.asarray(x[..., :700]))
     assert snr_db(np.asarray(y3r), np.asarray(y3)) > 200
     np.testing.assert_allclose(np.asarray(st3), np.asarray(st3r))
+
+
+def test_bulk_256_block_path_matches_scan():
+    """Long one-shot calls re-block the cascade engine at 256 (internal,
+    HBM-lighter sweeps); output must match the sequential scan."""
+    import numpy as np
+    import jax.numpy as jnp
+    from algodsp_tpu.filters import BiquadChain, design
+    rng = np.random.default_rng(3)
+    n = 1 << 16                       # engages the bulk-256 gate
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    chain = BiquadChain(design.butterworth_lp(2000.0, 6, 48000.0))
+    y_bulk = np.asarray(chain.process_cascade(jnp.asarray(x)))
+    y_scan = np.asarray(chain.process(jnp.asarray(x), mode="scan"))
+    assert snr_db(y_scan.astype(np.float64), y_bulk) > 110
+    # streaming (stateful) calls keep the 128-block layout and continue
+    st = chain.init_state((2,), dtype=jnp.float32)
+    y1, st = chain.process_cascade(x[:, :n // 2], state=st,
+                                   return_state=True)
+    y2, _ = chain.process_cascade(x[:, n // 2:], state=st,
+                                  return_state=True)
+    y_stream = np.concatenate([np.asarray(y1), np.asarray(y2)], -1)
+    assert snr_db(y_scan.astype(np.float64), y_stream) > 110
