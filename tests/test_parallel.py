@@ -100,7 +100,7 @@ def test_biquad_pipeline_stages_exact():
     handoff matches the serial cascade exactly."""
     from algodsp_tpu.parallel import biquad_pipeline
     mesh = make_mesh({"stage": 4}, devices=jax.devices()[:4])
-    sos = design.butterworth_lp(2000.0, 16, 48000.0)   # 8 sections
+    sos = design.butterworth_lp(2000.0, 8, 48000.0)    # 4 sections
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.standard_normal((3, 8192)))
     y_pipe = biquad_pipeline(mesh, "stage", sos, x, block=2048)
@@ -149,9 +149,14 @@ def test_biquad_time_sharded_split_sections_exact():
     ill-conditioned real-pole split, linrec.condition_sos) must stay
     exact when time-sharded — regression: the sharded loop must iterate
     RUNTIME sections, matching chain._kernels indexing."""
-    from algodsp_tpu.filters.weighting import WeightingType, weighting_chain
     mesh = make_mesh({"channel": 2, "time": 4})
-    chain = weighting_chain(WeightingType.A, 48000.0)
+    # minimal splitting chain: the A-weighting 20.6 Hz double real pole
+    # (the exact section class the split exists for) + one regular LP —
+    # same regression, ~4x fewer runtime sections than the full
+    # weighting chain, which dominated suite compile time at 330 s
+    sos = np.stack([design.highpass(20.6, 0.5, 48000.0),
+                    design.lowpass(2000.0, 0.7, 48000.0)])
+    chain = BiquadChain(sos)
     assert chain.num_runtime_sections > chain.num_sections  # split occurred
     rng = np.random.default_rng(17)
     x = jnp.asarray(rng.standard_normal((4, 4096)), jnp.float32)
