@@ -163,3 +163,33 @@ def test_biquad_time_sharded_split_sections_exact():
     y = np.asarray(biquad_time_sharded(x, chain, mesh))
     ref = np.asarray(chain.process(x, mode="blocked"))
     assert snr_db(ref, y) > 100
+
+
+def test_channel_sharded_fused_fdl_shard_map(monkeypatch):
+    """The fused Pallas FDL kernel composes with shard_map channel DP:
+    each device runs the kernel (interpreted on CPU) on its channel
+    shard; results match the unsharded bulk path."""
+    from functools import partial
+    from algodsp_tpu.conv import PartitionedConvolver
+    from jax.sharding import PartitionSpec as P
+
+    monkeypatch.setenv("ALGODSP_FDL_FUSED", "1")
+    # 4 devices x 2 channels each: every shard runs the pair kernel
+    mesh = make_mesh({"channel": 4}, devices=jax.devices()[:4])
+    rng = np.random.default_rng(23)
+    ir = (rng.standard_normal(3 * 1024) *
+          np.exp(-np.arange(3 * 1024) / 700.0)).astype(np.float32)
+    pc = PartitionedConvolver(ir, min_block_order=10)
+    x = jnp.asarray(rng.standard_normal((8, 4096)), jnp.float32)
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh
+    # annotation, so the vma check must be off for kernels in shard_map
+    @partial(jax.shard_map, mesh=mesh, in_specs=P("channel", None),
+             out_specs=P("channel", None), check_vma=False)
+    def sharded_conv(xs):
+        return pc._process_bulk_fdl(xs, 10)
+
+    y = np.asarray(jax.jit(sharded_conv)(x))
+    monkeypatch.setenv("ALGODSP_FDL_FUSED", "0")
+    want = np.asarray(pc._process_bulk_fdl(x, 10))
+    assert snr_db(want, y) > 110
