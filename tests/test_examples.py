@@ -15,7 +15,8 @@ EXAMPLES = ["spectrum_analysis", "mastering_chain", "room_measurement",
             "sharded_analysis", "dynamics_metering", "thd_measurement",
             "octave_analyzer", "goertzel_detect", "resampling", "loudness_meter",
             "crossover_multiband", "effect_chain_graph", "delay_estimation",
-            "hilbert_envelope"]
+            "hilbert_envelope", "dither_mastering", "pitch_shift",
+            "stereo_widening", "window_info"]
 
 
 @pytest.mark.parametrize("name", EXAMPLES)
