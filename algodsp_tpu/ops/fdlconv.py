@@ -183,7 +183,7 @@ def fdl_conv_fused(x, hgrid, B: int):
     Returns (C, N) float32. Matches `PartitionedConvolver`'s bulk-FDL
     algebra exactly (ring zeroed per channel = zero initial state).
 
-    With C >= 2 channels, pairs ride one complex DFT (`_fdl_fused_pair`)
+    With C >= 2 channels, pairs ride one complex DFT (`_fdl_fused_multi`)
     — ~1.4x fewer matmul FLOPs per channel. Channels are normalized to
     unit peak before pairing and rescaled after (convolution is
     linear), so a quiet channel sharing a DFT with a loud one keeps its
@@ -191,6 +191,8 @@ def fdl_conv_fused(x, hgrid, B: int):
     absolute f32 roundoff as crosstalk."""
     x = jnp.asarray(x, jnp.float32)
     C, N = x.shape
+    if C == 0:
+        return x
     if C >= 2:
         s = jnp.max(jnp.abs(x), axis=-1, keepdims=True)        # (C, 1)
         # zero/denormal channels get the smallest normal scale: x/s
@@ -202,11 +204,16 @@ def fdl_conv_fused(x, hgrid, B: int):
             x = jnp.concatenate(
                 [x, jnp.zeros((Cp - C, N), jnp.float32)], 0)
         nf = N // B
-        if nf % 2:
-            # pad one zero block at the end (zero-state FDL: appended
+        # F=2 measured best on v5e (F=4 adds VMEM/DMA pressure for no
+        # additional overhead amortization: 21.1 vs 20.4 ms on the
+        # 8ch x 2^23 x 2^17-tap reverb); the kernel supports both
+        F = 2
+        if nf % F:
+            # pad zero blocks at the end (zero-state FDL: appended
             # silence cannot affect earlier outputs), slice after
-            x = jnp.concatenate([x, jnp.zeros((Cp, B), jnp.float32)], -1)
-        y = _fdl_fused_pair(x, hgrid, B)
+            x = jnp.concatenate(
+                [x, jnp.zeros((Cp, (F - nf % F) * B), jnp.float32)], -1)
+        y = _fdl_fused_multi(x, hgrid, B, F)
         return y[:C, :N] * s
     return _fdl_fused_single(x, hgrid, B)
 
@@ -289,8 +296,8 @@ def _fdl_fused_single(x, hgrid, B: int):
     return out.reshape(C, N)
 
 
-def _fdl_fused_pair(x, hgrid, B: int):
-    """Channel-pair, two-frames-per-step variant.
+def _fdl_fused_multi(x, hgrid, B: int, F: int):
+    """Channel-pair, F-frames-per-step variant (F = 2 or 4).
 
     Channels (2c, 2c+1) = (a, b) share one complex DFT pipeline per
     frame via the packing z = a + i*b: the FDL spectral MAC is
@@ -303,22 +310,27 @@ def _fdl_fused_pair(x, hgrid, B: int):
     per-channel; twiddles, stage 2, the P-tap MAC, and the inverse
     collapse to once per pair (~1.4x fewer FLOPs).
 
-    Each grid step additionally closes TWO consecutive frames (2g,
-    2g+1): frame 2g+1's newest MAC tap is frame 2g's spectrum, computed
-    in the same step, so batching them costs nothing algorithmically —
-    it halves the per-step overheads and doubles every matmul's M or N
-    dimension (stage 1 runs as one (2n1, n1)@(n1, 4*128) dot). Requires
-    C and nf even (caller pads)."""
+    Each grid step closes F consecutive frames (Fg..Fg+F-1): a later
+    frame's newest MAC taps are the earlier frames' spectra, computed
+    in the same step and kept in registers, so batching costs nothing
+    algorithmically — it divides the per-step overheads by F and
+    multiplies every matmul's M or N dimension by F (stage 1 runs as
+    one (2n1, n1)@(n1, 2F*128) dot). All in-step spectra are written to
+    the ring only AFTER the MAC reads: ring slot (s0+j) mod P still
+    holds frame Fg+j-P, an earlier in-step frame's oldest tap. With
+    P < F, colliding in-step slots are written in ascending j order so
+    the newest frame survives. Requires C % 2 == 0 and nf % F == 0
+    (caller pads)."""
     x = jnp.asarray(x, jnp.float32)
     C, N = x.shape
-    assert C % 2 == 0 and (N // B) % 2 == 0
+    nf = N // B
+    assert C % 2 == 0 and nf % F == 0
     n = 2 * B
     n1, n2 = n // LANES, LANES
-    nf = N // B
     P = int(hgrid.shape[0])
     F1s, Tr, Ti, F2r, F2i, E2r, E2i, E1r, E1i = map(jnp.asarray, _plan(B))
-    Tr2 = jnp.concatenate([Tr, Tr], 0)                         # (2n1, n2)
-    Ti2 = jnp.concatenate([Ti, Ti], 0)
+    TrF = jnp.concatenate([Tr] * F, 0)                         # (F*n1, n2)
+    TiF = jnp.concatenate([Ti] * F, 0)
     rows = B // n2
 
     ext = jnp.concatenate([jnp.zeros((C, B), jnp.float32), x], -1)
@@ -326,8 +338,8 @@ def _fdl_fused_pair(x, hgrid, B: int):
 
     mm = _make_mm(_precision_mode())
 
-    def kern(fa0_ref, fa1_ref, fb0_ref, fb1_ref, h_ref, f1_ref,
-             tr2_ref, ti2_ref, f2r_ref, f2i_ref, e2r_ref, e2i_ref,
+    def kern(wa_ref, wa2_ref, wb_ref, wb2_ref, h_ref, f1_ref,
+             trf_ref, tif_ref, f2r_ref, f2i_ref, e2r_ref, e2i_ref,
              e1r_ref, e1i_ref, ya_ref, yb_ref, ring_ref):
         g = pl.program_id(1)
 
@@ -335,80 +347,88 @@ def _fdl_fused_pair(x, hgrid, B: int):
         def _():
             ring_ref[...] = jnp.zeros_like(ring_ref)
 
-        # stage 1 for all four frames (a0, a1, b0, b1) in one dot
+        # window of F+1 half-frames per channel: frames j = W[j*r:(j+2)*r]
+        Wa = jnp.concatenate([wa_ref[0], wa2_ref[0][-rows:]], 0)
+        Wb = jnp.concatenate([wb_ref[0], wb2_ref[0][-rows:]], 0)
         frames = jnp.concatenate(
-            [fa0_ref[0], fa1_ref[0], fb0_ref[0], fb1_ref[0]], 1)  # (n1, 4n2)
-        S = mm(f1_ref[...], frames)                               # (2n1, 4n2)
-        Ya0, Ya1 = S[:, :n2], S[:, n2:2 * n2]
-        Yb0, Yb1 = S[:, 2 * n2:3 * n2], S[:, 3 * n2:]
+            [Wa[j * rows:j * rows + n1] for j in range(F)]
+            + [Wb[j * rows:j * rows + n1] for j in range(F)], 1)  # (n1, 2F*n2)
+        S = mm(f1_ref[...], frames)                               # (2n1, 2F*n2)
         # pack z = a + i*b per frame, frames stacked on rows
-        Zr = jnp.concatenate([Ya0[:n1] - Yb0[n1:],
-                              Ya1[:n1] - Yb1[n1:]], 0)         # (2n1, n2)
-        Zi = jnp.concatenate([Ya0[n1:] + Yb0[:n1],
-                              Ya1[n1:] + Yb1[:n1]], 0)
-        # shared twiddle (tiled) + stage 2, both frames in one dot
-        Wr = Zr * tr2_ref[...] - Zi * ti2_ref[...]
-        Wi = Zr * ti2_ref[...] + Zi * tr2_ref[...]
-        Xr = mm(Wr, f2r_ref[...]) - mm(Wi, f2i_ref[...])       # (2n1, n2)
+        Zr = jnp.concatenate(
+            [S[:n1, j * n2:(j + 1) * n2] - S[n1:, (F + j) * n2:(F + j + 1) * n2]
+             for j in range(F)], 0)                            # (F*n1, n2)
+        Zi = jnp.concatenate(
+            [S[n1:, j * n2:(j + 1) * n2] + S[:n1, (F + j) * n2:(F + j + 1) * n2]
+             for j in range(F)], 0)
+        # shared twiddle (tiled) + stage 2, all frames in one dot
+        Wr = Zr * trf_ref[...] - Zi * tif_ref[...]
+        Wi = Zr * tif_ref[...] + Zi * trf_ref[...]
+        Xr = mm(Wr, f2r_ref[...]) - mm(Wi, f2i_ref[...])       # (F*n1, n2)
         Xi = mm(Wr, f2i_ref[...]) + mm(Wi, f2r_ref[...])
-        slot0 = jax.lax.rem(2 * g, jnp.int32(P))
-        slot1 = jax.lax.rem(2 * g + 1, jnp.int32(P))
-        X0r, X1r = Xr[:n1], Xr[n1:]
-        X0i, X1i = Xi[:n1], Xi[n1:]
-        ring_ref[slot0, 0] = X0r
-        ring_ref[slot0, 1] = X0i
-        # P-tap spectral MAC for both frames; tap p of frame 2g is tap
-        # p+1 of frame 2g+1, so each ring slot is read once. Frame
-        # 2g+1's spectrum is written only AFTER the loop: slot1 still
-        # holds frame 2g-(P-1), which is frame 2g's oldest tap.
-        a0r = jnp.zeros((n1, n2), jnp.float32)
-        a0i = jnp.zeros((n1, n2), jnp.float32)
-        a1r = X1r * h_ref[0, 0] - X1i * h_ref[0, 1]
-        a1i = X1r * h_ref[0, 1] + X1i * h_ref[0, 0]
-        for p in range(P):
-            s = jax.lax.rem(slot0 - p + P, jnp.int32(P))
-            xr = ring_ref[s, 0]
-            xi = ring_ref[s, 1]
-            hr = h_ref[p, 0]
-            hi = h_ref[p, 1]
-            a0r = a0r + xr * hr - xi * hi
-            a0i = a0i + xr * hi + xi * hr
-            if p + 1 < P:
-                hr1 = h_ref[p + 1, 0]
-                hi1 = h_ref[p + 1, 1]
-                a1r = a1r + xr * hr1 - xi * hi1
-                a1i = a1i + xr * hi1 + xi * hr1
-        ring_ref[slot1, 0] = X1r
-        ring_ref[slot1, 1] = X1i
-        acc_r = jnp.concatenate([a0r, a1r], 0)                 # (2n1, n2)
-        acc_i = jnp.concatenate([a0i, a1i], 0)
+        Xs = [(Xr[j * n1:(j + 1) * n1], Xi[j * n1:(j + 1) * n1])
+              for j in range(F)]
+        s0 = jax.lax.rem(F * g, jnp.int32(P))
+        # P-tap spectral MAC: taps p <= j come from this step's
+        # registers, older taps from the ring (each slot read once)
+        accs = []
+        for j in range(F):
+            ar = jnp.zeros((n1, n2), jnp.float32)
+            ai = jnp.zeros((n1, n2), jnp.float32)
+            for p in range(min(j + 1, P)):
+                xr, xi = Xs[j - p]
+                hr = h_ref[p, 0]
+                hi = h_ref[p, 1]
+                ar = ar + xr * hr - xi * hi
+                ai = ai + xr * hi + xi * hr
+            accs.append([ar, ai])
+        for m in range(1, P):
+            sm = jax.lax.rem(s0 - m + P, jnp.int32(P))
+            xr = ring_ref[sm, 0]
+            xi = ring_ref[sm, 1]
+            for j in range(F):
+                if j + m < P:
+                    hr = h_ref[j + m, 0]
+                    hi = h_ref[j + m, 1]
+                    accs[j][0] = accs[j][0] + xr * hr - xi * hi
+                    accs[j][1] = accs[j][1] + xr * hi + xi * hr
+        for j in range(F):
+            sj = jax.lax.rem(F * g + j, jnp.int32(P))
+            ring_ref[sj, 0] = Xs[j][0]
+            ring_ref[sj, 1] = Xs[j][1]
+        acc_r = jnp.concatenate([a[0] for a in accs], 0)       # (F*n1, n2)
+        acc_i = jnp.concatenate([a[1] for a in accs], 0)
         # inverse 4-step, rows j1 >= n1/2; real part -> a, imag -> b
         Ar = mm(acc_r, e2r_ref[...]) - mm(acc_i, e2i_ref[...])
         Ai = mm(acc_r, e2i_ref[...]) + mm(acc_i, e2r_ref[...])
-        Br = Ar * tr2_ref[...] + Ai * ti2_ref[...]
-        Bi = Ai * tr2_ref[...] - Ar * ti2_ref[...]
-        Bc_r = jnp.concatenate([Br[:n1], Br[n1:]], 1)          # (n1, 2n2)
-        Bc_i = jnp.concatenate([Bi[:n1], Bi[n1:]], 1)
-        Cr = mm(e1r_ref[...], Bc_r) - mm(e1i_ref[...], Bc_i)   # (n1/2, 2n2)
+        Br = Ar * trf_ref[...] + Ai * tif_ref[...]
+        Bi = Ai * trf_ref[...] - Ar * tif_ref[...]
+        Bc_r = jnp.concatenate(
+            [Br[j * n1:(j + 1) * n1] for j in range(F)], 1)    # (n1, F*n2)
+        Bc_i = jnp.concatenate(
+            [Bi[j * n1:(j + 1) * n1] for j in range(F)], 1)
+        Cr = mm(e1r_ref[...], Bc_r) - mm(e1i_ref[...], Bc_i)   # (n1/2, F*n2)
         Ci = mm(e1r_ref[...], Bc_i) + mm(e1i_ref[...], Bc_r)
-        ya_ref[0] = jnp.concatenate([Cr[:, :n2], Cr[:, n2:]], 0)
-        yb_ref[0] = jnp.concatenate([Ci[:, :n2], Ci[:, n2:]], 0)
+        ya_ref[0] = jnp.concatenate(
+            [Cr[:, j * n2:(j + 1) * n2] for j in range(F)], 0)
+        yb_ref[0] = jnp.concatenate(
+            [Ci[:, j * n2:(j + 1) * n2] for j in range(F)], 0)
 
     const = lambda shp: pl.BlockSpec(shp, lambda c, g: tuple([0] * len(shp)),
                                      memory_space=pltpu.VMEM)
-    blk = lambda ch: pl.BlockSpec((1, n1, n2),
+    blk = lambda ch: pl.BlockSpec((1, F * rows, n2),
                                   lambda c, g, ch=ch: (2 * c + ch, g, 0),
                                   memory_space=pltpu.VMEM)
-    oblk = lambda: pl.BlockSpec((1, n1, n2), lambda c, g: (c, g, 0),
+    oblk = lambda: pl.BlockSpec((1, F * rows, n2), lambda c, g: (c, g, 0),
                                 memory_space=pltpu.VMEM)
     ya, yb = pl.pallas_call(
         kern,
-        grid=(C // 2, nf // 2),
+        grid=(C // 2, nf // F),
         in_specs=[
             blk(0), blk(0), blk(1), blk(1),
             const((P, 2, n1, n2)),
             const((2 * n1, n1)),
-            const((2 * n1, n2)), const((2 * n1, n2)),
+            const((F * n1, n2)), const((F * n1, n2)),
             const((n2, n2)), const((n2, n2)),
             const((n2, n2)), const((n2, n2)),
             const((n1 // 2, n1)), const((n1 // 2, n1)),
@@ -419,6 +439,6 @@ def _fdl_fused_pair(x, hgrid, B: int):
         scratch_shapes=[pltpu.VMEM((P, 2, n1, n2), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
     )(ext[:, :-rows], ext[:, rows:], ext[:, :-rows], ext[:, rows:],
-      jnp.asarray(hgrid), F1s, Tr2, Ti2, F2r, F2i, E2r, E2i, E1r, E1i)
+      jnp.asarray(hgrid), F1s, TrF, TiF, F2r, F2i, E2r, E2i, E1r, E1i)
     y = jnp.stack([ya, yb], 1)                                 # (C/2, 2, ...)
     return y.reshape(C, nf * rows, n2).reshape(C, N)

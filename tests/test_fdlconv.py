@@ -22,7 +22,8 @@ def _oracle(x, ir, n):
 
 
 @pytest.mark.parametrize("C,nf,P", [(2, 4, 3), (1, 2, 1), (3, 6, 5),
-                                    (2, 3, 2), (4, 5, 1)])
+                                    (2, 3, 2), (4, 5, 1), (2, 8, 2),
+                                    (2, 8, 6)])
 def test_fused_matches_f64_oracle(C, nf, P):
     B = 1024
     rng = np.random.default_rng(C * 10 + nf + P)
