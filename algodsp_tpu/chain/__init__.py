@@ -3,4 +3,5 @@ from algodsp_tpu.chain.registry import Registry, Context, NodeRuntime, default_r
 from algodsp_tpu.chain.chain import Chain
 
 __all__ = ["Chain", "Context", "GraphError", "INPUT_NODE_ID",
-           "OUTPUT_NODE_ID", "Registry", "default_registry", "parse_graph"]
+           "NodeRuntime", "OUTPUT_NODE_ID", "Registry", "default_registry",
+           "parse_graph"]

@@ -51,6 +51,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 _VMEM_BUDGET = 10 * 1024 * 1024
+# frames closed per grid step by the pair kernel; supported()'s io
+# budget scales with this — change both together (F=2 measured best
+# on v5e; F=4 added VMEM/DMA pressure for no overhead win)
+FRAMES_PER_STEP = 2
 
 
 def _precision_mode() -> str:
@@ -101,10 +105,10 @@ def supported(B: int, P: int, n_samples: int, channels: int = 2) -> bool:
     const_bytes = 4 * (2 * n1 * n1 + 4 * n1 * LANES +
                        4 * LANES * LANES + n1 * n1)
     ring_bytes = 16 * P * B
-    # double-buffered in/out blocks: the two-frame pair kernel moves
-    # 4 input frames (2B samples each) + 2 output frames per step, f32,
-    # x2 buffers; the single kernel 2 in + 1 out blocks of B samples
-    io_bytes = 96 * B if channels >= 2 else 24 * B
+    # double-buffered in/out blocks: the F-frame pair kernel moves
+    # 2F input windows (2B samples each) + 2 output windows of F*B per
+    # step, f32, x2 buffers; the single kernel 2 in + 1 out B-blocks
+    io_bytes = 48 * FRAMES_PER_STEP * B if channels >= 2 else 24 * B
     return const_bytes + 2 * ring_bytes + io_bytes < _VMEM_BUDGET
 
 
@@ -204,10 +208,7 @@ def fdl_conv_fused(x, hgrid, B: int):
             x = jnp.concatenate(
                 [x, jnp.zeros((Cp - C, N), jnp.float32)], 0)
         nf = N // B
-        # F=2 measured best on v5e (F=4 adds VMEM/DMA pressure for no
-        # additional overhead amortization: 21.1 vs 20.4 ms on the
-        # 8ch x 2^23 x 2^17-tap reverb); the kernel supports both
-        F = 2
+        F = FRAMES_PER_STEP
         if nf % F:
             # pad zero blocks at the end (zero-state FDL: appended
             # silence cannot affect earlier outputs), slice after

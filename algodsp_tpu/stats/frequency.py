@@ -100,7 +100,9 @@ def flatness(magnitude):
     mag = jnp.abs(jnp.asarray(magnitude))
     p = jnp.square(mag)
     am = jnp.mean(p, axis=-1)
-    gm = jnp.exp(jnp.mean(jnp.log(jnp.maximum(p, 1e-300)), axis=-1))
+    # 1e-30 floor like calculate(): representable in f32 (1e-300 would
+    # underflow to 0 and defeat the clamp)
+    gm = jnp.exp(jnp.mean(jnp.log(jnp.maximum(p, 1e-30)), axis=-1))
     return jnp.where(am > 0, gm / jnp.where(am > 0, am, 1.0), 0.0)
 
 

@@ -213,20 +213,13 @@ def crest_factor(x):
 
 
 def zero_crossings(x):
-    """Sign-change count (`stats.go:232`); zeros carry the previous sign."""
+    """Count of adjacent sample pairs with opposite signs — the strict
+    product rule of `stats.go:239-243` (exact zeros never count),
+    matching `calculate()`."""
     x = jnp.asarray(x)
     if x.shape[-1] < 2:
         return jnp.zeros(x.shape[:-1], jnp.int32)
-    s = jnp.sign(x)
-    # propagate last nonzero sign through exact zeros, like the scalar loop
-    def fwd(carry, v):
-        cur = jnp.where(v == 0, carry, v)
-        return cur, cur
-    import jax as _jax
-    _, signs = _jax.lax.scan(fwd, jnp.zeros(x.shape[:-1], x.dtype),
-                             jnp.moveaxis(s, -1, 0))
-    signs = jnp.moveaxis(signs, 0, -1)
-    flips = (signs[..., 1:] * signs[..., :-1]) < 0
+    flips = (x[..., 1:] * x[..., :-1]) < 0
     return jnp.sum(flips, axis=-1).astype(jnp.int32)
 
 

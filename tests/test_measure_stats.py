@@ -402,6 +402,16 @@ def test_standalone_stat_helpers():
     # empty input returns zeros like the reference guard clauses
     assert float(st.rms(np.zeros((0,)))) == 0.0
     assert int(st.zero_crossings(np.zeros((1,)))) == 0
+    # exact zeros never count (stats.go:239-243 strict product), and the
+    # helper agrees with calculate() on such signals
+    z = np.array([1.0, 0.0, -1.0, 0.0, 1.0])
+    assert int(st.zero_crossings(z)) == st.calculate(z).zero_crossings == 0
+    # flatness clamp must be representable in f32: a zero bin must not
+    # collapse the geometric mean
+    mag0 = np.ones(33, np.float32)
+    mag0[5] = 0.0
+    assert float(sf.flatness(mag0)) == pytest.approx(
+        sf.calculate(mag0, 48000.0).flatness, rel=1e-4)
 
     mag = np.abs(np.fft.rfft(x[0] * np.hanning(1000)))
     fs = sf.calculate(mag, 48000.0)
