@@ -29,13 +29,22 @@ from algodsp_tpu.interp import Mode
 def _gather_points(xh, base_idx, offsets):
     """xh: (..., H+N) history-extended signal; base_idx: (..., N) integer
     positions into xh; offsets: (P,) relative taps. Returns
-    (..., N, P) with zeros outside [0, len)."""
+    (batch..., N, P) with zeros outside [0, len); the leading dims of
+    xh and base_idx broadcast against each other (e.g. a batched signal
+    read at one shared position grid, or per-batch positions)."""
     total = xh.shape[-1]
     idx = base_idx[..., :, None] + offsets[None, :]  # (..., N, P)
     valid = jnp.logical_and(idx >= 0, idx < total)
     idx_c = jnp.clip(idx, 0, total - 1)
-    arr = jnp.broadcast_to(xh[..., None, :], idx.shape[:-1] + (total,))
-    vals = jnp.take_along_axis(arr, idx_c, axis=-1)
+    # align ranks and let take_along_axis broadcast the non-axis dims:
+    # never materialize a (batch..., N, total) copy of the signal (a
+    # broadcast_to here compiles to a multi-GB allocation on TPU)
+    batch = jnp.broadcast_shapes(xh.shape[:-1], base_idx.shape[:-1])
+    nb = len(batch)
+    xh_e = xh.reshape((1,) * (nb - (xh.ndim - 1)) + xh.shape[:-1]
+                      + (1, total))
+    idx_e = idx_c.reshape((1,) * (nb - (idx_c.ndim - 2)) + idx_c.shape)
+    vals = jnp.take_along_axis(xh_e, idx_e, axis=-1)
     return jnp.where(valid, vals, 0.0)
 
 

@@ -98,6 +98,11 @@ class SpectralFreeze:
         norm = jnp.zeros((total,), x.dtype).at[oidx].add(
             jnp.broadcast_to(w * w, (n_frames, fs)).reshape(-1))
         wet = (wet / jnp.maximum(norm, _NORM_FLOOR))[..., :n]
+        if wet.shape[-1] < n:
+            # the frame/grain grid ends before the signal does: the
+            # uncovered tail has a silent wet path
+            wet = jnp.pad(wet, [(0, 0)] * (wet.ndim - 1)
+                          + [(0, n - wet.shape[-1])])
         return x * (1.0 - self.mix) + wet * self.mix
 
 
@@ -141,7 +146,10 @@ class Granular:
         # each grain reads at its own rate: src = start + age*pitch
         ages = jnp.arange(g, dtype=x.dtype)
         src = jnp.asarray(starts, x.dtype)[:, None] + ages[None, :] * self.pitch
-        grains = fractional_read(x, src, Mode.LINEAR)  # (..., G, g)
+        # x gains a broadcast dim so the grain axis of src pairs with it
+        # instead of merging into the channel batch: (..., 1, T) read at
+        # (G, g) -> (..., G, g)
+        grains = fractional_read(x[..., None, :], src, Mode.LINEAR)
         env = jnp.asarray(self.env, x.dtype)
         shaped = grains * env
         out_starts = jnp.arange(n_grains) * hop
@@ -152,4 +160,9 @@ class Granular:
         norm = jnp.zeros((total,), x.dtype).at[oidx].add(
             jnp.broadcast_to(env, (n_grains, g)).reshape(-1))
         wet = (wet / jnp.maximum(norm, _NORM_FLOOR))[..., :n]
+        if wet.shape[-1] < n:
+            # the frame/grain grid ends before the signal does: the
+            # uncovered tail has a silent wet path
+            wet = jnp.pad(wet, [(0, 0)] * (wet.ndim - 1)
+                          + [(0, n - wet.shape[-1])])
         return x * (1.0 - self.mix) + wet * self.mix

@@ -187,3 +187,22 @@ def test_unknown_type_raises():
         c.load_graph(json.dumps({
             "nodes": [{"id": "x", "type": "does-not-exist"}],
             "connections": []}))
+
+
+def test_every_node_type_processes_with_defaults():
+    """Single-node graph with default params for EVERY registered type:
+    each factory must build and process a finite block (the loader-level
+    analog of the reference's per-effect construction tests)."""
+    r = default_registry()
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 1024)).astype(np.float32))
+    for t in sorted(r.types()):
+        c = make_chain({
+            "nodes": [{"id": "n", "type": t, "params": {}}],
+            "connections": [{"from": "_input", "to": "n"},
+                            {"from": "n", "to": "_output"}]})
+        state = c.init_state(batch_shape=(2,), dtype=jnp.float32)
+        _, y = c.process(state, x)
+        y = np.asarray(y)
+        assert y.shape == (2, 1024), t
+        assert np.all(np.isfinite(y)), t
