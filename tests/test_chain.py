@@ -206,3 +206,9 @@ def test_every_node_type_processes_with_defaults():
         y = np.asarray(y)
         assert y.shape == (2, 1024), t
         assert np.all(np.isfinite(y)), t
+        # channel independence: row 0 of the batch equals processing
+        # that row alone (catches cross-channel leaks/broadcast bugs)
+        s1 = c.init_state(batch_shape=(1,), dtype=jnp.float32)
+        _, y1 = c.process(s1, x[:1])
+        np.testing.assert_allclose(np.asarray(y1)[0], y[0], atol=2e-5,
+                                   err_msg=t)
