@@ -73,6 +73,12 @@ def main(argv=None) -> int:
                    help="alpha/beta for parametric windows")
     p.add_argument("--all", action="store_true", help="print all windows")
     p.add_argument("--list", action="store_true", help="list window names")
+    if argv is None:
+        argv = sys.argv[1:]
+    # Go-flag parity (`cmd/wininfo/main.go`): accept single-dash long
+    # flags (-size, -alpha, -all, -list) like the reference CLI
+    argv = [("-" + a) if a in ("-size", "-alpha", "-all", "-list") else a
+            for a in argv]
     args = p.parse_args(argv)
 
     if args.list:
