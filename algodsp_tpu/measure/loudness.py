@@ -8,7 +8,10 @@ mean-square windows (`meter.go:37-49`), integrated loudness with
 blocks (`meter.go:22-27,245`), LUFS = -0.691 + 10*log10(mean square)
 (`meter.go:297-302`), per-channel sample peak, and 4x-oversampled
 true peak (left as a TODO in the reference, `meter.go:60-61` — here
-implemented through the polyphase resampler).
+implemented through the polyphase resampler). Beyond the reference:
+loudness range (LRA, EBU Tech 3342) from the distribution of gated
+short-term loudness values (-70 LUFS absolute gate, -20 LU relative
+gate, 95th minus 10th percentile).
 
 TPU-first: the meter is FULLY device-resident and jittable —
 `process(state, x) -> (state, reading)` is a pure function over a
@@ -41,6 +44,9 @@ ABS_THRESHOLD = -70.0
 REL_THRESHOLD = -10.0
 BLOCK_OVERLAP = 0.75
 TRUE_PEAK_OVERSAMPLE = 4
+LRA_REL_THRESHOLD = -20.0   # Tech 3342 relative gate (LU below gated mean)
+LRA_LOW_PCT = 0.10
+LRA_HIGH_PCT = 0.95
 
 
 def _lufs(ms):
@@ -111,6 +117,10 @@ class Meter:
             "sample_count": jnp.zeros((), jnp.int32),
             # summed-square tail covering a partially-filled gating block
             "sq_tail": jnp.zeros((self.block_len,), dtype),
+            # short-term (3 s) loudness values at the gating stride, for
+            # LRA (EBU Tech 3342) — the history buffer doubles as tail
+            "st_energies": jnp.zeros((self.max_blocks,), dtype),
+            "st_count": jnp.zeros((), jnp.int32),
             "true_peaks": jnp.zeros((self.channels,), dtype),
         }
         if self.true_peak:
@@ -150,31 +160,24 @@ class Meter:
         # --- integrated gating blocks, device-resident ------------------
         # concat[j] = summed-square at absolute sample t0 - block_len + j
         t0 = state["sample_count"]
-        concat = jnp.concatenate([state["sq_tail"], jnp.sum(sq, axis=0)])
-        cs = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(concat)])
-        # candidate blocks: indices block_count + i; block b covers
-        # absolute samples [b*step, b*step + block_len)
-        kmax = n // self.block_step + 1
-        bc = state["block_count"]
-        b_idx = bc + jnp.arange(kmax, dtype=jnp.int32)
-        starts = b_idx * self.block_step - t0 + self.block_len
-        valid = (b_idx * self.block_step + self.block_len <= t0 + n) \
-            & (b_idx < self.max_blocks)
-        starts_c = jnp.clip(starts, 0, concat.shape[0] - self.block_len)
-        energies = (jnp.take(cs, starts_c + self.block_len)
-                    - jnp.take(cs, starts_c)) / self.block_len
-        n_new = jnp.sum(valid.astype(jnp.int32))
-        # masked append: invalid slots scatter out of bounds and are
-        # dropped (duplicate-index .at[].set ordering is undefined, so
-        # aliasing them onto a real slot would be nondeterministic)
-        pos = jnp.where(valid, b_idx, jnp.int32(self.max_blocks))
-        block_energies = state["block_energies"].at[pos].set(
-            energies, mode="drop")
-        block_count = jnp.minimum(bc + n_new, self.max_blocks)
+        sum_sq = jnp.sum(sq, axis=0)
+        concat = jnp.concatenate([state["sq_tail"], sum_sq])
+        block_energies, block_count = self._append_energies(
+            state["block_energies"], state["block_count"],
+            concat, self.block_len, t0, n)
+
+        # --- short-term (3 s) loudness values at the same stride, for
+        # LRA (Tech 3342): the pre-update history buffer IS the tail
+        st_concat = jnp.concatenate(
+            [jnp.sum(state["history"], axis=0), sum_sq])
+        st_energies, st_count = self._append_energies(
+            state["st_energies"], state["st_count"],
+            st_concat, self.short_win, t0, n)
 
         new_state = {
             "filters": fstate, "history": history, "peaks": peaks,
             "block_energies": block_energies, "block_count": block_count,
+            "st_energies": st_energies, "st_count": st_count,
             "sample_count": t0 + n,
             "sq_tail": concat[-self.block_len:],
         }
@@ -215,6 +218,54 @@ class Meter:
         return jnp.maximum(state["true_peaks"],
                            jnp.max(jnp.abs(up), axis=-1))
 
+    def _append_energies(self, buf, count, concat, win, t0, n):
+        """Masked append of every `win`-long mean-square window (at the
+        gating stride) whose end falls inside this call.
+
+        concat[j] = summed-square at absolute sample t0 - win + j; window
+        b covers absolute samples [b*step, b*step + win). Invalid slots
+        scatter out of bounds and are dropped (duplicate-index .at[].set
+        ordering is undefined, so aliasing them onto a real slot would
+        be nondeterministic).
+        """
+        dtype = buf.dtype
+        cs = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(concat)])
+        kmax = n // self.block_step + 1
+        b_idx = count + jnp.arange(kmax, dtype=jnp.int32)
+        starts = b_idx * self.block_step - t0 + win
+        valid = (b_idx * self.block_step + win <= t0 + n) \
+            & (b_idx < self.max_blocks)
+        starts_c = jnp.clip(starts, 0, concat.shape[0] - win)
+        energies = (jnp.take(cs, starts_c + win)
+                    - jnp.take(cs, starts_c)) / win
+        n_new = jnp.sum(valid.astype(jnp.int32))
+        pos = jnp.where(valid, b_idx, jnp.int32(self.max_blocks))
+        return (buf.at[pos].set(energies, mode="drop"),
+                jnp.minimum(count + n_new, self.max_blocks))
+
+    def loudness_range(self, state):
+        """LRA in LU (EBU Tech 3342): 95th minus 10th percentile of the
+        gated short-term loudness distribution (-70 LUFS absolute gate,
+        then -20 LU below the gated energy mean). Jittable; returns a
+        0-d array, 0.0 until two short-term values pass the gates.
+        """
+        energies = state["st_energies"]
+        have = jnp.arange(self.max_blocks) < state["st_count"]
+        l_st = _lufs(energies)
+        m_abs = have & (l_st > ABS_THRESHOLD)
+        n_abs = jnp.sum(m_abs)
+        mean_abs = jnp.sum(jnp.where(m_abs, energies, 0.0)) \
+            / jnp.maximum(n_abs, 1)
+        rel_gate = _lufs(mean_abs) + LRA_REL_THRESHOLD
+        m_rel = m_abs & (l_st >= rel_gate)
+        n_rel = jnp.sum(m_rel)
+        ranked = jnp.sort(jnp.where(m_rel, l_st, jnp.inf))
+        lo = jnp.round(LRA_LOW_PCT * (n_rel - 1)).astype(jnp.int32)
+        hi = jnp.round(LRA_HIGH_PCT * (n_rel - 1)).astype(jnp.int32)
+        lra = jnp.take(ranked, jnp.maximum(hi, 0)) \
+            - jnp.take(ranked, jnp.maximum(lo, 0))
+        return jnp.where(n_rel >= 2, lra, 0.0)
+
     def _integrated(self, energies, count):
         """Two-stage gated mean (`meter.go:245-295`) as masked reductions."""
         have = jnp.arange(self.max_blocks) < count
@@ -245,6 +296,18 @@ def measure(x, sample_rate: float = 48000.0,
     if true_peak:
         reading = reading._replace(true_peaks=meter.flush_true_peak(state))
     return reading
+
+
+def loudness_range(x, sample_rate: float = 48000.0):
+    """One-shot LRA (LU, EBU Tech 3342) of a (channels, N) or (N,) buffer."""
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        x = x[None, :]
+    meter = Meter(sample_rate, x.shape[0],
+                  max_blocks=max(x.shape[-1] // meter_step(sample_rate) + 2, 16),
+                  true_peak=False)
+    state, _ = meter.process(meter.init_state(), x)
+    return meter.loudness_range(state)
 
 
 def meter_step(sample_rate: float) -> int:

@@ -1,0 +1,82 @@
+"""EBU Tech 3342 loudness-range (LRA) compliance cases.
+
+LRA is NOT in the Go reference meter — this exceeds it (the reference
+stops at integrated loudness, `measure/loudness/meter.go:225-295`).
+Test signals follow Tech 3342 §2 (997 Hz stereo tone sequences);
+segment durations are shortened from 20 s to 8-10 s, which keeps well
+over 50 fully-immersed short-term values per plateau so the 10th/95th
+percentiles still land inside the plateau clusters. Tolerance is the
+spec's +/-1 LU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from algodsp_tpu.measure import loudness
+
+SR = 48000.0
+
+
+def _tone_sequence(levels_dbfs, seconds_each: float) -> np.ndarray:
+    segs = []
+    n = int(round(seconds_each * SR))
+    t = np.arange(n) / SR
+    for lv in levels_dbfs:
+        amp = 10.0 ** (lv / 20.0)
+        segs.append(amp * np.sin(2 * np.pi * 997.0 * t))
+    mono = np.concatenate(segs)
+    return np.tile(mono, (2, 1)).astype(np.float32)
+
+
+@pytest.mark.parametrize("levels,expected", [
+    ([-20.0, -30.0], 10.0),   # case 1
+    ([-20.0, -15.0], 5.0),    # case 2
+    ([-40.0, -20.0], 20.0),   # case 3
+])
+def test_3342_two_level_cases(levels, expected):
+    x = _tone_sequence(levels, 10.0)
+    lra = float(loudness.loudness_range(jnp.asarray(x), SR))
+    assert abs(lra - expected) < 1.0, lra
+
+
+def test_3342_case_4_five_segments_relative_gate():
+    """-50/-35/-20/-35/-50: the -50 plateaus fall below the -20 LU
+    relative gate, so LRA spans -35..-20 = 15 LU. Spec durations (20 s
+    per segment) are required here: level-transition short-term values
+    are duration-independent (~30 per 3 s crossing) while plateau
+    counts scale with duration, and the 10th percentile must clear the
+    transition cluster below the -35 plateau."""
+    x = _tone_sequence([-50.0, -35.0, -20.0, -35.0, -50.0], 20.0)
+    lra = float(loudness.loudness_range(jnp.asarray(x), SR))
+    assert abs(lra - 15.0) < 1.0, lra
+
+
+def test_lra_streaming_matches_oneshot():
+    """Chunked process calls accumulate the same short-term
+    distribution as one shot (block boundaries spanning calls)."""
+    x = _tone_sequence([-20.0, -30.0], 5.0)
+    one = float(loudness.loudness_range(jnp.asarray(x), SR))
+
+    m = loudness.Meter(SR, 2, true_peak=False, max_blocks=256)
+    state = m.init_state()
+    step = 13441  # deliberately not a divisor of anything relevant
+    proc = jax.jit(m.process)
+    for i in range(0, x.shape[-1] - step + 1, step):
+        state, _ = proc(state, jnp.asarray(x[:, i:i + step]))
+    rem = x.shape[-1] % step
+    if rem:
+        state, _ = m.process(state, jnp.asarray(x[:, -rem:]))
+    chunked = float(jax.jit(m.loudness_range)(state))
+    assert abs(chunked - one) < 0.2, (chunked, one)
+
+
+def test_lra_silence_and_steady_tone():
+    """Silence has no gated values -> 0; a steady tone has a one-point
+    distribution -> ~0 LU."""
+    silent = np.zeros((2, int(4 * SR)), np.float32)
+    assert float(loudness.loudness_range(jnp.asarray(silent), SR)) == 0.0
+    steady = _tone_sequence([-23.0], 8.0)
+    lra = float(loudness.loudness_range(jnp.asarray(steady), SR))
+    assert lra < 0.2, lra
