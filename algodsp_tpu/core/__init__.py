@@ -9,8 +9,11 @@ from algodsp_tpu.core.numeric import (
     next_pow2,
 )
 from algodsp_tpu.core.config import ProcessorConfig
+from algodsp_tpu.core.pool import Buffer, Pool
 
 __all__ = [
+    "Buffer",
+    "Pool",
     "ProcessorConfig",
     "clamp",
     "db_to_linear",

@@ -33,6 +33,7 @@ from urllib.parse import urlparse, parse_qs
 
 import numpy as np
 
+from algodsp_tpu.core.pool import Buffer
 from algodsp_tpu.demo.engine import Engine, EQBand, Waveform
 from algodsp_tpu import native
 
@@ -41,33 +42,51 @@ _RING_BLOCKS = 8       # ring capacity in blocks (~170 ms at 48 kHz)
 
 
 class _FallbackRing:
-    """Pure-Python stand-in when the native library isn't built."""
+    """Pure-Python stand-in when the native library isn't built.
+
+    Circular over one preallocated `core.Buffer` (the reference's
+    buffer-reuse discipline, `dsp/buffer/buffer.go:5`): steady-state
+    writes and reads allocate nothing."""
 
     def __init__(self, capacity: int):
         self.capacity = capacity
-        self._buf = np.zeros(0, np.float32)
+        self._store = Buffer(capacity).samples
+        self._head = 0   # next read position
+        self._size = 0
         self._lock = threading.Lock()
 
     @property
     def readable(self) -> int:
-        return self._buf.size
+        return self._size
 
     @property
     def writable(self) -> int:
-        return self.capacity - self._buf.size
+        return self.capacity - self._size
 
     def write(self, samples) -> int:
-        a = np.ascontiguousarray(samples, dtype=np.float32)
+        a = np.ascontiguousarray(samples, dtype=np.float32).ravel()
         with self._lock:
-            room = self.capacity - self._buf.size
-            take = a[:room]
-            self._buf = np.concatenate([self._buf, take])
-            return take.size
+            take = min(self.capacity - self._size, a.size)
+            pos = (self._head + self._size) % self.capacity
+            first = min(take, self.capacity - pos)
+            self._store[pos:pos + first] = a[:first]
+            self._store[:take - first] = a[first:take]
+            self._size += take
+            return take
 
     def read(self, n: int) -> np.ndarray:
+        out = np.empty(n, np.float32)
+        return out[:self.read_into(out)]
+
+    def read_into(self, out: np.ndarray) -> int:
         with self._lock:
-            out, self._buf = self._buf[:n], self._buf[n:]
-            return out
+            got = min(self._size, out.size)
+            first = min(got, self.capacity - self._head)
+            out[:first] = self._store[self._head:self._head + first]
+            out[first:got] = self._store[:got - first]
+            self._head = (self._head + got) % self.capacity
+            self._size -= got
+            return got
 
 
 class DemoServer:
@@ -113,10 +132,9 @@ class DemoServer:
         got = 0
         with self._read_lock:
             while got < n and not self._stop.is_set():
-                chunk = self.ring.read(n - got)
-                if chunk.size:
-                    out[got:got + chunk.size] = chunk
-                    got += chunk.size
+                took = self.ring.read_into(out[got:])
+                if took:
+                    got += took
                 else:
                     with self._engine_lock:
                         block = self.engine.render(_BLOCK)

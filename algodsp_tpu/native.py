@@ -148,6 +148,14 @@ class RingBuffer:
 
     def read(self, n: int) -> np.ndarray:
         out = np.empty(n, dtype=np.float32)
-        got = self._lib.ring_read(
-            self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
-        return out[:got]
+        return out[:self.read_into(out)]
+
+    def read_into(self, out: np.ndarray) -> int:
+        """Drain up to out.size samples directly into a caller-provided
+        float32 staging buffer (e.g. from `core.Pool`); returns the
+        count read. Zero-copy on the Python side."""
+        if out.dtype != np.float32 or not out.flags["C_CONTIGUOUS"]:
+            raise ValueError("read_into needs a C-contiguous float32 array")
+        return self._lib.ring_read(
+            self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.size)

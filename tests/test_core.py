@@ -49,3 +49,66 @@ def test_next_pow2():
     assert core.next_pow2(3) == 4
     assert core.next_pow2(1024) == 1024
     assert core.next_pow2(1025) == 2048
+
+
+def test_buffer_semantics():
+    """Host staging Buffer mirrors the reference reuse contract
+    (`dsp/buffer/buffer.go:40-95`): grow preserves, resize zeroes newly
+    exposed stale elements, zero_range clamps."""
+    from algodsp_tpu.core import Buffer
+    b = Buffer(4)
+    b.samples[:] = [1, 2, 3, 4]
+    b.grow(8)
+    assert len(b) == 4 and b.capacity >= 8
+    np.testing.assert_array_equal(b.samples, [1, 2, 3, 4])
+    b.resize(2)            # shrink leaves stale data in capacity...
+    b.resize(6)            # ...which re-expansion must zero
+    np.testing.assert_array_equal(b.samples, [1, 2, 0, 0, 0, 0])
+    b.samples[:] = 7
+    b.zero_range(-5, 2)
+    b.zero_range(4, 99)
+    np.testing.assert_array_equal(b.samples, [0, 0, 7, 7, 0, 0])
+    c = b.copy()
+    c.samples[:] = 1
+    assert b.samples[2] == 7  # deep copy
+    w = Buffer.from_array(np.arange(3, dtype=np.float32))
+    assert len(w) == 3 and w.samples[1] == 1.0
+
+
+def test_pool_reuses_backing_storage():
+    from algodsp_tpu.core import Pool
+    p = Pool()
+    b1 = p.get(64)
+    b1.samples[:] = 5
+    backing = b1.samples.ctypes.data
+    p.put(b1)
+    b2 = p.get(32)  # reuses the same backing array, zeroed
+    assert b2.samples.ctypes.data == backing
+    assert len(b2) == 32
+    np.testing.assert_array_equal(b2.samples, np.zeros(32))
+    b3 = p.get(16)  # pool empty -> fresh allocation, distinct storage
+    assert b3.samples.ctypes.data != backing
+
+
+def test_pool_threaded_smoke():
+    import threading
+    from algodsp_tpu.core import Pool
+    p = Pool()
+    errs = []
+
+    def worker(seed):
+        try:
+            rng = np.random.default_rng(seed)
+            for _ in range(200):
+                n = int(rng.integers(1, 256))
+                b = p.get(n)
+                assert len(b) == n and not b.samples.any()
+                b.samples[:] = seed
+                p.put(b)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(i + 1,)) for i in range(4)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs

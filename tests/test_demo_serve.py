@@ -160,3 +160,28 @@ def test_spectrum_and_eq_curve_endpoints(server):
     spec2 = json.load(urllib.request.urlopen(
         _url(server, "/spectrum?points=16")))
     assert all(-130.0 <= d <= 24.0 for d in spec2["db"])
+
+
+def test_fallback_ring_wraparound():
+    """The pure-Python ring (used when the native lib isn't built) is
+    circular over one preallocated buffer: interleaved write/read
+    sequences crossing the wrap point preserve FIFO order and never
+    overrun capacity."""
+    from algodsp_tpu.demo.serve import _FallbackRing
+    ring = _FallbackRing(8)
+    src = np.arange(100, dtype=np.float32)
+    got = []
+    w = 0
+    while len(got) < 100:
+        w += ring.write(src[w:w + 5])
+        out = np.empty(3, np.float32)
+        n = ring.read_into(out)
+        got.extend(out[:n].tolist())
+        assert ring.readable + ring.writable == 8
+    np.testing.assert_array_equal(np.asarray(got[:100]), src)
+    # write beyond capacity truncates (SPSC contract)
+    ring2 = _FallbackRing(4)
+    assert ring2.write(src[:10]) == 4
+    out = np.empty(10, np.float32)
+    assert ring2.read_into(out) == 4
+    np.testing.assert_array_equal(out[:4], src[:4])

@@ -96,3 +96,18 @@ def test_ring_buffer_threaded():
     tp.join(timeout=30); tc.join(timeout=30)
     out = np.concatenate(received)
     np.testing.assert_array_equal(out, np.arange(total, dtype=np.float32))
+
+
+def test_ring_read_into_staging():
+    """read_into drains directly into caller staging (core.Pool path in
+    the demo server) and rejects non-float32 buffers."""
+    rb = native.RingBuffer(32)
+    rb.write(np.arange(10, dtype=np.float32))
+    out = np.empty(6, np.float32)
+    assert rb.read_into(out) == 6
+    np.testing.assert_array_equal(out, np.arange(6, dtype=np.float32))
+    big = np.empty(100, np.float32)
+    assert rb.read_into(big) == 4
+    np.testing.assert_array_equal(big[:4], np.arange(6, 10, dtype=np.float32))
+    with pytest.raises(ValueError):
+        rb.read_into(np.empty(4, np.float64))
