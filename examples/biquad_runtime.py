@@ -1,0 +1,53 @@
+"""Example: biquad chain runtime features.
+
+The biquad cascade runtime (`dsp/filter/biquad/section.go`,
+`chain.go` parity): frequency response, pole/zero stability check,
+and coefficient hot-swap that preserves filter state so a parameter
+change mid-stream produces no click (a zero state-reset transient).
+
+Run: python examples/biquad_runtime.py
+"""
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax.numpy as jnp
+
+from algodsp_tpu.filters import BiquadChain, design
+from algodsp_tpu.filters.biquad import poles_zeros, is_stable
+
+
+def main():
+    sr = 48000.0
+    chain = BiquadChain([design.peak(1000.0, 6.0, 2.0, sr),
+                         design.low_shelf(120.0, -3.0, 0.707, sr)])
+    mag = chain.magnitude_db(np.array([60.0, 1000.0, 12000.0]), sr)
+    print(f"|H| at 60 Hz {mag[0]:+.1f} dB, 1 kHz {mag[1]:+.1f} dB, "
+          f"12 kHz {mag[2]:+.1f} dB")
+
+    poles, _ = poles_zeros(chain.sos[0])
+    print(f"peak section stable: {is_stable(chain.sos)}, "
+          f"|poles| < 1: {bool(np.all(np.abs(poles) < 1.0))}")
+
+    # hot-swap: change the peak gain mid-stream, carrying state over
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 4096)), jnp.float32)
+    state = chain.init_state((1,))
+    state, y1 = chain.process_stream(state, x)
+    swapped = chain.update_coefficients(
+        [design.peak(1000.0, -6.0, 2.0, sr),
+         design.low_shelf(120.0, -3.0, 0.707, sr)])
+    state, y2 = chain.process_stream(state, x)          # old coefficients
+    _, y2_swap = swapped.process_stream(state, x)        # new, same state
+    # same state, different curves: outputs differ but neither clicks
+    d = float(jnp.max(jnp.abs(y2_swap[:, :8] - y2[:, :8])))
+    print(f"hot-swap keeps state (first-sample step bounded): {d < 0.5}")
+
+
+if __name__ == "__main__":
+    main()
+# Output:
+# |H| at 60 Hz -2.8 dB, 1 kHz +6.0 dB, 12 kHz +0.0 dB
+# peak section stable: True, |poles| < 1: True
+# hot-swap keeps state (first-sample step bounded): True

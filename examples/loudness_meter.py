@@ -33,6 +33,15 @@ def main():
     print(f"sample peak: {20*np.log10(float(reading.sample_peaks.max())):.1f} dBFS")
     print(f"true peak:   {20*np.log10(float(reading.true_peaks.max())):.1f} dBTP")
 
+    # loudness range (EBU Tech 3342 — beyond the reference meter):
+    # a -20/-30 dBFS tone sequence spans 10 LU
+    from algodsp_tpu.measure.loudness import loudness_range
+    seg = np.sin(2 * np.pi * 997.0 * np.arange(int(8 * sr)) / sr)
+    seq = np.concatenate([10 ** (-20 / 20.0) * seg, 10 ** (-30 / 20.0) * seg])
+    lra = float(loudness_range(jnp.asarray(np.tile(seq, (2, 1)),
+                                           jnp.float32), sr))
+    print(f"LRA of -20/-30 sequence: {lra:.1f} LU")
+
 
 if __name__ == "__main__":
     main()
@@ -40,3 +49,4 @@ if __name__ == "__main__":
 # integrated: -18.0 LUFS
 # sample peak: -18.0 dBFS
 # true peak:   -18.0 dBTP
+# LRA of -20/-30 sequence: 10.0 LU

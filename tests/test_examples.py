@@ -16,7 +16,9 @@ EXAMPLES = ["spectrum_analysis", "mastering_chain", "room_measurement",
             "octave_analyzer", "goertzel_detect", "resampling", "loudness_meter",
             "crossover_multiband", "effect_chain_graph", "delay_estimation",
             "hilbert_envelope", "dither_mastering", "pitch_shift",
-            "stereo_widening", "window_info"]
+            "stereo_widening", "window_info", "moog_ladder",
+            "biquad_runtime", "filter_designers", "signal_stats",
+            "modulation_zoo", "reverb_comparison", "streaming_convolution"]
 
 
 @pytest.mark.parametrize("name", EXAMPLES)
