@@ -100,15 +100,26 @@ class Pool:
 
     def get(self, length: int) -> Buffer:
         with self._lock:
-            b = self._free.pop() if self._free else None
+            b = None
+            if self._free:
+                # largest capacity first, so mixed-size request patterns
+                # stay allocation-free once warmed up
+                i = max(range(len(self._free)),
+                        key=lambda j: self._free[j].capacity)
+                b = self._free.pop(i)
         if b is None:
-            b = Buffer(length, self._dtype)
+            return Buffer(length, self._dtype)
+        # resize from 0 so the whole live region is zeroed exactly once
+        b.resize(0)
         b.resize(length)
-        b.zero()
         return b
 
     def put(self, b: Buffer | None) -> None:
         if b is None:
             return
+        if b.samples.dtype != self._dtype:
+            raise ValueError(
+                f"pool: buffer dtype {b.samples.dtype} != pool dtype "
+                f"{self._dtype}")
         with self._lock:
             self._free.append(b)

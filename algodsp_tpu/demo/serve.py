@@ -116,13 +116,23 @@ class DemoServer:
     # -- producer: device renders ahead into the SPSC ring ---------------
     def _produce(self):
         while not self._stop.is_set():
-            if self.ring.writable >= _BLOCK:
-                with self._engine_lock:
-                    block = self.engine.render(_BLOCK)
-                with self._write_lock:
-                    self.ring.write(block)
-            else:
+            if not self._render_into_ring():
                 self._stop.wait(0.002)
+
+    def _render_into_ring(self) -> bool:
+        """Render up to one block and write it without loss. The
+        room check happens INSIDE the write lock: writers are
+        serialized and concurrent reads only grow the room, so the
+        write can never truncate a freshly rendered (stateful) block.
+        Returns False when the ring was full."""
+        with self._write_lock:
+            room = min(self.ring.writable, _BLOCK)
+            if room == 0:
+                return False
+            with self._engine_lock:
+                block = self.engine.render(room)
+            self.ring.write(block)
+            return True
 
     def pull(self, n: int) -> np.ndarray:
         """The render-pull contract (`web/wasm/main.go:254-260`): return
@@ -136,10 +146,10 @@ class DemoServer:
                 if took:
                     got += took
                 else:
-                    with self._engine_lock:
-                        block = self.engine.render(_BLOCK)
-                    with self._write_lock:
-                        self.ring.write(block)
+                    # ring empty: top up synchronously (loss-free; if
+                    # the producer filled it meanwhile this no-ops and
+                    # the next read_into drains that data instead)
+                    self._render_into_ring()
         return out[:got] if got < n else out
 
     # -- lifecycle --------------------------------------------------------

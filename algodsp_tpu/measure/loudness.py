@@ -70,7 +70,7 @@ class Meter:
 
     def __init__(self, sample_rate: float = 48000.0, channels: int = 2,
                  *, max_blocks: int = 36000, true_peak: bool = True,
-                 channel_weights=None):
+                 lra: bool = True, channel_weights=None):
         if sample_rate <= 0 or channels <= 0:
             raise ValueError("loudness: invalid sample rate / channels")
         self.sample_rate = sample_rate
@@ -97,6 +97,10 @@ class Meter:
         # fixed gating-block capacity: 0.1 s stride -> default 1 h of audio
         self.max_blocks = int(max_blocks)
         self.true_peak = bool(true_peak)
+        # LRA needs a short-term energy append per call (a cumsum over
+        # ~short_win samples); opt out for latency-critical streaming
+        # meters that only need R128 integrated loudness
+        self.lra = bool(lra)
         if self.true_peak:
             from algodsp_tpu.resample import Resampler, Quality
             self._tp_resampler = Resampler(TRUE_PEAK_OVERSAMPLE, 1,
@@ -117,12 +121,13 @@ class Meter:
             "sample_count": jnp.zeros((), jnp.int32),
             # summed-square tail covering a partially-filled gating block
             "sq_tail": jnp.zeros((self.block_len,), dtype),
-            # short-term (3 s) loudness values at the gating stride, for
-            # LRA (EBU Tech 3342) — the history buffer doubles as tail
-            "st_energies": jnp.zeros((self.max_blocks,), dtype),
-            "st_count": jnp.zeros((), jnp.int32),
             "true_peaks": jnp.zeros((self.channels,), dtype),
         }
+        if self.lra:
+            # short-term (3 s) loudness values at the gating stride, for
+            # LRA (EBU Tech 3342) — the history buffer doubles as tail
+            state["st_energies"] = jnp.zeros((self.max_blocks,), dtype)
+            state["st_count"] = jnp.zeros((), jnp.int32)
         if self.true_peak:
             state["tp_hist"] = self._tp_resampler.init_state(
                 (self.channels,), dtype)
@@ -166,21 +171,23 @@ class Meter:
             state["block_energies"], state["block_count"],
             concat, self.block_len, t0, n)
 
-        # --- short-term (3 s) loudness values at the same stride, for
-        # LRA (Tech 3342): the pre-update history buffer IS the tail
-        st_concat = jnp.concatenate(
-            [jnp.sum(state["history"], axis=0), sum_sq])
-        st_energies, st_count = self._append_energies(
-            state["st_energies"], state["st_count"],
-            st_concat, self.short_win, t0, n)
-
         new_state = {
             "filters": fstate, "history": history, "peaks": peaks,
             "block_energies": block_energies, "block_count": block_count,
-            "st_energies": st_energies, "st_count": st_count,
             "sample_count": t0 + n,
             "sq_tail": concat[-self.block_len:],
         }
+
+        if self.lra:
+            # --- short-term (3 s) loudness values at the same stride,
+            # for LRA (Tech 3342): the pre-update history IS the tail
+            st_concat = jnp.concatenate(
+                [jnp.sum(state["history"], axis=0), sum_sq])
+            st_energies, st_count = self._append_energies(
+                state["st_energies"], state["st_count"],
+                st_concat, self.short_win, t0, n)
+            new_state["st_energies"] = st_energies
+            new_state["st_count"] = st_count
 
         # --- true peak: 4x oversampled |max| (beats meter.go:60-61 TODO)
         if self.true_peak:
@@ -249,6 +256,8 @@ class Meter:
         then -20 LU below the gated energy mean). Jittable; returns a
         0-d array, 0.0 until two short-term values pass the gates.
         """
+        if not self.lra:
+            raise ValueError("loudness: meter built with lra=False")
         energies = state["st_energies"]
         have = jnp.arange(self.max_blocks) < state["st_count"]
         l_st = _lufs(energies)

@@ -38,9 +38,10 @@ def main():
     swapped = chain.update_coefficients(
         [design.peak(1000.0, -6.0, 2.0, sr),
          design.low_shelf(120.0, -3.0, 0.707, sr)])
-    state, y2 = chain.process_stream(state, x)          # old coefficients
-    _, y2_swap = swapped.process_stream(state, x)        # new, same state
-    # same state, different curves: outputs differ but neither clicks
+    # branch the SAME carried state into old vs new coefficients
+    # (chain.go:99-114: the swap keeps delay state, so no reset click)
+    _, y2 = chain.process_stream(state, x)
+    _, y2_swap = swapped.process_stream(state, x)
     d = float(jnp.max(jnp.abs(y2_swap[:, :8] - y2[:, :8])))
     print(f"hot-swap keeps state (first-sample step bounded): {d < 0.5}")
 

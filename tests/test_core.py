@@ -1,5 +1,6 @@
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from algodsp_tpu import core
 
@@ -112,3 +113,16 @@ def test_pool_threaded_smoke():
     [t.start() for t in ts]
     [t.join() for t in ts]
     assert not errs
+
+
+def test_pool_picks_largest_and_rejects_foreign_dtype():
+    from algodsp_tpu.core import Buffer, Pool
+    p = Pool()
+    small, big = Buffer(16), Buffer(65536)
+    big_ptr = big.samples.ctypes.data
+    p.put(small)
+    p.put(big)
+    got = p.get(65536)  # must select the large backing, not LIFO
+    assert got.samples.ctypes.data == big_ptr
+    with pytest.raises(ValueError):
+        p.put(Buffer(8, np.float64))

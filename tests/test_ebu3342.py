@@ -80,3 +80,16 @@ def test_lra_silence_and_steady_tone():
     steady = _tone_sequence([-23.0], 8.0)
     lra = float(loudness.loudness_range(jnp.asarray(steady), SR))
     assert lra < 0.2, lra
+
+
+def test_lra_opt_out_meter():
+    """lra=False meters skip the short-term append (no st state) and
+    reject loudness_range; integrated metering is unaffected."""
+    m = loudness.Meter(SR, 2, true_peak=False, lra=False, max_blocks=64)
+    state = m.init_state()
+    assert "st_energies" not in state
+    x = _tone_sequence([-23.0], 1.5)
+    state, reading = m.process(state, jnp.asarray(x))
+    assert abs(float(reading.integrated_lufs) + 23.0) < 0.1
+    with pytest.raises(ValueError):
+        m.loudness_range(state)
