@@ -16,9 +16,13 @@ from algodsp_tpu.spectrum.goertzel import (
     goertzel_magnitude,
     goertzel_power_db,
 )
+from algodsp_tpu.spectrum.stft import stft, istft, spectrogram
 
 __all__ = [
     "Goertzel",
+    "istft",
+    "spectrogram",
+    "stft",
     "goertzel_magnitude",
     "goertzel_power",
     "goertzel_power_db",

@@ -1,0 +1,101 @@
+"""Short-time Fourier transform with exact weighted-overlap-add inverse.
+
+Beyond the reference: the Go library frames signals privately inside
+its spectral effects (`dsp/effects/spectral_freeze.go:36-60`,
+`pitch/pitch_shift_spectral.go:20-36`) but exposes no public STFT.
+This module makes the frame/transform/overlap-add machinery a
+first-class batched primitive.
+
+TPU-first: framing is one gather into (..., frames, frame_size), the
+transform is a single batched `rfft` (MXU-friendly shapes), and the
+inverse is one scatter-add plus the squared-window COLA normalization
+— no per-frame Python loops, everything jittable and vmappable over
+channels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from algodsp_tpu.window import WindowType, generate
+
+
+def _window(wtype, frame_size: int, dtype):
+    if isinstance(wtype, WindowType):
+        return jnp.asarray(generate(wtype, frame_size, periodic=True), dtype)
+    return jnp.asarray(wtype, dtype)  # precomputed coefficients
+
+
+def stft(x, frame_size: int = 2048, hop_size: int = 512, *,
+         window: WindowType = WindowType.HANN, center: bool = True):
+    """Complex STFT of the last axis: returns (..., n_frames, bins).
+
+    With `center=True` the signal is zero-padded by frame_size//2 on
+    both ends so frame k is centered on sample k*hop_size (the
+    convention that makes `istft` reconstruct the full length).
+    """
+    if frame_size < 2 or hop_size < 1 or hop_size > frame_size:
+        raise ValueError(
+            f"stft: invalid frame/hop: {frame_size}/{hop_size}")
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    if center:
+        pad = [(0, 0)] * (x.ndim - 1) + [(frame_size // 2, frame_size // 2)]
+        x = jnp.pad(x, pad)
+    # right-pad so the frame grid covers every sample (otherwise up to
+    # hop_size-1 tail samples would be dropped and istft would zero them)
+    n_frames = 1 + max(-(-(x.shape[-1] - frame_size) // hop_size), 0)
+    covered = (n_frames - 1) * hop_size + frame_size
+    if covered > x.shape[-1]:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, covered - x.shape[-1])]
+        x = jnp.pad(x, pad)
+    idx = (jnp.arange(n_frames)[:, None] * hop_size
+           + jnp.arange(frame_size)[None, :])
+    frames = x[..., idx] * _window(window, frame_size, x.dtype)
+    return jnp.fft.rfft(frames, axis=-1)
+
+
+def istft(spec, hop_size: int = 512, *,
+          window: WindowType = WindowType.HANN, center: bool = True,
+          length: int | None = None):
+    """Weighted-overlap-add inverse of `stft`.
+
+    Exact reconstruction (up to FFT rounding) for any window/hop whose
+    squared-window overlap-add is nonzero everywhere — the standard
+    WOLA normalization y[t] = sum_k w*frame_k / sum_k w^2.
+    """
+    spec = jnp.asarray(spec)
+    n_frames, bins = spec.shape[-2], spec.shape[-1]
+    frame_size = 2 * (bins - 1)
+    real_dtype = jnp.zeros((), spec.dtype).real.dtype
+    w = _window(window, frame_size, real_dtype)
+    frames = jnp.fft.irfft(spec, n=frame_size, axis=-1) * w
+
+    total = (n_frames - 1) * hop_size + frame_size
+    idx = (jnp.arange(n_frames)[:, None] * hop_size
+           + jnp.arange(frame_size)[None, :]).reshape(-1)
+    flat = frames.reshape(spec.shape[:-2] + (-1,))
+    y = jnp.zeros(spec.shape[:-2] + (total,), real_dtype).at[..., idx].add(flat)
+    norm = jnp.zeros((total,), real_dtype).at[idx].add(
+        jnp.broadcast_to(w * w, (n_frames, frame_size)).reshape(-1))
+    y = y / jnp.maximum(norm, jnp.finfo(real_dtype).tiny)
+
+    if center:
+        y = y[..., frame_size // 2: total - frame_size // 2]
+    if length is not None:
+        y = y[..., :length]
+        if y.shape[-1] < length:
+            pad = [(0, 0)] * (y.ndim - 1) + [(0, length - y.shape[-1])]
+            y = jnp.pad(y, pad)
+    return y
+
+
+def spectrogram(x, frame_size: int = 2048, hop_size: int = 512, *,
+                window: WindowType = WindowType.HANN, center: bool = True,
+                floor_db: float = -200.0):
+    """Power spectrogram in dB: (..., n_frames, bins)."""
+    p = jnp.abs(stft(x, frame_size, hop_size,
+                     window=window, center=center)) ** 2
+    ref = jnp.finfo(p.dtype).tiny
+    return jnp.maximum(10.0 * jnp.log10(jnp.maximum(p, ref)), floor_db)

@@ -1,5 +1,6 @@
 """Spectrum tests with analytic oracles (mirrors `spectrum_test.go`)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -96,3 +97,53 @@ def test_spectrum_of_sine_peak_bin():
     mag = np.asarray(spectrum.magnitude(jnp.fft.rfft(xw)))
     assert np.argmax(mag) == bin_idx
     np.testing.assert_allclose(mag[bin_idx], 0.5 * n * 0.5, rtol=1e-3)
+
+
+# -- public STFT / WOLA inverse (beyond the reference: its spectral
+# effects frame privately, `spectral_freeze.go:36-60`) ----------------
+
+def test_stft_istft_roundtrip_exact():
+    from algodsp_tpu.spectrum import stft, istft
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((3, 10000)).astype(np.float32)
+    for frame, hop in [(1024, 256), (2048, 512), (512, 128)]:
+        spec = stft(jnp.asarray(x), frame, hop)
+        y = np.asarray(istft(spec, hop, length=x.shape[-1]))
+        err = np.abs(y - x).max()
+        assert err < 2e-5, (frame, hop, err)
+    # hop == frame needs a window with no zeros (Hann is not COLA there)
+    from algodsp_tpu.window import WindowType
+    spec = stft(jnp.asarray(x), 256, 256, window=WindowType.RECTANGULAR)
+    y = np.asarray(istft(spec, 256, window=WindowType.RECTANGULAR,
+                         length=x.shape[-1]))
+    assert np.abs(y - x).max() < 2e-5
+
+
+def test_stft_frame_centering_and_shape():
+    from algodsp_tpu.spectrum import stft
+    sr, n = 48000.0, 8192
+    t = np.arange(n) / sr
+    x = np.sin(2 * np.pi * 3000.0 * t).astype(np.float32)
+    spec = stft(jnp.asarray(x), 1024, 256)
+    assert spec.shape == (1 + 8192 // 256, 513)
+    mag = np.abs(np.asarray(spec))
+    # tone bin = 3000/48000*1024 = 64 in every interior frame
+    assert (mag[4:-4].argmax(axis=-1) == 64).all()
+
+
+def test_spectrogram_db_floor_and_peak():
+    from algodsp_tpu.spectrum import spectrogram
+    sr, n = 48000.0, 8192
+    x = 0.5 * np.sin(2 * np.pi * 3000.0 * np.arange(n) / sr)
+    sg = np.asarray(spectrogram(jnp.asarray(x, jnp.float32), 1024, 256,
+                                floor_db=-120.0))
+    assert sg.min() >= -120.0
+    assert sg[8].argmax() == 64
+
+
+def test_stft_invalid_params():
+    from algodsp_tpu.spectrum import stft
+    with pytest.raises(ValueError):
+        stft(jnp.zeros(64), 128, 256)   # hop > frame
+    with pytest.raises(ValueError):
+        stft(jnp.zeros(64), 128, 0)
