@@ -57,7 +57,12 @@ def main():
 
     sr = 48000.0
     channels = 8
-    n = 1 << 24  # ~350 s of audio per channel per dispatch (bulk regime)
+    # ~23 min of audio per channel per dispatch (bulk regime): the
+    # larger the dispatch, the better the ~3-6 ms relay floor amortizes
+    # (measured: 2^24 -> 2.61-2.77, 2^25 -> 2.73-2.79, 2^26 -> 2.93
+    # Gsamples/s). 2^26 fits one v5e chip alone; fall back if the
+    # device is sharing HBM with anything else.
+    candidate_n = (1 << 26, 1 << 24)
     rng = np.random.default_rng(0)
 
     cascade = BiquadChain(design.butterworth_lp(2000.0, 10, sr))
@@ -74,8 +79,15 @@ def main():
     def pipeline(x):
         return reverb.process(chain.process(x))
 
-    x = jnp.asarray(rng.standard_normal((channels, n)), jnp.float32)
-    dt = _timeit(pipeline, x)
+    for n in candidate_n:
+        try:
+            x = jnp.asarray(rng.standard_normal((channels, n)), jnp.float32)
+            dt = _timeit(pipeline, x)
+            break
+        except Exception as exc:  # RESOURCE_EXHAUSTED -> smaller dispatch
+            if "RESOURCE_EXHAUSTED" not in str(exc) or n == candidate_n[-1]:
+                raise
+            del x
     samples_per_sec = channels * n / dt
 
     # scan-kernel roofline: the cascade block engine alone, with its
