@@ -17,10 +17,22 @@ from algodsp_tpu.spectrum.goertzel import (
     goertzel_power_db,
 )
 from algodsp_tpu.spectrum.stft import stft, istft, spectrogram
+from algodsp_tpu.spectrum.mel import (
+    hz_to_mel,
+    mel_to_hz,
+    mel_filterbank,
+    mel_spectrogram,
+    mfcc,
+)
 
 __all__ = [
     "Goertzel",
+    "hz_to_mel",
     "istft",
+    "mel_filterbank",
+    "mel_spectrogram",
+    "mel_to_hz",
+    "mfcc",
     "spectrogram",
     "stft",
     "goertzel_magnitude",

@@ -147,3 +147,55 @@ def test_stft_invalid_params():
         stft(jnp.zeros(64), 128, 256)   # hop > frame
     with pytest.raises(ValueError):
         stft(jnp.zeros(64), 128, 0)
+
+
+# -- mel filterbank / MFCC (beyond the reference) ----------------------
+
+def test_mel_scale_roundtrip_and_anchors():
+    from algodsp_tpu.spectrum import hz_to_mel, mel_to_hz
+    f = np.array([0.0, 440.0, 1000.0, 8000.0, 20000.0])
+    for htk in (False, True):
+        np.testing.assert_allclose(
+            mel_to_hz(hz_to_mel(f, htk=htk), htk=htk), f, rtol=1e-10)
+    # HTK anchor: 1 kHz ~ 1000 mel (2595*log10(1+1000/700) = 1000.2)
+    assert abs(hz_to_mel(1000.0, htk=True) - 1000.0) < 1.0
+
+
+def test_mel_filterbank_shapes_and_coverage():
+    from algodsp_tpu.spectrum import mel_filterbank
+    fb = mel_filterbank(40, 2048, 48000.0)
+    assert fb.shape == (1025, 40)
+    assert fb.min() >= 0.0
+    # every band has support; interior bins are covered by >= 1 band
+    assert (fb.sum(axis=0) > 0).all()
+    center_bins = slice(10, 900)
+    assert (fb[center_bins].sum(axis=1) > 0).all()
+    with pytest.raises(ValueError):
+        mel_filterbank(40, 2048, 48000.0, fmin=30000.0)
+
+
+def test_mel_spectrogram_tone_lands_in_right_band():
+    from algodsp_tpu.spectrum import mel_spectrogram, mel_filterbank
+    sr, n = 48000.0, 1 << 14
+    tone_hz = 2000.0
+    x = np.sin(2 * np.pi * tone_hz * np.arange(n) / sr).astype(np.float32)
+    m = np.asarray(mel_spectrogram(jnp.asarray(x), sr, n_mels=40,
+                                   frame_size=1024, hop_size=256))
+    fb = mel_filterbank(40, 1024, sr)
+    freqs = np.arange(513) * sr / 1024
+    # the band the tone's FFT bin feeds most strongly
+    expect = int(fb[np.argmin(np.abs(freqs - tone_hz))].argmax())
+    assert (m[4:-4].argmax(axis=-1) == expect).all()
+
+
+def test_mfcc_shapes_and_dct_orthonormality():
+    from algodsp_tpu.spectrum import mfcc
+    from algodsp_tpu.spectrum.mel import dct_matrix
+    d = dct_matrix(20, 20, dtype=np.float64)
+    np.testing.assert_allclose(d.T @ d, np.eye(20), atol=1e-12)
+    x = np.random.default_rng(0).standard_normal((2, 8192)).astype(np.float32)
+    c = mfcc(jnp.asarray(x), 48000.0, n_mfcc=13, n_mels=40,
+             frame_size=1024, hop_size=256)
+    assert c.shape == (2, 1 + 8192 // 256, 13)
+    with pytest.raises(ValueError):
+        mfcc(jnp.asarray(x), 48000.0, n_mfcc=64, n_mels=40)
