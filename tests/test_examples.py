@@ -18,7 +18,8 @@ EXAMPLES = ["spectrum_analysis", "mastering_chain", "room_measurement",
             "hilbert_envelope", "dither_mastering", "pitch_shift",
             "stereo_widening", "window_info", "moog_ladder",
             "biquad_runtime", "filter_designers", "signal_stats",
-            "modulation_zoo", "reverb_comparison", "streaming_convolution"]
+            "modulation_zoo", "reverb_comparison", "streaming_convolution",
+            "spectrogram_mfcc"]
 
 
 @pytest.mark.parametrize("name", EXAMPLES)
