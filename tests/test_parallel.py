@@ -193,3 +193,21 @@ def test_channel_sharded_fused_fdl_shard_map(monkeypatch):
     monkeypatch.setenv("ALGODSP_FDL_FUSED", "0")
     want = np.asarray(pc._process_bulk_fdl(x, 10))
     assert snr_db(want, y) > 110
+
+
+def test_channel_sharded_stft_mfcc_matches_single_device():
+    """The STFT/mel/MFCC stack is channel-batched, so sharding the
+    channel axis over the mesh gives identical results with no
+    cross-channel communication (SURVEY.md §2.9 DP row)."""
+    from algodsp_tpu.spectrum import stft, istft, mfcc
+    mesh = make_mesh({"channel": 8})
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((8, 8192)), jnp.float32)
+    xs = jax.device_put(x, channel_sharding(mesh, 2))
+
+    f = jax.jit(lambda v: istft(stft(v, 1024, 256), 256, length=8192))
+    np.testing.assert_allclose(np.asarray(f(xs)), np.asarray(f(x)),
+                               atol=1e-6)
+    g = jax.jit(lambda v: mfcc(v, 48000.0, n_mfcc=13, n_mels=40,
+                               frame_size=1024, hop_size=256))
+    assert snr_db(np.asarray(g(x)), np.asarray(g(xs))) > 120
