@@ -93,3 +93,26 @@ def test_lra_opt_out_meter():
     assert abs(float(reading.integrated_lufs) + 23.0) < 0.1
     with pytest.raises(ValueError):
         m.loudness_range(state)
+
+
+def test_lra_and_integrated_at_44100():
+    """The gating/short-term machinery is stride-exact at rates whose
+    3 s window is not an integer multiple of anything convenient."""
+    sr = 44100.0
+    n = int(6 * sr)
+    t = np.arange(n) / sr
+    seg = np.sin(2 * np.pi * 997.0 * t)
+    x = np.concatenate([10 ** (-20 / 20.0) * seg,
+                        10 ** (-30 / 20.0) * seg])
+    x2 = np.tile(x, (2, 1)).astype(np.float32)
+    m = loudness.Meter(sr, 2, true_peak=False,
+                       max_blocks=int(12 * sr) // loudness.meter_step(sr) + 2)
+    state, reading = m.process(m.init_state(), jnp.asarray(x2))
+    lra = float(m.loudness_range(state))
+    assert abs(lra - 10.0) < 1.0, lra
+    # integrated: -30 segment is within 10 LU of the gated mean, so both
+    # plateaus contribute; energy mean of the two levels (+K at 997 Hz;
+    # the sine ms factor -3.01 dB cancels the 2-channel sum +3.01 dB)
+    expect = -0.691 + 10 * np.log10(
+        (10 ** (-2.0) + 10 ** (-3.0)) / 2) + 0.66
+    assert abs(float(reading.integrated_lufs) - expect) < 0.3
