@@ -124,6 +124,18 @@ def main():
     row("Hann window + rfft + magnitude, 512 x 4096",
         bench(f_s, x), 512 * 4096)
 
+    # 7b. public STFT roundtrip + mel/MFCC (batched matmul path)
+    from algodsp_tpu.spectrum import stft, istft, mfcc
+    nstft = 1 << 17
+    f_st = jax.jit(lambda v: istft(stft(v, 1024, 256), 256, length=nstft))
+    x = jnp.asarray(rng.standard_normal((64, nstft)), jnp.float32)
+    row("STFT+WOLA istft roundtrip 1024/256, 64ch x 2^17",
+        bench(f_st, x), 64 * nstft)
+    f_mf = jax.jit(lambda v: mfcc(v, sr, n_mfcc=13, n_mels=64,
+                                  frame_size=1024, hop_size=256))
+    row("mel-64 MFCC-13 1024/256, 64ch x 2^17",
+        bench(f_mf, x), 64 * nstft)
+
     # 8. goertzel 64 freqs
     g = Goertzel(np.linspace(100, 20000, 64), sr)
     gs = g.init_state((64,))

@@ -106,7 +106,8 @@ def test_stft_istft_roundtrip_exact():
     from algodsp_tpu.spectrum import stft, istft
     rng = np.random.default_rng(5)
     x = rng.standard_normal((3, 10000)).astype(np.float32)
-    for frame, hop in [(1024, 256), (2048, 512), (512, 128)]:
+    # (512, 192) exercises the scatter-add fallback (hop not a divisor)
+    for frame, hop in [(1024, 256), (2048, 512), (512, 128), (512, 192)]:
         spec = stft(jnp.asarray(x), frame, hop)
         y = np.asarray(istft(spec, hop, length=x.shape[-1]))
         err = np.abs(y - x).max()
