@@ -16,7 +16,8 @@ from algodsp_tpu.spectrum.goertzel import (
     goertzel_magnitude,
     goertzel_power_db,
 )
-from algodsp_tpu.spectrum.stft import stft, istft, spectrogram
+from algodsp_tpu.spectrum.stft import (stft, istft, spectrogram,
+                                        StreamingSTFT, StreamingISTFT)
 from algodsp_tpu.spectrum.mel import (
     hz_to_mel,
     mel_to_hz,
@@ -27,6 +28,8 @@ from algodsp_tpu.spectrum.mel import (
 
 __all__ = [
     "Goertzel",
+    "StreamingISTFT",
+    "StreamingSTFT",
     "hz_to_mel",
     "istft",
     "mel_filterbank",

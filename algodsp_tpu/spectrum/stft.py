@@ -110,6 +110,103 @@ def istft(spec, hop_size: int = 512, *,
     return y
 
 
+class StreamingSTFT:
+    """Stateful STFT: feed (…, n) blocks with n a multiple of hop_size,
+    get (…, n/hop, bins) frames per call, bit-identical to the one-shot
+    `stft(…, center=False)` of the left-padded concatenated stream.
+
+    Explicit pytree state (the framework-wide streaming contract): the
+    carried tail is the last frame_size - hop_size input samples.
+    """
+
+    def __init__(self, frame_size: int = 2048, hop_size: int = 512, *,
+                 window: WindowType = WindowType.HANN):
+        if frame_size < 2 or hop_size < 1 or hop_size > frame_size:
+            raise ValueError(
+                f"stft: invalid frame/hop: {frame_size}/{hop_size}")
+        self.frame_size = frame_size
+        self.hop_size = hop_size
+        self.lag = frame_size - hop_size
+        self.window = window
+
+    def init_state(self, batch_shape: tuple[int, ...] = (),
+                   dtype=jnp.float32):
+        return {"tail": jnp.zeros(batch_shape + (self.lag,), dtype)}
+
+    def process(self, state, x):
+        x = jnp.asarray(x)
+        n = x.shape[-1]
+        if n % self.hop_size:
+            raise ValueError(
+                f"stft: streaming block length {n} must be a multiple "
+                f"of hop_size {self.hop_size}")
+        concat = jnp.concatenate([state["tail"], x], axis=-1)
+        n_frames = n // self.hop_size
+        idx = (jnp.arange(n_frames)[:, None] * self.hop_size
+               + jnp.arange(self.frame_size)[None, :])
+        frames = concat[..., idx] * _window(self.window, self.frame_size,
+                                            x.dtype)
+        return ({"tail": concat[..., -self.lag:] if self.lag
+                 else concat[..., :0]},
+                jnp.fft.rfft(frames, axis=-1))
+
+
+class StreamingISTFT:
+    """Stateful WOLA inverse of `StreamingSTFT`.
+
+    Emits n output samples per n-sample input block at a fixed latency
+    of frame_size - hop_size samples (the synthesis carry: the last
+    frames' overlap region completes on later calls). Normalization
+    uses the steady-state periodic squared-window sum, so the
+    analysis→synthesis chain is an exact delayed identity once the
+    first frame has flushed through.
+    """
+
+    def __init__(self, frame_size: int = 2048, hop_size: int = 512, *,
+                 window: WindowType = WindowType.HANN):
+        if frame_size < 2 or hop_size < 1 or hop_size > frame_size:
+            raise ValueError(
+                f"stft: invalid frame/hop: {frame_size}/{hop_size}")
+        self.frame_size = frame_size
+        self.hop_size = hop_size
+        self.lag = frame_size - hop_size
+        self.window = window
+        # steady-state periodic WOLA norm: norm[t mod hop] over all
+        # frame offsets (constant for COLA window/hop pairs)
+        w = np.asarray(generate(window, frame_size, periodic=True)
+                       if isinstance(window, WindowType) else window,
+                       np.float64) ** 2
+        k = -(-frame_size // hop_size)
+        padded = np.pad(w, (0, k * hop_size - frame_size))
+        self._norm = padded.reshape(k, hop_size).sum(0)
+        if self._norm.min() <= 0:
+            raise ValueError("stft: window/hop pair is not COLA "
+                             "(zero overlap-add of squared window)")
+
+    def init_state(self, batch_shape: tuple[int, ...] = (),
+                   dtype=jnp.float32):
+        return {"carry": jnp.zeros(batch_shape + (self.lag,), dtype)}
+
+    def process(self, state, spec):
+        spec = jnp.asarray(spec)
+        n_frames = spec.shape[-2]
+        n = n_frames * self.hop_size
+        real_dtype = jnp.zeros((), spec.dtype).real.dtype
+        w = _window(self.window, self.frame_size, real_dtype)
+        frames = jnp.fft.irfft(spec, n=self.frame_size, axis=-1) * w
+        # dense overlap-add of this call's frames: (…, n + lag)
+        total = n + self.lag
+        idx = (jnp.arange(n_frames)[:, None] * self.hop_size
+               + jnp.arange(self.frame_size)[None, :]).reshape(-1)
+        flat = frames.reshape(spec.shape[:-2] + (-1,))
+        out = jnp.zeros(spec.shape[:-2] + (total,),
+                        real_dtype).at[..., idx].add(flat)
+        out = out.at[..., :self.lag].add(state["carry"])
+        norm = jnp.asarray(np.tile(self._norm, n // self.hop_size),
+                           real_dtype)
+        return {"carry": out[..., n:]}, out[..., :n] / norm
+
+
 def spectrogram(x, frame_size: int = 2048, hop_size: int = 512, *,
                 window: WindowType = WindowType.HANN, center: bool = True,
                 floor_db: float = -200.0):

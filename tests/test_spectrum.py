@@ -200,3 +200,46 @@ def test_mfcc_shapes_and_dct_orthonormality():
     assert c.shape == (2, 1 + 8192 // 256, 13)
     with pytest.raises(ValueError):
         mfcc(jnp.asarray(x), 48000.0, n_mfcc=64, n_mels=40)
+
+
+def test_streaming_stft_matches_oneshot():
+    from algodsp_tpu.spectrum import stft, StreamingSTFT
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, 8192)).astype(np.float32)
+    eng = StreamingSTFT(1024, 256)
+    state = eng.init_state((2,))
+    frames = []
+    for i in range(0, 8192, 2048):
+        state, f = eng.process(state, jnp.asarray(x[:, i:i + 2048]))
+        frames.append(np.asarray(f))
+    got = np.concatenate(frames, axis=-2)
+    # one-shot equivalent: left-pad by the carried tail length
+    ref = np.asarray(stft(jnp.asarray(
+        np.pad(x, [(0, 0), (1024 - 256, 0)])), 1024, 256, center=False))
+    np.testing.assert_allclose(got, ref[:, :got.shape[-2]], atol=1e-4)
+
+
+def test_streaming_istft_delayed_identity():
+    from algodsp_tpu.spectrum import StreamingSTFT, StreamingISTFT
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal((2, 12288)).astype(np.float32)
+    ana = StreamingSTFT(1024, 256)
+    syn = StreamingISTFT(1024, 256)
+    sa, ss = ana.init_state((2,)), syn.init_state((2,))
+    outs = []
+    for i in range(0, 12288, 1024):
+        sa, f = ana.process(sa, jnp.asarray(x[:, i:i + 1024]))
+        ss, y = syn.process(ss, f)
+        outs.append(np.asarray(y))
+    y = np.concatenate(outs, axis=-1)
+    lag = 1024 - 256  # analysis tail + synthesis carry = one lag total
+    err = np.abs(y[:, lag + 1024:] - x[:, 1024:-lag]).max()
+    assert err < 1e-4, err
+
+
+def test_streaming_istft_rejects_non_cola():
+    from algodsp_tpu.spectrum import StreamingISTFT
+    from algodsp_tpu.window import WindowType
+    with pytest.raises(ValueError):
+        StreamingISTFT(256, 256)  # Hann at hop == frame: zero overlap
+    StreamingISTFT(256, 256, window=WindowType.RECTANGULAR)  # fine
