@@ -8,7 +8,8 @@ PY ?= python
 .PHONY: test test-fast examples bench bench-ci roofline scaling native \
         dryrun entry clean
 
-# Full suite (~35 min on CPU). Split in two for parallel shells.
+# Full suite (~35 min on CPU). For parallel shells, run pytest on two
+# halves of tests/test_*.py yourself (order does not matter).
 test:
 	$(PY) -m pytest tests/ -q
 

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from algodsp_tpu.core.numeric import next_pow2
+from algodsp_tpu.utils.fftjit import irfft
+import functools
 
 # Kernel length at which Convolve switches to FFT (conv.go:24-28).
 FFT_THRESHOLD = 32
@@ -83,6 +85,7 @@ def direct_circular(a, b):
     return head + wrapped
 
 
+@functools.partial(jax.jit, static_argnames=("mode",))
 def fftconvolve(a, b, mode: str = "full"):
     """FFT linear convolution at next-pow2(N+M-1) (`overlap_add.go:221`-style
     one-shot, generalized).
@@ -118,7 +121,7 @@ def fftconvolve(a, b, mode: str = "full"):
     size = next_pow2(n + m - 1)
     fa = jnp.fft.rfft(a, size)
     fb = jnp.fft.rfft(b, size)
-    full = jnp.fft.irfft(fa * fb, size)[..., :n + m - 1].astype(a.dtype)
+    full = irfft(fa * fb, size)[..., :n + m - 1].astype(a.dtype)
     return _trim_to_mode(full, n, m, mode)
 
 

@@ -13,9 +13,11 @@ import dataclasses
 import enum
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from algodsp_tpu.core.numeric import next_pow2
+from algodsp_tpu.utils.fftjit import irfft
 
 
 class DeconvMethod(enum.Enum):
@@ -41,6 +43,13 @@ def _out_len(n: int, m: int) -> int:
     return out if out > 0 else n
 
 
+# jitted spectral divisions (eager complex arithmetic is unimplemented
+# op-by-op on the TPU relay backend; under jit it compiles fine)
+_div_naive = jax.jit(lambda sf, kf: sf / kf)
+_div_reg = jax.jit(lambda sf, kf, c: sf * jnp.conj(kf)
+                   / (jnp.abs(kf) ** 2 + c))
+
+
 def deconvolve(signal, kernel, options: DeconvOptions = DeconvOptions()):
     """Recover x from y = conv(x, h) (`deconvolve.go:72-96`).
 
@@ -60,10 +69,10 @@ def deconvolve(signal, kernel, options: DeconvOptions = DeconvOptions()):
         mag = jnp.abs(kf)
         if bool(jnp.any(mag < 1e-15)):
             raise DivisionByZeroError("deconvolve: kernel spectrum has near-zero bins")
-        rf = sf / kf
+        rf = _div_naive(sf, kf)
     elif options.method == DeconvMethod.REGULARIZED:
         eps = options.epsilon if options.epsilon > 0 else 1e-6
-        rf = sf * jnp.conj(kf) / (jnp.abs(kf) ** 2 + eps)
+        rf = _div_reg(sf, kf, eps)
     elif options.method == DeconvMethod.WIENER:
         signal_var = options.signal_variance
         if signal_var <= 0:
@@ -74,11 +83,11 @@ def deconvolve(signal, kernel, options: DeconvOptions = DeconvOptions()):
         nsr = noise_var / signal_var if signal_var > 0 else 1e-6
         if nsr <= 0:
             nsr = 1e-6
-        rf = sf * jnp.conj(kf) / (jnp.abs(kf) ** 2 + nsr)
+        rf = _div_reg(sf, kf, nsr)
     else:
         raise ValueError(f"unknown method {options.method}")
 
-    out = jnp.fft.irfft(rf, size)[..., :out_len]
+    out = irfft(rf, size)[..., :out_len]
     return out.astype(signal.dtype)
 
 

@@ -17,6 +17,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from algodsp_tpu.core.numeric import next_pow2
+from algodsp_tpu.utils.fftjit import irfft
+from algodsp_tpu.utils.jitwrap import jit_method
 
 
 def _frame(x, frame_len: int, hop: int, n_frames: int):
@@ -56,6 +58,7 @@ class OverlapSave:
         """History = previous kernel_len-1 input samples (`overlap_save.go:47`)."""
         return jnp.zeros(batch_shape + (self.kernel_len - 1,), dtype=dtype)
 
+    @jit_method
     def process_stream(self, state, x):
         """(state, x) -> (state, y): y is the causal convolution segment
         aligned with x (length = len(x))."""
@@ -70,7 +73,7 @@ class OverlapSave:
         frames = _frame(ext_p, self.fft_size, self.step, k)
         spec = jnp.fft.rfft(frames, self.fft_size)
         spec = spec * jnp.asarray(self._kfft, spec.dtype)
-        out = jnp.fft.irfft(spec, self.fft_size)[..., m - 1:].astype(x.dtype)
+        out = irfft(spec, self.fft_size)[..., m - 1:].astype(x.dtype)
         y = out.reshape(out.shape[:-2] + (k * self.step,))[..., :n]
         new_state = ext[..., -(m - 1):] if m > 1 else ext[..., :0]
         return new_state, y
@@ -108,6 +111,7 @@ class OverlapAdd:
     def init_state(self, batch_shape: tuple[int, ...] = (), dtype=jnp.float32):
         return jnp.zeros(batch_shape + (max(self.kernel_len - 1, 1),), dtype=dtype)
 
+    @jit_method
     def process_stream(self, state, x):
         """(state, x) -> (state, y). len(x) must be a multiple of
         block_size; y aligns with x (causal convolution segment)."""
@@ -120,7 +124,7 @@ class OverlapAdd:
         tail_len = state.shape[-1]
         blocks = x.reshape(x.shape[:-1] + (k, b))
         spec = jnp.fft.rfft(blocks, self.fft_size)
-        conv = jnp.fft.irfft(spec * jnp.asarray(self._kfft, spec.dtype),
+        conv = irfft(spec * jnp.asarray(self._kfft, spec.dtype),
                              self.fft_size)[..., :b + tail_len].astype(x.dtype)
         # overlap-add the tails sequentially across blocks: the tail of
         # block i lands in blocks i+1... — with tail <= block this is a

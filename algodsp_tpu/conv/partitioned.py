@@ -26,6 +26,8 @@ import jax.numpy as jnp
 
 from algodsp_tpu.ops import fdlconv
 from algodsp_tpu.ops.packfft import rfft_batched, irfft_batched
+from algodsp_tpu.utils.fftjit import irfft
+from algodsp_tpu.utils.jitwrap import jit_method
 
 
 class PartitionedConvolver:
@@ -69,6 +71,7 @@ class PartitionedConvolver:
         tail = jnp.zeros(batch_shape + (self.block,), dtype=dtype)
         return {"fdl": fdl, "tail": tail}
 
+    @jit_method
     def process_block(self, state, x):
         """Process exactly one block of `self.block` samples.
 
@@ -92,9 +95,10 @@ class PartitionedConvolver:
         acc_re = jnp.sum(fre * kre - fim * kim, axis=-2)
         acc_im = jnp.sum(fre * kim + fim * kre, axis=-2)
         acc = jax.lax.complex(acc_re, acc_im)
-        y = jnp.fft.irfft(acc, self.fft_size)[..., self.block:].astype(x.dtype)
+        y = irfft(acc, self.fft_size)[..., self.block:].astype(x.dtype)
         return {"fdl": fdl, "tail": x}, y
 
+    @jit_method
     def process_stream(self, state, x):
         """Streaming continuation over any multiple of the block size.
 
@@ -177,7 +181,7 @@ class PartitionedConvolver:
         B, P = self.block, self.num_parts
         batch = x.shape[:-1]
         spec = jax.lax.complex(state["fdl"][..., 0], state["fdl"][..., 1])
-        frames = jnp.fft.irfft(spec, self.fft_size)        # (..., P, 2B)
+        frames = irfft(spec, self.fft_size)        # (..., P, 2B)
         # fdl index 0 = newest frame; kept half = that block's samples
         hist = jnp.flip(frames[..., B:], axis=-2).reshape(
             batch + (P * B,)).astype(x.dtype)              # oldest first
@@ -211,6 +215,7 @@ class PartitionedConvolver:
                 padded.reshape(parts, b), 2 * b, axis=-1)
         return self._bulk_cache[block_order]
 
+    @jit_method
     def process(self, x, *, bulk_block_order: int | None = None):
         """One-shot convolution over a whole buffer (zero initial state).
 
@@ -266,7 +271,7 @@ class PartitionedConvolver:
         xf = rfft_batched(x, size) if x.ndim > 1 else jnp.fft.rfft(x, size)
         kf = jnp.fft.rfft(jnp.asarray(self._kernel_f32, x.dtype), size)
         y = xf * kf
-        y = irfft_batched(y, size) if x.ndim > 1 else jnp.fft.irfft(y, size)
+        y = irfft_batched(y, size) if x.ndim > 1 else irfft(y, size)
         return y[..., :n].astype(x.dtype)
 
     def _process_bulk_fdl(self, x, block_order: int):

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from algodsp_tpu import window as win
 from algodsp_tpu.resample import Resampler, Quality
+from algodsp_tpu.utils.fftjit import irfft
 
 BIN_SHIFT_THRESHOLD = 0.15
 _NORM_FLOOR = 1e-12
@@ -125,7 +126,7 @@ class SpectralPitchShifter:
         p = jnp.take(phase, i0c, axis=-1) + acc.astype(x.dtype)
         import jax
         out_spec = jax.lax.complex(m * jnp.cos(p), m * jnp.sin(p))
-        synth = jnp.fft.irfft(out_spec, fs).astype(x.dtype) * w
+        synth = irfft(out_spec, fs).astype(x.dtype) * w
         norm_frames = jnp.broadcast_to(w * w, (n_frames, fs))
         norm = _overlap_add(norm_frames.astype(x.dtype), hop, n)
         y = _overlap_add(synth, hop, n, norm=None)
@@ -154,7 +155,7 @@ class SpectralPitchShifter:
         import jax
         out_spec = jax.lax.complex(mag * jnp.cos(synth_phase),
                                    mag * jnp.sin(synth_phase))
-        synth = jnp.fft.irfft(out_spec, fs).astype(x.dtype) * w
+        synth = irfft(out_spec, fs).astype(x.dtype) * w
         stretched_len = (n_frames - 1) * hs + fs
         norm_frames = jnp.broadcast_to(w * w, (n_frames, fs)).astype(x.dtype)
         norm = _overlap_add(norm_frames, hs, stretched_len)

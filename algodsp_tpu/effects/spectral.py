@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from algodsp_tpu import window as win
 from algodsp_tpu.delayline import fractional_read
 from algodsp_tpu.interp import Mode
+from algodsp_tpu.utils.fftjit import irfft
 
 _NORM_FLOOR = 1e-12
 
@@ -88,7 +89,7 @@ class SpectralFreeze:
         else:
             out_mag, ph = mag, phase
         out_spec = jax.lax.complex(out_mag * jnp.cos(ph), out_mag * jnp.sin(ph))
-        synth = jnp.fft.irfft(out_spec, fs).astype(x.dtype) * w
+        synth = irfft(out_spec, fs).astype(x.dtype) * w
 
         starts = jnp.arange(n_frames) * hop
         oidx = (starts[:, None] + jnp.arange(fs)[None, :]).reshape(-1)

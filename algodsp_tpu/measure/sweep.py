@@ -23,6 +23,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from algodsp_tpu.core.numeric import next_pow2
+from algodsp_tpu.utils.fftjit import irfft
+from algodsp_tpu.utils.jitwrap import jit_method
 
 
 class LogSweep:
@@ -60,6 +62,7 @@ class LogSweep:
         env = jnp.exp((t - self.duration) * ln_r / self.duration)
         return sweep[::-1] * env
 
+    @jit_method
     def deconvolve(self, response):
         """Extract the IR: conv(response, inverse)/N alignment such that
         the linear IR peak sits at index len(sweep)-1 (`sweep.go:164-200`)."""
@@ -68,9 +71,9 @@ class LogSweep:
         n = response.shape[-1] + self.samples - 1
         size = next_pow2(n)
         spec = jnp.fft.rfft(response, size) * jnp.fft.rfft(inv, size)
-        full = jnp.fft.irfft(spec, size)[..., :n]
+        full = irfft(spec, size)[..., :n]
         # normalize so a perfect loopback yields a unit impulse
-        ref = jnp.fft.irfft(
+        ref = irfft(
             jnp.fft.rfft(self.generate().astype(response.dtype), size)
             * jnp.fft.rfft(inv, size), size)
         scale = jnp.max(jnp.abs(ref))
@@ -127,6 +130,7 @@ class LinearSweep:
         phase = 2.0 * math.pi * (self.start_hz * t + 0.5 * k * t * t)
         return self.amplitude * jnp.sin(phase)
 
+    @jit_method
     def deconvolve(self, response, *, epsilon: float = 1e-8):
         """Regularized spectral division by the sweep spectrum."""
         response = jnp.asarray(response)
@@ -139,5 +143,5 @@ class LinearSweep:
         # regularization relative to the sweep's peak spectral power, so
         # out-of-band bins (where the sweep has no energy) stay tame
         eps = epsilon * jnp.max(k2)
-        ir = jnp.fft.irfft(sf * jnp.conj(kf) / (k2 + eps), size)
+        ir = irfft(sf * jnp.conj(kf) / (k2 + eps), size)
         return ir[..., :n]

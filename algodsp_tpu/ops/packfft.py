@@ -31,6 +31,7 @@ import os
 import numpy as np
 import jax
 import jax.numpy as jnp
+from algodsp_tpu.utils.fftjit import ifft, irfft
 
 
 def _rev_full(z):
@@ -76,7 +77,7 @@ def irfft_packed(spec, n: int):
     def full(s):
         mid = jnp.conj(jnp.flip(s[..., 1:-1], axis=-1))
         return jnp.concatenate([s, mid], axis=-1)
-    z = jnp.fft.ifft(full(s0) + 1j * full(s1), n)
+    z = ifft(full(s0) + 1j * full(s1), n)
     out = jnp.stack([jnp.real(z), jnp.imag(z)], axis=-2)
     out = out.reshape(out.shape[:-3] + (-1, n))
     return out[..., :k, :]
@@ -213,4 +214,4 @@ def irfft_batched(spec, n: int):
         return irfft_mx(spec, n)
     if _use_packing(spec):
         return irfft_packed(spec, n)
-    return jnp.fft.irfft(spec, n)
+    return irfft(spec, n)

@@ -19,6 +19,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from algodsp_tpu.window import WindowType, generate
+from algodsp_tpu.utils.fftjit import irfft
 
 
 def _window(wtype, frame_size: int, dtype):
@@ -35,11 +36,13 @@ def stft(x, frame_size: int = 2048, hop_size: int = 512, *,
     both ends so frame k is centered on sample k*hop_size (the
     convention that makes `istft` reconstruct the full length).
     """
-    if frame_size < 2 or hop_size < 1 or hop_size > frame_size:
+    if frame_size < 2 or frame_size % 2 or hop_size < 1 \
+            or hop_size > frame_size:
+        # odd frame_size is rejected because istft infers it from the
+        # bin count as 2*(bins-1), which only inverts even frames
         raise ValueError(
             f"stft: invalid frame/hop: {frame_size}/{hop_size}")
     x = jnp.asarray(x)
-    n = x.shape[-1]
     if center:
         pad = [(0, 0)] * (x.ndim - 1) + [(frame_size // 2, frame_size // 2)]
         x = jnp.pad(x, pad)
@@ -68,15 +71,18 @@ def istft(spec, hop_size: int = 512, *,
     spec = jnp.asarray(spec)
     n_frames, bins = spec.shape[-2], spec.shape[-1]
     frame_size = 2 * (bins - 1)
-    real_dtype = jnp.zeros((), spec.dtype).real.dtype
+    # host-side dtype derivation (eager .real on a complex device
+    # array is an unimplemented standalone op on the TPU relay)
+    real_dtype = np.zeros((), spec.dtype).real.dtype
     w = _window(window, frame_size, real_dtype)
-    frames = jnp.fft.irfft(spec, n=frame_size, axis=-1) * w
+    frames = irfft(spec, n=frame_size, axis=-1) * w
 
     total = (n_frames - 1) * hop_size + frame_size
-    if frame_size % hop_size == 0:
+    if frame_size % hop_size == 0 and frame_size // hop_size <= 16:
         # scatter-free overlap-add: frame row f, segment j (of k =
-        # frame/hop) lands at output row f+j — sum k shifted copies.
-        # ~3x faster than scatter-add on TPU (dense adds, no gather HW)
+        # frame/hop) lands at output row f+j — sum k shifted copies
+        # (1.7x over scatter-add at k=4; capped so tiny hops don't
+        # unroll into a huge jaxpr — scatter wins again for large k)
         k = frame_size // hop_size
 
         def _ola(fr):  # fr: (..., n_frames, frame_size)
@@ -121,7 +127,8 @@ class StreamingSTFT:
 
     def __init__(self, frame_size: int = 2048, hop_size: int = 512, *,
                  window: WindowType = WindowType.HANN):
-        if frame_size < 2 or hop_size < 1 or hop_size > frame_size:
+        if frame_size < 2 or frame_size % 2 or hop_size < 1 \
+                or hop_size > frame_size:
             raise ValueError(
                 f"stft: invalid frame/hop: {frame_size}/{hop_size}")
         self.frame_size = frame_size
@@ -164,7 +171,8 @@ class StreamingISTFT:
 
     def __init__(self, frame_size: int = 2048, hop_size: int = 512, *,
                  window: WindowType = WindowType.HANN):
-        if frame_size < 2 or hop_size < 1 or hop_size > frame_size:
+        if frame_size < 2 or frame_size % 2 or hop_size < 1 \
+                or hop_size > frame_size:
             raise ValueError(
                 f"stft: invalid frame/hop: {frame_size}/{hop_size}")
         self.frame_size = frame_size
@@ -191,9 +199,9 @@ class StreamingISTFT:
         spec = jnp.asarray(spec)
         n_frames = spec.shape[-2]
         n = n_frames * self.hop_size
-        real_dtype = jnp.zeros((), spec.dtype).real.dtype
+        real_dtype = np.zeros((), spec.dtype).real.dtype
         w = _window(self.window, self.frame_size, real_dtype)
-        frames = jnp.fft.irfft(spec, n=self.frame_size, axis=-1) * w
+        frames = irfft(spec, n=self.frame_size, axis=-1) * w
         # dense overlap-add of this call's frames: (…, n + lag)
         total = n + self.lag
         idx = (jnp.arange(n_frames)[:, None] * self.hop_size

@@ -10,9 +10,10 @@ the whole-cascade block engine (ops/cascade.py — one Toeplitz matmul
 closes all 15 sections per 128-sample block); the conv reverb runs in
 the fused Pallas FDL kernel (ops/fdlconv.py — matmul FFT + spectral
 MAC + iFFT in one VMEM pass, spectra never touching HBM); the signal
-is 2^24 samples per channel per dispatch so the ~3 ms axon relay
-dispatch floor is amortized (134 Msamples/dispatch — a bulk
-file-processing workload, the same regime the Go baseline measures).
+is 2^26 samples per channel per dispatch (536 Msamples/dispatch,
+falling back to 2^24 if HBM is shared) so the ~3 ms axon relay
+dispatch floor is amortized — a bulk file-processing workload, the
+same regime the Go baseline measures.
 
 vs_baseline compares against the Go reference's single-core rate for
 the same work, estimated from BASELINE.md:
@@ -79,6 +80,7 @@ def main():
     def pipeline(x):
         return reverb.process(chain.process(x))
 
+    x = None
     for n in candidate_n:
         try:
             x = jnp.asarray(rng.standard_normal((channels, n)), jnp.float32)
@@ -87,7 +89,7 @@ def main():
         except Exception as exc:  # RESOURCE_EXHAUSTED -> smaller dispatch
             if "RESOURCE_EXHAUSTED" not in str(exc) or n == candidate_n[-1]:
                 raise
-            del x
+            x = None  # drop any partial allocation before retrying
     samples_per_sec = channels * n / dt
 
     # scan-kernel roofline: the cascade block engine alone, with its
