@@ -13,7 +13,8 @@ PY ?= python
 test:
 	$(PY) -m pytest tests/ -q
 
-# Fast signal: core numerics, designers, one engine file, examples smoke
+# Fast signal: core numerics, designers, one engine file, conv/spectrum
+# (examples run separately via `make examples`)
 test-fast:
 	$(PY) -m pytest tests/test_core.py tests/test_design.py \
 	  tests/test_biquad.py tests/test_spectrum.py tests/test_conv.py -q

@@ -85,7 +85,6 @@ def direct_circular(a, b):
     return head + wrapped
 
 
-@functools.partial(jax.jit, static_argnames=("mode",))
 def fftconvolve(a, b, mode: str = "full"):
     """FFT linear convolution at next-pow2(N+M-1) (`overlap_add.go:221`-style
     one-shot, generalized).
@@ -96,14 +95,22 @@ def fftconvolve(a, b, mode: str = "full"):
     kernels work (ALGODSP_FDL_FUSED=0 disables)."""
     import os
     import jax as _jax
+    # the env var and backend key the jit cache (read OUTSIDE the
+    # trace) so toggling ALGODSP_FDL_FUSED re-dispatches instead of
+    # replaying the first-seen path
+    fused_env = (_jax.default_backend() == "tpu"
+                 and os.environ.get("ALGODSP_FDL_FUSED", "auto") != "0")
+    return _fftconvolve_jit(a, b, mode=mode, fused_env=fused_env)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "fused_env"))
+def _fftconvolve_jit(a, b, mode: str = "full", *, fused_env: bool = False):
     a = jnp.asarray(a)
     b = jnp.asarray(b).reshape(-1).astype(a.dtype)
     n, m = a.shape[-1], b.shape[-1]
     if n == 0 or m == 0:
         raise ValueError("conv: empty input")
-    if (m >= 4096 and a.dtype == jnp.float32
-            and _jax.default_backend() == "tpu"
-            and os.environ.get("ALGODSP_FDL_FUSED", "auto") != "0"):
+    if m >= 4096 and a.dtype == jnp.float32 and fused_env:
         from algodsp_tpu.ops import fdlconv
         rows = int(np.prod(a.shape[:-1])) if a.ndim > 1 else 1
         B = fdlconv.pick_block(m, n, channels=rows)

@@ -13,6 +13,8 @@ samples; overlap-add: fft-size output tail), explicit and shardable.
 
 from __future__ import annotations
 
+import functools as _functools
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -153,13 +155,27 @@ class OverlapAdd:
         return y
 
 
+# One-shot conveniences reuse convolver instances per (kernel, size) —
+# the analog of the reference's per-FFT-size sync.Pool
+# (`overlap_add.go:190,221`). Without this, each eager call would pay a
+# fresh trace+compile (the jit cache hangs off the instance).
+@_functools.lru_cache(maxsize=32)
+def _oa_cached(kernel_bytes: bytes, block_size: int) -> "OverlapAdd":
+    return OverlapAdd(np.frombuffer(kernel_bytes, np.float64), block_size)
+
+
+@_functools.lru_cache(maxsize=32)
+def _ols_cached(kernel_bytes: bytes, fft_size: int | None) -> "OverlapSave":
+    return OverlapSave(np.frombuffer(kernel_bytes, np.float64), fft_size)
+
+
 def overlap_add_convolve(signal, kernel, block_size: int | None = None):
     """One-shot OA convolution, full length N+M-1 (`overlap_add.go:221-254`)."""
     signal = jnp.asarray(signal)
     kernel = np.asarray(kernel, dtype=np.float64).reshape(-1)
     if block_size is None:
         block_size = max(next_pow2(kernel.size), 64)
-    oa = OverlapAdd(kernel, block_size)
+    oa = _oa_cached(kernel.tobytes(), int(block_size))
     n = signal.shape[-1]
     m = kernel.size
     pad = (-n) % block_size + block_size  # room for the tail
@@ -173,7 +189,8 @@ def overlap_save_convolve(signal, kernel, fft_size: int | None = None):
     """One-shot OLS convolution, full length N+M-1 (`overlap_save.go:313-343`)."""
     signal = jnp.asarray(signal)
     kernel = np.asarray(kernel, dtype=np.float64).reshape(-1)
-    osv = OverlapSave(kernel, fft_size)
+    osv = _ols_cached(kernel.tobytes(),
+                      None if fft_size is None else int(fft_size))
     n = signal.shape[-1]
     m = kernel.size
     xp = jnp.concatenate(

@@ -98,7 +98,7 @@ class PartitionedConvolver:
         y = irfft(acc, self.fft_size)[..., self.block:].astype(x.dtype)
         return {"fdl": fdl, "tail": x}, y
 
-    @jit_method
+    @jit_method(env_keys=("ALGODSP_FDL_FUSED",))
     def process_stream(self, state, x):
         """Streaming continuation over any multiple of the block size.
 
@@ -215,7 +215,7 @@ class PartitionedConvolver:
                 padded.reshape(parts, b), 2 * b, axis=-1)
         return self._bulk_cache[block_order]
 
-    @jit_method
+    @jit_method(env_keys=("ALGODSP_FDL_FUSED",))
     def process(self, x, *, bulk_block_order: int | None = None):
         """One-shot convolution over a whole buffer (zero initial state).
 

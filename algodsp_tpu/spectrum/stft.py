@@ -28,6 +28,21 @@ def _window(wtype, frame_size: int, dtype):
     return jnp.asarray(wtype, dtype)  # precomputed coefficients
 
 
+def _frame_idx(n_frames: int, frame_size: int, hop_size: int):
+    """(n_frames, frame_size) gather indices of a sliding frame grid."""
+    return (jnp.arange(n_frames)[:, None] * hop_size
+            + jnp.arange(frame_size)[None, :])
+
+
+def _validate(frame_size: int, hop_size: int) -> None:
+    # odd frame_size is rejected because istft infers it from the
+    # bin count as 2*(bins-1), which only inverts even frames
+    if frame_size < 2 or frame_size % 2 or hop_size < 1 \
+            or hop_size > frame_size:
+        raise ValueError(
+            f"stft: invalid frame/hop: {frame_size}/{hop_size}")
+
+
 def stft(x, frame_size: int = 2048, hop_size: int = 512, *,
          window: WindowType = WindowType.HANN, center: bool = True):
     """Complex STFT of the last axis: returns (..., n_frames, bins).
@@ -36,12 +51,7 @@ def stft(x, frame_size: int = 2048, hop_size: int = 512, *,
     both ends so frame k is centered on sample k*hop_size (the
     convention that makes `istft` reconstruct the full length).
     """
-    if frame_size < 2 or frame_size % 2 or hop_size < 1 \
-            or hop_size > frame_size:
-        # odd frame_size is rejected because istft infers it from the
-        # bin count as 2*(bins-1), which only inverts even frames
-        raise ValueError(
-            f"stft: invalid frame/hop: {frame_size}/{hop_size}")
+    _validate(frame_size, hop_size)
     x = jnp.asarray(x)
     if center:
         pad = [(0, 0)] * (x.ndim - 1) + [(frame_size // 2, frame_size // 2)]
@@ -53,8 +63,7 @@ def stft(x, frame_size: int = 2048, hop_size: int = 512, *,
     if covered > x.shape[-1]:
         pad = [(0, 0)] * (x.ndim - 1) + [(0, covered - x.shape[-1])]
         x = jnp.pad(x, pad)
-    idx = (jnp.arange(n_frames)[:, None] * hop_size
-           + jnp.arange(frame_size)[None, :])
+    idx = _frame_idx(n_frames, frame_size, hop_size)
     frames = x[..., idx] * _window(window, frame_size, x.dtype)
     return jnp.fft.rfft(frames, axis=-1)
 
@@ -97,8 +106,7 @@ def istft(spec, hop_size: int = 512, *,
         y = _ola(frames)
         norm = _ola(jnp.broadcast_to(w * w, (n_frames, frame_size)))
     else:
-        idx = (jnp.arange(n_frames)[:, None] * hop_size
-               + jnp.arange(frame_size)[None, :]).reshape(-1)
+        idx = _frame_idx(n_frames, frame_size, hop_size).reshape(-1)
         flat = frames.reshape(spec.shape[:-2] + (-1,))
         y = jnp.zeros(spec.shape[:-2] + (total,),
                       real_dtype).at[..., idx].add(flat)
@@ -127,10 +135,7 @@ class StreamingSTFT:
 
     def __init__(self, frame_size: int = 2048, hop_size: int = 512, *,
                  window: WindowType = WindowType.HANN):
-        if frame_size < 2 or frame_size % 2 or hop_size < 1 \
-                or hop_size > frame_size:
-            raise ValueError(
-                f"stft: invalid frame/hop: {frame_size}/{hop_size}")
+        _validate(frame_size, hop_size)
         self.frame_size = frame_size
         self.hop_size = hop_size
         self.lag = frame_size - hop_size
@@ -149,8 +154,7 @@ class StreamingSTFT:
                 f"of hop_size {self.hop_size}")
         concat = jnp.concatenate([state["tail"], x], axis=-1)
         n_frames = n // self.hop_size
-        idx = (jnp.arange(n_frames)[:, None] * self.hop_size
-               + jnp.arange(self.frame_size)[None, :])
+        idx = _frame_idx(n_frames, self.frame_size, self.hop_size)
         frames = concat[..., idx] * _window(self.window, self.frame_size,
                                             x.dtype)
         return ({"tail": concat[..., -self.lag:] if self.lag
@@ -171,10 +175,7 @@ class StreamingISTFT:
 
     def __init__(self, frame_size: int = 2048, hop_size: int = 512, *,
                  window: WindowType = WindowType.HANN):
-        if frame_size < 2 or frame_size % 2 or hop_size < 1 \
-                or hop_size > frame_size:
-            raise ValueError(
-                f"stft: invalid frame/hop: {frame_size}/{hop_size}")
+        _validate(frame_size, hop_size)
         self.frame_size = frame_size
         self.hop_size = hop_size
         self.lag = frame_size - hop_size
@@ -204,8 +205,8 @@ class StreamingISTFT:
         frames = irfft(spec, n=self.frame_size, axis=-1) * w
         # dense overlap-add of this call's frames: (…, n + lag)
         total = n + self.lag
-        idx = (jnp.arange(n_frames)[:, None] * self.hop_size
-               + jnp.arange(self.frame_size)[None, :]).reshape(-1)
+        idx = _frame_idx(n_frames, self.frame_size,
+                         self.hop_size).reshape(-1)
         flat = frames.reshape(spec.shape[:-2] + (-1,))
         out = jnp.zeros(spec.shape[:-2] + (total,),
                         real_dtype).at[..., idx].add(flat)

@@ -16,17 +16,30 @@ captured in the jit closure as static configuration.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
+import numpy as np
 
 
-def jit_method(fn):
+def _is_arraylike(v) -> bool:
+    return isinstance(v, (jax.Array, np.ndarray)) or hasattr(v, "aval")
+
+
+def jit_method(fn=None, *, env_keys: tuple[str, ...] = ()):
     """Wrap a pure method in a per-instance cached `jax.jit`.
 
-    Keyword arguments are treated as STATIC configuration (hashable,
-    e.g. ints/enums/None) and key the jit cache; positional arguments
-    are traced.
+    Keyword arguments that are arrays (jax/numpy or tracers) are traced
+    like positional arguments; hashable keyword arguments are STATIC
+    configuration (ints/enums/None) and key the jit cache. `env_keys`
+    names environment variables whose *current values* join the cache
+    key, so methods that dispatch on an env var (e.g.
+    ``ALGODSP_FDL_FUSED``) re-trace when the variable changes instead
+    of silently replaying the first-seen dispatch.
     """
+    if fn is None:
+        return functools.partial(jit_method, env_keys=env_keys)
+
     cache_attr = f"_jit_{fn.__name__}"
 
     @functools.wraps(fn)
@@ -35,12 +48,29 @@ def jit_method(fn):
         if cache is None:
             cache = {}
             self.__dict__[cache_attr] = cache
-        key = tuple(sorted(kwargs.items()))
+        static = {}
+        traced = {}
+        for k, v in kwargs.items():
+            if _is_arraylike(v):
+                traced[k] = v
+            else:
+                try:
+                    hash(v)
+                except TypeError:
+                    raise TypeError(
+                        f"{fn.__qualname__}: keyword argument {k!r} is "
+                        "neither an array nor hashable; pass data as an "
+                        "array or configuration as a hashable value"
+                    ) from None
+                static[k] = v
+        key = (tuple(sorted(static.items())),
+               tuple(sorted(traced)),
+               tuple(os.environ.get(e, "") for e in env_keys))
         cached = cache.get(key)
         if cached is None:
-            cached = jax.jit(functools.partial(fn, self, **kwargs))
+            cached = jax.jit(functools.partial(fn, self, **static))
             cache[key] = cached
-        return cached(*args)
+        return cached(*args, **traced)
 
     wrapper.__wrapped__ = fn
     return wrapper
