@@ -95,9 +95,13 @@ def fftconvolve(a, b, mode: str = "full"):
     kernels work (ALGODSP_FDL_FUSED=0 disables)."""
     import os
     import jax as _jax
-    # the env var and backend key the jit cache (read OUTSIDE the
-    # trace) so toggling ALGODSP_FDL_FUSED re-dispatches instead of
-    # replaying the first-seen path
+    # The env var and backend key the jit cache so toggling
+    # ALGODSP_FDL_FUSED re-dispatches instead of replaying the
+    # first-seen path. This only holds for eager top-level calls: when
+    # fftconvolve is traced inside an enclosing jax.jit, the value read
+    # at trace time is baked into THAT caller's executable — callers
+    # embedding it in their own jit must key their caches on the env
+    # var themselves (as jit_method(env_keys=...) does).
     fused_env = (_jax.default_backend() == "tpu"
                  and os.environ.get("ALGODSP_FDL_FUSED", "auto") != "0")
     return _fftconvolve_jit(a, b, mode=mode, fused_env=fused_env)

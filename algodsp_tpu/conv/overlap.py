@@ -161,12 +161,16 @@ class OverlapAdd:
 # fresh trace+compile (the jit cache hangs off the instance).
 @_functools.lru_cache(maxsize=32)
 def _oa_cached(kernel_bytes: bytes, block_size: int) -> "OverlapAdd":
-    return OverlapAdd(np.frombuffer(kernel_bytes, np.float64), block_size)
+    # .copy(): frombuffer views are read-only; cached instances must
+    # behave identically to directly-constructed ones
+    return OverlapAdd(
+        np.frombuffer(kernel_bytes, np.float64).copy(), block_size)
 
 
 @_functools.lru_cache(maxsize=32)
 def _ols_cached(kernel_bytes: bytes, fft_size: int | None) -> "OverlapSave":
-    return OverlapSave(np.frombuffer(kernel_bytes, np.float64), fft_size)
+    return OverlapSave(
+        np.frombuffer(kernel_bytes, np.float64).copy(), fft_size)
 
 
 def overlap_add_convolve(signal, kernel, block_size: int | None = None):

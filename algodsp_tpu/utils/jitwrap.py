@@ -15,11 +15,19 @@ captured in the jit closure as static configuration.
 
 from __future__ import annotations
 
+import collections
 import functools
 import os
 
 import jax
 import numpy as np
+
+# Per-instance jit caches are bounded: each distinct (static kwargs,
+# traced kwarg names, env values) key retains a compiled executable, so
+# long-running processes that toggle env_keys variables would otherwise
+# accumulate entries without bound. 16 covers every (mode, env) combo a
+# single instance realistically cycles through.
+_CACHE_MAX = 16
 
 
 def _is_arraylike(v) -> bool:
@@ -46,7 +54,7 @@ def jit_method(fn=None, *, env_keys: tuple[str, ...] = ()):
     def wrapper(self, *args, **kwargs):
         cache = self.__dict__.get(cache_attr)
         if cache is None:
-            cache = {}
+            cache = collections.OrderedDict()
             self.__dict__[cache_attr] = cache
         static = {}
         traced = {}
@@ -70,6 +78,10 @@ def jit_method(fn=None, *, env_keys: tuple[str, ...] = ()):
         if cached is None:
             cached = jax.jit(functools.partial(fn, self, **static))
             cache[key] = cached
+            if len(cache) > _CACHE_MAX:
+                cache.popitem(last=False)
+        else:
+            cache.move_to_end(key)
         return cached(*args, **traced)
 
     wrapper.__wrapped__ = fn
