@@ -12,6 +12,10 @@ from algodsp_tpu.conv.overlap import (
     overlap_save_convolve,
 )
 from algodsp_tpu.conv.partitioned import PartitionedConvolver
+from algodsp_tpu.conv.ltifold import (
+    fold_chain_into_kernel,
+    folded_convolver,
+)
 from algodsp_tpu.conv.correlate import (
     correlate,
     correlate_direct,
@@ -50,6 +54,8 @@ __all__ = [
     "direct_circular",
     "fftconvolve",
     "find_peak",
+    "fold_chain_into_kernel",
+    "folded_convolver",
     "index_from_lag",
     "inverse_filter",
     "lag_from_index",

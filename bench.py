@@ -5,25 +5,31 @@ conv-reverb (2^17-tap IR) + biquad-chain pipeline:
   10-section Butterworth cascade + A-weighting chain -> partitioned
   frequency-domain conv reverb.
 
-Formulations (round 2): both biquad chains run concatenated through
-the whole-cascade block engine (ops/cascade.py — one Toeplitz matmul
-closes all 15 sections per 128-sample block); the conv reverb runs in
-the fused Pallas FDL kernel (ops/fdlconv.py — matmul FFT + spectral
-MAC + iFFT in one VMEM pass, spectra never touching HBM); the signal
-is 2^26 samples per channel per dispatch (536 Msamples/dispatch,
-falling back to 2^24 if HBM is shared) so the ~3 ms axon relay
-dispatch floor is amortized — a bulk file-processing workload, the
-same regime the Go baseline measures.
+Formulations (round 3): the pipeline is LTI end to end, so the biquad
+chain is FOLDED into the convolution kernel (`conv/ltifold.py`):
+h_combined = h_chain (*) ir with the IIR impulse tail truncated below
+-150 dB of peak, then ONE fused Pallas FDL pass (ops/fdlconv.py —
+matmul FFT + spectral MAC + iFFT in one VMEM pass) computes the whole
+pipeline. Exactness of the fold vs the unfused cascade -> reverb path
+is asserted in tests/test_ltifold.py and measures ~129 dB SNR at this
+exact bench configuration (f32). The signal is 2^26 samples per
+channel per dispatch (536 Msamples/dispatch, falling back to 2^24 if
+HBM is shared) so the ~3-6 ms axon relay dispatch floor is amortized —
+a bulk file-processing workload, the same regime the Go baseline
+measures.
 
 vs_baseline compares against the Go reference's single-core rate for
 the same work, estimated from BASELINE.md:
   - biquad: 1.283e8 samples/s per section -> 15 sections,
   - OverlapAdd-derived conv rate ~1.76e7 samples/s (BASELINE.md:26).
   Combined serial rate: 1/(15/1.283e8 + 1/1.76e7) ~ 5.8e6 samples/s.
+(The reference runs the stages serially; it has no LTI folding.)
 
 roofline_pct is the biquad-cascade engine's achieved f32 FLOP/s (its
 actual op count: B + 2d MACs/sample plus carry sweeps) as % of the
-v5e 98 TFLOP/s f32 peak — the "scan-kernel roofline %" deliverable.
+v5e 98 TFLOP/s f32 peak — the "scan-kernel roofline %" deliverable,
+still measured on the live cascade engine (the folded headline no
+longer runs it per sample, but interactive/streaming chains do).
 
 Methodology: one jit callable reused (compile excluded); a scalar fetch
 forces completion (on the axon relay block_until_ready returns early).
@@ -53,7 +59,7 @@ def _timeit(fn, *args, reps=5):
 def main():
     from algodsp_tpu.filters import BiquadChain, design
     from algodsp_tpu.filters.weighting import WeightingType, weighting_chain
-    from algodsp_tpu.conv import PartitionedConvolver
+    from algodsp_tpu.conv import folded_convolver
     from algodsp_tpu.utils.profiling import TPU_PEAKS
 
     sr = 48000.0
@@ -61,8 +67,8 @@ def main():
     # ~23 min of audio per channel per dispatch (bulk regime): the
     # larger the dispatch, the better the ~3-6 ms relay floor amortizes
     # (measured: 2^24 -> 2.61-2.77, 2^25 -> 2.73-2.79, 2^26 -> 2.93
-    # Gsamples/s). 2^26 fits one v5e chip alone; fall back if the
-    # device is sharing HBM with anything else.
+    # Gsamples/s unfolded). 2^26 fits one v5e chip alone; fall back if
+    # the device is sharing HBM with anything else.
     candidate_n = (1 << 26, 1 << 24)
     rng = np.random.default_rng(0)
 
@@ -74,11 +80,12 @@ def main():
         gain=cascade.gain * weighting.gain, condition=False)
     ir = (rng.standard_normal(1 << 17) *
           np.exp(-np.arange(1 << 17) / 20000.0)).astype(np.float32)
-    reverb = PartitionedConvolver(ir, min_block_order=10)
+    # LTI fold: chain + reverb -> one combined-kernel FDL convolver
+    reverb = folded_convolver(chain, ir, min_block_order=10)
 
     @jax.jit
     def pipeline(x):
-        return reverb.process(chain.process(x))
+        return reverb.process(x)
 
     x = None
     for n in candidate_n:
