@@ -48,6 +48,113 @@ class Chain:
         return {nid: rt.init_state(batch_shape, dtype)
                 for nid, rt in self.runtimes.items()}
 
+    def fuse_lti(self, *, tol_db: float = 150.0,
+                 max_kernel_len: int = 1 << 19) -> list[tuple[list[str], int]]:
+        """LTI fusion pass: collapse maximal linear runs of LTI nodes
+        into one FIR convolution per run (`conv/ltifold.py` algebra).
+
+        A run is a straight-line path n1 -> n2 -> ... -> nk where every
+        interior link is the sole port-0 edge between its endpoints and
+        every member is LTI (`NodeRuntime.lti`) or bypassed. The
+        members' combined impulse response (IIR tails truncated below
+        -tol_db of peak) becomes one `FIRFilter` placed at the first
+        active member; the rest become identities, which XLA folds
+        away. Graph topology, node ids, and state-dict keys are
+        unchanged, so curves/state introspection still resolve;
+        `init_state` must be called AFTER fusing. Runs whose combined
+        kernel would exceed `max_kernel_len` are left unfused (e.g. a
+        high-feedback delay's echo train).
+
+        Opt-in (call after `load_graph`), because a fused run loses
+        per-node metering/hot-swap identity; the graph semantics are
+        otherwise identical (>= ~100 dB SNR in f32). Returns
+        [(member_ids, kernel_len)] for each fused run — the analog of a
+        compiler's fusion report. The Go reference always executes
+        nodes one by one (`chain_process.go:24-30`); this pass is
+        TPU-native headroom on top of parity.
+        """
+        import numpy as np
+        from algodsp_tpu.chain.registry import NodeRuntime
+        from algodsp_tpu.conv.ltifold import fold_chain_into_kernel
+        from algodsp_tpu.filters.fir import FIRFilter
+
+        g = self.graph
+
+        def fusable(nid: str) -> bool:
+            rt = self.runtimes.get(nid)
+            if rt is None or rt.n_outputs != 1:
+                return False
+            return rt.lti is not None or g.nodes[nid].bypassed
+
+        def linked(a: str, b: str) -> bool:
+            outs = [e for e in g.outgoing.get(a, [])]
+            ins = [e for e in g.incoming.get(b, [])]
+            return (len(outs) == 1 and outs[0].dst == b
+                    and outs[0].from_port == 0 and outs[0].to_port == 0
+                    and len(ins) == 1 and ins[0].src == a)
+
+        report: list[tuple[list[str], int]] = []
+        used: set[str] = set()
+        for start in g.order:
+            if start in used or not fusable(start):
+                continue
+            run = [start]
+            cur = start
+            while True:
+                outs = g.outgoing.get(cur, [])
+                if len(outs) != 1:
+                    break
+                nxt = outs[0].dst
+                if (nxt in used or nxt not in g.nodes or not fusable(nxt)
+                        or not linked(cur, nxt)):
+                    break
+                run.append(nxt)
+                cur = nxt
+            used.update(run)
+            active = [n for n in run if not g.nodes[n].bypassed]
+            if len(active) < 2:
+                continue
+            h = np.ones(1)
+            too_long = False
+            for nid in active:
+                kind, payload = self.runtimes[nid].lti
+                if kind == "chain":
+                    h = fold_chain_into_kernel(payload, h, tol_db=tol_db)
+                elif kind == "kernel_fn":
+                    k = np.asarray(payload(tol_db), np.float64).reshape(-1)
+                    if h.size + k.size - 1 > max_kernel_len:
+                        too_long = True
+                        break
+                    h = np.convolve(h, k)
+                else:
+                    raise ValueError(
+                        f"chain: unknown lti descriptor {kind!r} on {nid}")
+                if h.size > max_kernel_len:
+                    too_long = True
+                    break
+            if too_long:
+                continue
+            # trim the sub-noise-floor tail the folds accumulated
+            peak = np.max(np.abs(h))
+            if peak > 0.0:
+                keep = np.nonzero(
+                    np.abs(h) > peak * 10.0 ** (-tol_db / 20.0))[0]
+                h = h[:int(keep[-1]) + 1] if keep.size else h[:1]
+            fir = FIRFilter(h)
+            self.runtimes[active[0]] = NodeRuntime(
+                init_state=fir.init_state,
+                process=lambda st, x, sc, _f=fir: _f.process_stream(st, x),
+                effect=fir,
+                lti=("kernel_fn", lambda tol, _h=h: _h))
+            identity = NodeRuntime(
+                init_state=lambda batch_shape=(), dtype=jnp.float32: {},
+                process=lambda st, x, sc: (st, x),
+                lti=("kernel_fn", lambda tol: np.ones(1)))
+            for nid in active[1:]:
+                self.runtimes[nid] = identity
+            report.append((active, int(h.size)))
+        return report
+
     def process(self, state, x):
         """(state, x:(..., N)) -> (state, y). One traced program.
 

@@ -54,6 +54,10 @@ class NodeRuntime:
     effect: object = None         # underlying effect object, for curve
                                   # introspection (webdemo NodeResponseCurveDB
                                   # / CompressorCurveDB analogs)
+    lti: object = None            # LTI descriptor for Chain.fuse_lti():
+                                  # ("chain", BiquadChain) or
+                                  # ("kernel_fn", tol_db -> f64 kernel);
+                                  # None = not linear/time-invariant
 
 
 class Registry:
@@ -210,13 +214,40 @@ def default_registry() -> Registry:
         # M/S widening reduces to identity (the stereo path lives in
         # effects.spatial.StereoWidener); kept as a registered node for
         # graph compatibility (registry_defaults.go:104)
-        return _stateless(lambda x: x)
+        rt = _stateless(lambda x: x)
+        rt.lti = ("kernel_fn", lambda tol_db: np.ones(1))
+        return rt
     r.register("widener", _widener)
-    r.register("delay", lambda ctx, p: _stateful(Delay(
-        ctx.sample_rate,
-        delay_seconds=get_num(p, "time", 0.25, 0.001, 2),
-        feedback=get_num(p, "feedback", 0.35, 0, 0.99),
-        mix=get_num(p, "mix", 0.25, 0, 1))))
+
+    def _feedback_delay_kernel(delay: int, fb: float, mix: float):
+        """IR of the integer-lag feedback delay:
+        (1-mix)*d[0] + mix * sum_{k>=1} fb^(k-1) * d[n - k*delay]."""
+        def kernel(tol_db: float) -> np.ndarray:
+            if mix == 0.0:
+                return np.ones(1)
+            if fb == 0.0:
+                echoes = 1
+            else:
+                echoes = 1 + int(np.ceil(tol_db / (-20.0 * np.log10(fb))))
+            h = np.zeros(echoes * delay + 1)
+            h[0] = 1.0 - mix
+            h[np.arange(1, echoes + 1) * delay] = (
+                mix * fb ** np.arange(echoes))
+            return h
+        return kernel
+
+    def _delay(ctx, p):
+        fx = Delay(ctx.sample_rate,
+                   delay_seconds=get_num(p, "time", 0.25, 0.001, 2),
+                   feedback=get_num(p, "feedback", 0.35, 0, 0.99),
+                   mix=get_num(p, "mix", 0.25, 0, 1))
+        rt = _stateful(fx)
+        # constant integer lag (round(time*sr), no mid-stream retarget)
+        # makes the feedback loop a pure echo train
+        rt.lti = ("kernel_fn", _feedback_delay_kernel(
+            fx.delay_samples, fx.feedback, fx.mix))
+        return rt
+    r.register("delay", _delay)
 
     def _delay_simple(ctx, p):
         # runtime_modulation.go:332: delayMs 20 (0-500)
@@ -232,7 +263,13 @@ def default_registry() -> Registry:
         def proc(st, x, sc):
             ext = jnp.concatenate([st.astype(x.dtype), x], axis=-1)
             return ext[..., -delay:], ext[..., :x.shape[-1]]
-        return NodeRuntime(init_state=init_state, process=proc)
+
+        def _unit_delay_kernel(tol_db, _d=delay):
+            h = np.zeros(_d + 1)
+            h[_d] = 1.0
+            return h
+        return NodeRuntime(init_state=init_state, process=proc,
+                           lti=("kernel_fn", _unit_delay_kernel))
     r.register("delay-simple", _delay_simple)
 
     # -- filters (runtime_filter_pitch_reverb.go:42-180) ------------------
@@ -265,7 +302,7 @@ def default_registry() -> Registry:
             return NodeRuntime(
                 init_state=chain.init_state,
                 process=lambda st, x, sc: chain.process_stream(st, x),
-                effect=chain)
+                effect=chain, lti=("chain", chain))
         return make
 
     for key in ["filter", "filter-lowpass", "filter-highpass",
@@ -379,7 +416,17 @@ def default_registry() -> Registry:
                 ir = ir.mean(axis=0)
         fx = ConvolutionReverb(ir, min_block_order=9, wet=wet,
                                dry=get_num(p, "dry", 1.0, 0, 1.5))
-        return _stateful(fx)
+        rt = _stateful(fx)
+
+        def _conv_kernel(tol_db, _fx=fx):
+            h = _fx.wet * np.asarray(_fx.engine.kernel, np.float64)
+            if h.size == 0:
+                h = np.zeros(1)
+            h = h.copy()
+            h[0] += _fx.dry
+            return h
+        rt.lti = ("kernel_fn", _conv_kernel)
+        return rt
     r.register("reverb-conv", _reverb_conv)
 
     # -- dynamics (runtime_dynamics.go) -----------------------------------

@@ -57,6 +57,12 @@ class PartitionedConvolver:
         self._fused_spectra_cache: dict[int, np.ndarray] = {}
 
     @property
+    def kernel(self) -> np.ndarray:
+        """The float64 impulse response this convolver applies
+        (`KernelLen` analog, `partitioned.go:410`)."""
+        return self._kernel_f32
+
+    @property
     def latency(self) -> int:
         """Algorithmic latency contract (`partitioned.go:410`): outputs
         are exact causal convolution; block granularity = 2^order."""

@@ -64,6 +64,13 @@ class BiquadChain:
         self._kernels = linrec.ar2_kernels(self.runtime_sos[:, 3],
                                            self.runtime_sos[:, 4],
                                            self.block_size)
+        # Residual decomposition flags for the blocked engine: sections
+        # where H = b0 + (B - b0*A)/A keeps intermediates near the
+        # output scale (complex poles near z=1 with HP-like zeros, e.g.
+        # low-frequency rumble filters, lose 30-50 dB to Toeplitz/carry
+        # cancellation otherwise; condition_sos only covers real poles).
+        self._residual = linrec.residual_flags(self.runtime_sos,
+                                               self.block_size)
 
     # -- introspection (chain.go:102-137) --------------------------------
     @property
@@ -117,13 +124,32 @@ class BiquadChain:
             b0, b1, b2, a1, a2 = self.runtime_sos[s]
             st = state[..., s, :]
             x_in = x
-            f = linrec.fir3(x, jnp.asarray(b0, x.dtype), jnp.asarray(b1, x.dtype),
-                            jnp.asarray(b2, x.dtype), st[..., 0], st[..., 1])
-            if mode == "blocked":
-                y = linrec.ar2_apply_blocked(f, self._kernels, s,
-                                             st[..., 2], st[..., 3])
+            if mode == "blocked" and self._residual[s]:
+                # v = y - b0*x obeys the same AR recurrence driven by the
+                # residual FIR (0, b1-a1*b0, b2-a2*b0) — exact, and the
+                # tiny drive keeps |L @ f| ~ |y| instead of ~peak(h)*|x|
+                e1, e2 = b1 - a1 * b0, b2 - a2 * b0
+                f = linrec.fir3(x, jnp.asarray(0.0, x.dtype),
+                                jnp.asarray(e1, x.dtype),
+                                jnp.asarray(e2, x.dtype),
+                                st[..., 0], st[..., 1])
+                b0j = jnp.asarray(b0, x.dtype)
+                v = linrec.ar2_apply_blocked(
+                    f, self._kernels, s,
+                    st[..., 2] - b0j * st[..., 0],
+                    st[..., 3] - b0j * st[..., 1])
+                y = b0j * x + v
             else:
-                y = linrec.ar2_apply_scan(f, a1, a2, st[..., 2], st[..., 3])
+                f = linrec.fir3(x, jnp.asarray(b0, x.dtype),
+                                jnp.asarray(b1, x.dtype),
+                                jnp.asarray(b2, x.dtype),
+                                st[..., 0], st[..., 1])
+                if mode == "blocked":
+                    y = linrec.ar2_apply_blocked(f, self._kernels, s,
+                                                 st[..., 2], st[..., 3])
+                else:
+                    y = linrec.ar2_apply_scan(f, a1, a2,
+                                              st[..., 2], st[..., 3])
             # carry-out from the true (unpadded) sample positions
             if n >= 2:
                 ns = jnp.stack([x_in[..., n - 1], x_in[..., n - 2],

@@ -49,11 +49,22 @@ SWEEP_TOL = 1e-12
 
 @dataclasses.dataclass(frozen=True)
 class CascadeKernels:
-    """Host-precomputed (float64) block kernels for an SOS cascade."""
+    """Host-precomputed (float64) block kernels for an SOS cascade.
+
+    The compact state may be carried in a per-section MODAL basis
+    (s' = Vinv @ s): slow complex-pole sections (low-frequency
+    highpass/shelf) otherwise put entries of magnitude peak(h) (~80 for
+    60 Hz at 48 kHz) into T/Win/Cout that cancel in f32 and cost
+    30-60 dB; in the modal basis each such 2x2 block becomes the
+    scaled rotation r^B * R(Bθ) with entries <= 1 (same algebra as
+    `linrec.AR2Kernels.Gm`). V = I when no section qualifies."""
     Lc: np.ndarray       # (B, B)
-    Win: np.ndarray      # (d, B)
-    Cout: np.ndarray     # (B, d)
-    T: np.ndarray        # (d, d)
+    Win: np.ndarray      # (d, B)   modal basis when modal=True
+    Cout: np.ndarray     # (B, d)   modal basis when modal=True
+    T: np.ndarray        # (d, d)   modal basis when modal=True
+    V: np.ndarray        # (d, d)   s_direct = V @ s_modal
+    Vinv: np.ndarray     # (d, d)
+    modal: bool
     block: int
     d: int
 
@@ -124,7 +135,38 @@ def _kernels_cached(sos_key: bytes, s_count: int, block: int) -> CascadeKernels:
 
     idx = np.arange(B)[:, None] - np.arange(B)[None, :]
     Lc = np.where(idx >= 0, h[np.clip(idx, 0, B - 1)], 0.0)
-    return CascadeKernels(Lc=Lc, Win=Win, Cout=Cout, T=T, block=B, d=d)
+
+    # per-section modal basis for slow complex-pole sections (see class
+    # docstring); the x-history block keeps the identity
+    V = np.eye(d)
+    modal = False
+    for s_i in range(s_count):
+        b0, b1, b2, a1, a2 = sos[s_i]
+        disc = a1 * a1 - 4.0 * a2
+        if disc >= 0.0:
+            continue
+        # peak of this section's all-pole response within a block
+        hp = np.zeros(B + 1)
+        hp[0] = 1.0
+        if B >= 1:
+            hp[1] = -a1
+        for m in range(2, B + 1):
+            hp[m] = -a1 * hp[m - 1] - a2 * hp[m - 2]
+        if np.max(np.abs(hp)) <= 4.0:
+            continue
+        alpha, beta = -a1 / 2.0, np.sqrt(-disc) / 2.0
+        V[2 + 2 * s_i:4 + 2 * s_i, 2 + 2 * s_i:4 + 2 * s_i] = \
+            np.array([[alpha, beta], [1.0, 0.0]])
+        modal = True
+    if modal:
+        Vinv = np.linalg.inv(V)
+        Win = Vinv @ Win
+        Cout = Cout @ V
+        T = Vinv @ T @ V
+    else:
+        Vinv = V
+    return CascadeKernels(Lc=Lc, Win=Win, Cout=Cout, T=T, V=V, Vinv=Vinv,
+                          modal=modal, block=B, d=d)
 
 
 def cascade_kernels(sos, block: int = 128) -> CascadeKernels:
@@ -184,7 +226,13 @@ def cascade_apply_blocked(x, sos, *, block: int = 128, s0=None,
         s0 = jnp.zeros(x.shape[:-1] + (d,), dt)
     else:
         s0 = jnp.asarray(s0, dt)
-        w = w.at[..., 0, :].add(jnp.einsum("ij,...j->...i", T, s0))
+        # full-f32 state applications (TPU default truncates to bf16)
+        mmv = lambda M, v: jnp.einsum("ij,...j->...i", M, v,
+                                      preferred_element_type=dt,
+                                      precision=precision)
+        if kern.modal:  # direct -> modal carry basis
+            s0 = mmv(jnp.asarray(kern.Vinv, dt), s0)
+        w = w.at[..., 0, :].add(mmv(T, s0))
 
     # inclusive scan e_k = sum_{j<=k} T^{k-j} w_j, constant-matrix sweeps
     for shift, M in _sweep_mats(sos.tobytes(), sos.shape[0], block, K):
@@ -198,7 +246,12 @@ def cascade_apply_blocked(x, sos, *, block: int = 128, s0=None,
     y = u + mm(entries, Cout)                          # (..., K, B)
     y = y.reshape(x.shape[:-1] + (n,))
     if return_state:
-        return y, w[..., -1, :]
+        s_fin = w[..., -1, :]
+        if kern.modal:  # back to the direct chain-state basis
+            s_fin = jnp.einsum("ij,...j->...i", jnp.asarray(kern.V, dt),
+                               s_fin, preferred_element_type=dt,
+                               precision=precision)
+        return y, s_fin
     return y
 
 
@@ -213,7 +266,8 @@ def _kernels_banded_cached(sos_key: bytes, n_bands: int, s_count: int,
     return CascadeKernels(
         Lc=np.stack([k.Lc for k in ks]), Win=np.stack([k.Win for k in ks]),
         Cout=np.stack([k.Cout for k in ks]), T=np.stack([k.T for k in ks]),
-        block=block, d=ks[0].d)
+        V=np.stack([k.V for k in ks]), Vinv=np.stack([k.Vinv for k in ks]),
+        modal=any(k.modal for k in ks), block=block, d=ks[0].d)
 
 
 @lru_cache(maxsize=256)
@@ -271,8 +325,12 @@ def cascade_apply_blocked_banded(xb, sos, *, block: int = 128, s0=None,
         s0 = jnp.zeros(xb.shape[:-1] + (d,), dt)
     else:
         s0 = jnp.asarray(s0, dt)
-        w = w.at[..., 0, :].add(
-            jnp.einsum("sij,...sj->...si", T, s0))
+        mmv = lambda M, v: jnp.einsum("sij,...sj->...si", M, v,
+                                      preferred_element_type=dt,
+                                      precision=precision)
+        if kern.modal:
+            s0 = mmv(jnp.asarray(kern.Vinv, dt), s0)
+        w = w.at[..., 0, :].add(mmv(T, s0))
 
     for shift, M in _sweep_mats_banded(sos.tobytes(), nb, S, int(block), K):
         Mj = jnp.asarray(M, dt)
@@ -286,7 +344,13 @@ def cascade_apply_blocked_banded(xb, sos, *, block: int = 128, s0=None,
                        preferred_element_type=dt, precision=precision)
     y = y.reshape(xb.shape[:-1] + (n,))
     if return_state:
-        return y, w[..., -1, :]
+        s_fin = w[..., -1, :]
+        if kern.modal:
+            s_fin = jnp.einsum("sij,...sj->...si",
+                               jnp.asarray(kern.V, dt), s_fin,
+                               preferred_element_type=dt,
+                               precision=precision)
+        return y, s_fin
     return y
 
 

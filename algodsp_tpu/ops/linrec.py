@@ -57,11 +57,26 @@ DEFAULT_BLOCK = 128
 @dataclasses.dataclass(frozen=True)
 class AR2Kernels:
     """Host-precomputed block kernels for a batch of S second-order
-    AR sections (float64 NumPy)."""
+    AR sections (float64 NumPy).
+
+    For slow complex-pole sections (|h| peaking above ~4 in a block —
+    e.g. low-frequency highpass filters) the carry recurrence is run in
+    the MODAL basis: with λ = α ± iβ the pole pair and
+    Vr = [[α, β], [1, 0]], the carry c' = Vr^-1 (y1, y2) propagates by
+    Gm = r^B * rotation(Bθ) — every entry bounded by r^B <= 1 — and the
+    within-block correction rows Pm = Vr^T [p; q] are bounded modal
+    responses. The direct basis (S = I) keeps G entries and p/q rows of
+    magnitude peak(h) (~80 for a 60 Hz filter at 48 kHz) that cancel in
+    f32, costing 30-60 dB; the modal basis removes that cancellation
+    exactly (host f64 precompute) at identical device cost."""
     L: np.ndarray      # (S, B, B) lower-triangular Toeplitz of h
-    G: np.ndarray      # (S, 2, 2) block carry propagation
-    p: np.ndarray      # (S, B) response column for y_{-1}
-    q: np.ndarray      # (S, B) response column for y_{-2}
+    G: np.ndarray      # (S, 2, 2) block carry propagation (direct basis)
+    p: np.ndarray      # (S, B) response column for y_{-1} (direct basis)
+    q: np.ndarray      # (S, B) response column for y_{-2} (direct basis)
+    S: np.ndarray      # (S, 2, 2) carry-basis transform (I = direct)
+    Gm: np.ndarray     # (S, 2, 2) carry propagation in the S basis
+    Pm: np.ndarray     # (S, 2, B) correction rows in the S basis
+    modal: np.ndarray  # (S,) bool: section uses the modal carry basis
     block: int
 
 
@@ -95,7 +110,31 @@ def _ar2_kernels_cached(a1_key: bytes, a2_key: bytes, s: int, block: int) -> AR2
     G[:, 0, 1] = -a2 * h[:, b - 1]
     G[:, 1, 0] = h[:, b - 1]
     G[:, 1, 1] = -a2 * h[:, b - 2]
-    return AR2Kernels(L=L, G=G, p=p, q=q, block=b)
+
+    Smat = np.tile(np.eye(2), (s, 1, 1))
+    Gm = G.copy()
+    Pm = np.stack([p, q], axis=1)                   # (S, 2, B)
+    modal = np.zeros(s, dtype=bool)
+    for i in range(s):
+        disc = a1[i] * a1[i] - 4.0 * a2[i]
+        if disc >= 0.0 or np.max(np.abs(h[i])) <= 4.0:
+            continue                                # direct basis is fine
+        alpha = -a1[i] / 2.0
+        beta = np.sqrt(-disc) / 2.0
+        lam_b = complex(alpha, beta) ** b
+        # basis columns (vr, vi) of the eigenvector v = (λ, 1):
+        # A [vr vi] = [vr vi] [[α, β], [-β, α]], so G = A^B maps to the
+        # scaled rotation [[Re λ^B, Im λ^B], [-Im λ^B, Re λ^B]]
+        Vr = np.array([[alpha, beta], [1.0, 0.0]])
+        Smat[i] = np.linalg.inv(Vr)
+        Gm[i] = np.array([[lam_b.real, lam_b.imag],
+                          [-lam_b.imag, lam_b.real]])
+        # corr = y1*p + y2*q with (y1, y2) = Vr @ c'
+        Pm[i] = np.stack([Vr[0, 0] * p[i] + Vr[1, 0] * q[i],
+                          Vr[0, 1] * p[i] + Vr[1, 1] * q[i]])
+        modal[i] = True
+    return AR2Kernels(L=L, G=G, p=p, q=q, S=Smat, Gm=Gm, Pm=Pm, modal=modal,
+                      block=b)
 
 
 def ar2_kernels(a1, a2, block: int = DEFAULT_BLOCK) -> AR2Kernels:
@@ -162,6 +201,31 @@ def condition_sos(sos: np.ndarray, block: int = DEFAULT_BLOCK,
     return np.asarray(out, dtype=np.float64).reshape(-1, 5)
 
 
+def residual_flags(sos: np.ndarray, block: int = DEFAULT_BLOCK) -> np.ndarray:
+    """Per-section flags: evaluate via the residual decomposition
+    H(z) = b0 + (B(z) - b0*A(z))/A(z)?
+
+    The blocked engine's error scales with its largest intermediate:
+    |L @ f| ~ peak(h) * ||b|| for the direct drive versus
+    |b0| + peak(h) * ||e|| for the residual drive (e1 = b1 - a1*b0,
+    e2 = b2 - a2*b0). For sections whose zeros nearly cancel slow poles
+    (low-frequency highpass/shelf: complex poles near z = 1 with
+    B ~ b0*A), ||e|| << ||b|| and the decomposition recovers 30-50 dB
+    of f32 SNR. For ordinary sections ||e|| ~ ||b|| and the flag stays
+    False, keeping the long-validated direct path.
+    """
+    sos = np.asarray(sos, dtype=np.float64).reshape(-1, 5)
+    flags = np.zeros(sos.shape[0], dtype=bool)
+    peaks = np.max(np.abs(_ar2_impulse_response(
+        sos[:, 3], sos[:, 4], block)), axis=1)
+    for s, (b0, b1, b2, a1, a2) in enumerate(sos):
+        e = np.hypot(b1 - a1 * b0, b2 - a2 * b0)
+        bn = np.hypot(np.hypot(b0, b1), b2)
+        flags[s] = (peaks[s] > 4.0
+                    and abs(b0) + peaks[s] * e < 0.5 * peaks[s] * bn)
+    return flags
+
+
 def fir3(x, b0, b1, b2, x1, x2):
     """3-tap causal FIR f_n = b0 x_n + b1 x_{n-1} + b2 x_{n-2} with explicit
     2-sample history (x1 = x_{n-1} carry-in, x2 = x_{n-2}). Fully parallel."""
@@ -225,23 +289,31 @@ def ar2_apply_blocked(f, kernels: AR2Kernels, section: int, y1, y2,
     dtype = f.dtype
 
     L = jnp.asarray(kernels.L[section], dtype=dtype)       # (B, B)
-    G = jnp.asarray(kernels.G[section], dtype=dtype)       # (2, 2)
-    p = jnp.asarray(kernels.p[section], dtype=dtype)       # (B,)
-    q = jnp.asarray(kernels.q[section], dtype=dtype)       # (B,)
+    S = jnp.asarray(kernels.S[section], dtype=dtype)       # (2, 2)
+    Gm = jnp.asarray(kernels.Gm[section], dtype=dtype)     # (2, 2)
+    Pm = jnp.asarray(kernels.Pm[section], dtype=dtype)     # (2, B)
 
     fb = f.reshape(f.shape[:-1] + (k, b))
     # Zero-IC within-block solution: u_k = f_k @ L^T  (MXU)
     u = jnp.einsum("...kb,cb->...kc", fb, L,
                    preferred_element_type=dtype, precision=precision)
-    # Block carries w_k = (u_k[B-1], u_k[B-2])
+    # Block carries w_k = S @ (u_k[B-1], u_k[B-2]) in the carry basis.
+    # These 2x2 applications MUST run at full f32: the TPU default
+    # would truncate S (entries up to ~1/beta) to bfloat16.
+    mm2 = lambda M, v: jnp.einsum("ij,...j->...i", M, v,
+                                  preferred_element_type=dtype,
+                                  precision=precision)
     w = jnp.stack([u[..., b - 1], u[..., b - 2]], axis=-1)  # (..., K, 2)
-    # Fold initial conditions into w_0: c_0 = G c_{-1} + w_0
-    c_init = jnp.stack([y1, y2], axis=-1).astype(dtype)     # (..., 2)
-    w = w.at[..., 0, :].add(jnp.einsum("ij,...j->...i", G, c_init))
-    c = _affine_scan(G, w)                                   # (..., K, 2) inclusive
+    c_init = jnp.stack([y1, y2], axis=-1).astype(dtype)
+    if bool(kernels.modal[section]):
+        w = mm2(S, w)
+        c_init = mm2(S, c_init)
+    # Fold initial conditions into w_0: c_0 = Gm c_{-1} + w_0
+    w = w.at[..., 0, :].add(mm2(Gm, c_init))
+    c = _affine_scan(Gm, w)                                  # (..., K, 2) inclusive
     # carry INTO block k is c_{k-1}; block 0 gets the true ICs
     c_prev = jnp.concatenate([c_init[..., None, :], c[..., :-1, :]], axis=-2)
-    y = u + c_prev[..., 0:1] * p + c_prev[..., 1:2] * q
+    y = u + c_prev[..., 0:1] * Pm[0] + c_prev[..., 1:2] * Pm[1]
     return y.reshape(f.shape[:-1] + (n,))
 
 
@@ -294,7 +366,9 @@ def ar2_apply_blocked_banded(f, kernels: AR2Kernels, y1, y2,
                    preferred_element_type=dtype, precision=precision)
     w = jnp.stack([u[..., b - 1], u[..., b - 2]], axis=-1)   # (..., B, K, 2)
     c_init = jnp.stack([y1, y2], axis=-1).astype(dtype)      # (..., B, 2)
-    w = w.at[..., 0, :].add(jnp.einsum("sij,...sj->...si", G, c_init))
+    w = w.at[..., 0, :].add(jnp.einsum("sij,...sj->...si", G, c_init,
+                                       preferred_element_type=dtype,
+                                       precision=precision))
     c = _affine_scan_banded(G, w)
     c_prev = jnp.concatenate([c_init[..., None, :], c[..., :-1, :]], axis=-2)
     y = u + c_prev[..., 0:1] * p[:, None, :] + c_prev[..., 1:2] * q[:, None, :]
@@ -383,7 +457,8 @@ def affine_scan_nd(A, w, s0):
     d = A.shape[-1]
     wt = jnp.moveaxis(w, -2, 0)                       # (N, ..., d)
     # fold the initial state into step 0's offset
-    w0 = jnp.einsum("ij,...j->...i", A[0], jnp.broadcast_to(s0, wt.shape[1:]))
+    w0 = jnp.einsum("ij,...j->...i", A[0], jnp.broadcast_to(s0, wt.shape[1:]),
+                    precision=jax.lax.Precision.HIGHEST)
     wt = wt.at[0].add(w0)
 
     def combine(left, right):
