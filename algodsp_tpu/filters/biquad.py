@@ -71,6 +71,10 @@ class BiquadChain:
         # cancellation otherwise; condition_sos only covers real poles).
         self._residual = linrec.residual_flags(self.runtime_sos,
                                                self.block_size)
+        # Slow complex poles: the sequential DF2T forms (Pallas kernel,
+        # fold stitching) lose 30-50 dB on these; auto dispatch keeps
+        # such chains on the modal-basis blocked/cascade engines.
+        self._has_slow_poles = bool(np.any(self._kernels.modal))
 
     # -- introspection (chain.go:102-137) --------------------------------
     @property
@@ -188,12 +192,14 @@ class BiquadChain:
         if mode == "auto":
             if jax.default_backend() == "tpu" and x.ndim == 2 \
                     and self.block_size == 128:
-                if x.shape[0] >= 64:
+                if x.shape[0] >= 64 and not self._has_slow_poles:
                     mode = "pallas"
                 elif (x.shape[1] % self.block_size == 0
-                      and self.num_runtime_sections >= 2):
+                      and (self.num_runtime_sections >= 2
+                           or self._has_slow_poles)):
                     mode = "cascade"
-                elif self._pick_folds(*x.shape) > 1 and x.shape[1] >= 4096:
+                elif (self._pick_folds(*x.shape) > 1 and x.shape[1] >= 4096
+                      and not self._has_slow_poles):
                     mode = "folded"
                 else:
                     mode = "blocked"
@@ -285,13 +291,24 @@ class BiquadChain:
                                            return_state=True)
         w = wstate.reshape(c, folds, d)
 
-        T, D = foldmod.cascade_transfer(self.runtime_sos, nf)
+        T, D, V, Vinv, modal = foldmod.cascade_transfer_modal(
+            self.runtime_sos, nf)
         s_init = (jnp.zeros((c, d), x.dtype) if state is None
                   else jnp.asarray(state, x.dtype).reshape(c, d))
+        if modal:  # carry fold states in the well-conditioned basis
+            import jax as _jax
+            mmv = lambda M, v: jnp.einsum("...d,ed->...e", v,
+                                          jnp.asarray(M, x.dtype),
+                                          preferred_element_type=x.dtype,
+                                          precision=_jax.lax.Precision.HIGHEST)
+            w = mmv(Vinv, w)
+            s_init = mmv(Vinv, s_init)
         entries, s_final = foldmod.propagate_fold_states(T, w, s_init)
         y = y0.reshape(c, folds, nf) + foldmod.fold_correction(entries, D)
         y = y.reshape(c, n)
         if return_state:
+            if modal:
+                s_final = mmv(V, s_final)
             return y, s_final.reshape(c, self.num_runtime_sections, 4)
         return y
 

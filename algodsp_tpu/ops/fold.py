@@ -119,6 +119,51 @@ def cascade_transfer(sos, fold_len: int) -> tuple[np.ndarray, np.ndarray]:
     return _transfer_cached(sos.tobytes(), sos.shape[0], int(fold_len))
 
 
+@lru_cache(maxsize=64)
+def _transfer_modal_cached(sos_key: bytes, s_count: int, fold_len: int):
+    sos = np.frombuffer(sos_key, dtype=np.float64).reshape(s_count, 5)
+    T, D = _transfer_cached(sos_key, s_count, fold_len)
+    d = 4 * s_count
+    # per-section modal basis on the y-history rows (same construction
+    # and rationale as linrec.AR2Kernels: slow complex poles otherwise
+    # put entries of magnitude peak(h) into T/D that cancel in f32)
+    V = np.eye(d)
+    modal = False
+    for s in range(s_count):
+        b0, b1, b2, a1, a2 = sos[s]
+        disc = a1 * a1 - 4.0 * a2
+        if disc >= 0.0:
+            continue
+        m = min(fold_len, 4096)
+        hp = np.zeros(m + 1)
+        hp[0] = 1.0
+        if m >= 1:
+            hp[1] = -a1
+        for i in range(2, m + 1):
+            hp[i] = -a1 * hp[i - 1] - a2 * hp[i - 2]
+        if np.max(np.abs(hp)) <= 4.0:
+            continue
+        alpha, beta = -a1 / 2.0, np.sqrt(-disc) / 2.0
+        V[4 * s + 2:4 * s + 4, 4 * s + 2:4 * s + 4] = \
+            np.array([[alpha, beta], [1.0, 0.0]])
+        modal = True
+    if not modal:
+        return T, D, None, None, False
+    Vinv = np.linalg.inv(V)
+    return Vinv @ T @ V, D @ V, V, Vinv, True
+
+
+def cascade_transfer_modal(sos, fold_len: int):
+    """(T', D', V, Vinv, modal): the fold-stitching kernels with slow
+    complex-pole sections carried in the modal basis (s' = Vinv @ s).
+    When `modal` is False, (T', D') are the direct-basis kernels and
+    V/Vinv are None."""
+    sos = np.ascontiguousarray(np.asarray(sos, dtype=np.float64))
+    if sos.ndim != 2 or sos.shape[1] != 5:
+        raise ValueError(f"sos must be (S, 5), got {sos.shape}")
+    return _transfer_modal_cached(sos.tobytes(), sos.shape[0], int(fold_len))
+
+
 def propagate_fold_states(T, w, s_init):
     """True fold-entry states from zero-IC fold-final states.
 
@@ -129,7 +174,11 @@ def propagate_fold_states(T, w, s_init):
     Tj = jnp.asarray(T, w.dtype)
 
     def step(s, wf):  # wf: (C, d)
-        nxt = s @ Tj.T + wf
+        # full-f32 matmul: the TPU default would truncate T to bf16 and
+        # recirculate the error through every fold
+        nxt = jnp.einsum("cd,ed->ce", s, Tj,
+                         preferred_element_type=w.dtype,
+                         precision=jax.lax.Precision.HIGHEST) + wf
         return nxt, s
 
     s_final, entries = jax.lax.scan(step, s_init, jnp.moveaxis(w, 1, 0))
