@@ -339,35 +339,64 @@ class DemoServer:
 _INDEX_HTML = """<!doctype html>
 <html><head><meta charset="utf-8"><title>algodsp-tpu demo</title>
 <style>
- body{font-family:system-ui;margin:2rem;max-width:720px}
+ body{font-family:system-ui;margin:2rem;max-width:780px}
  button{font-size:1rem;padding:.4rem 1rem;margin-right:.5rem}
+ select,input[type=number]{font-size:.95rem}
  textarea{width:100%;height:8rem;font-family:monospace}
  .step{width:3.2rem}
+ table{border-collapse:collapse}
+ td,th{padding:.15rem .4rem;text-align:left}
+ .row{display:flex;gap:1rem;align-items:center;flex-wrap:wrap;margin:.4rem 0}
+ canvas{border:1px solid #ccc;width:100%}
 </style></head><body>
 <h2>algodsp-tpu demo</h2>
 <p>16-step sequencer &rarr; 5-band EQ &rarr; effect chain, rendered by
 the TPU engine and pulled in 1024-sample blocks (the reference
 web demo's render-pull contract).</p>
+<div class="row">
 <button id="play">play</button><button id="stop">stop</button>
-<label>bpm <input id="bpm" type="number" value="120" min="20" max="400">
-</label>
-<h3>spectrum &amp; EQ</h3>
-<canvas id="scope" width="700" height="160"
-        style="border:1px solid #ccc;width:100%"></canvas>
+<label>bpm <input id="bpm" type="number" value="120" min="20" max="400"
+ style="width:4.5rem"></label>
+<label>wave <select id="wave"><option>saw</option><option>square</option>
+<option>sine</option><option>triangle</option></select></label>
+<label>decay s <input id="decay" type="number" value="0.3" min="0.02"
+ max="4" step="0.05" style="width:4.5rem"></label>
+<label>shuffle <input id="shuffle" type="number" value="0" min="0" max="0.75"
+ step="0.05" style="width:4.5rem"></label>
+<label><input id="running" type="checkbox" checked> sequencer run</label>
+</div>
+<h3>spectrum (blue) &amp; EQ curve (orange)</h3>
+<canvas id="scope" width="740" height="160"></canvas>
 <h3>steps (Hz, 0 = rest)</h3><div id="steps"></div>
+<h3>5-band EQ</h3>
+<table id="eq"><tr><th>band</th><th>family</th><th>freq</th><th>gain dB</th>
+<th>Q</th></tr></table>
 <h3>effect chain graph JSON</h3>
+<div class="row">IR library: <select id="irs"></select>
+<button id="irverb">use as conv reverb</button></div>
 <textarea id="graph">{"nodes":[{"id":"verb","type":"reverb-freeverb",
 "params":{"roomSize":0.7,"damping":0.4,"wet":0.25,"dry":0.9}}],
 "connections":[{"from":"_input","to":"verb"},
 {"from":"verb","to":"_output"}]}</textarea><br>
 <button id="load">load chain</button> <span id="msg"></span>
+<h3>node curves</h3>
+<div class="row"><select id="nodesel"></select>
+<span id="nodemsg"></span></div>
+<canvas id="nodecv" width="740" height="140"></canvas>
 <script>
 const BLOCK = 4096;
 let ctx = null, playing = false, nextT = 0, sr = 48000;
+let chainNodes = [];
+const $ = id => document.getElementById(id);
+async function post(path, body) {
+  const r = await fetch(path, {method: 'POST', body: JSON.stringify(body)});
+  if (!r.ok) $('msg').textContent = JSON.stringify(await r.json());
+  return r.ok;
+}
 async function getState() {
   const s = await (await fetch('/state')).json();
   sr = s.sample_rate;
-  const div = document.getElementById('steps');
+  const div = $('steps');
   div.innerHTML = '';
   s.steps.forEach((st, i) => {
     const inp = document.createElement('input');
@@ -375,12 +404,54 @@ async function getState() {
     inp.value = st.enabled ? st.freq : 0;
     inp.onchange = async () => {
       const steps = [...div.querySelectorAll('input')].map(e => +e.value);
-      await fetch('/steps', {method: 'POST', body: JSON.stringify(steps)});
+      await post('/steps', steps);
     };
     div.appendChild(inp);
   });
-  document.getElementById('bpm').value = s.bpm;
+  $('bpm').value = s.bpm;
+  $('wave').value = s.waveform;
+  $('decay').value = s.decay_s;
+  $('shuffle').value = s.shuffle;
+  $('running').checked = s.running;
+  const eq = $('eq');
+  [...eq.querySelectorAll('tr.band')].forEach(r => r.remove());
+  s.eq.forEach((b, i) => {
+    const tr = document.createElement('tr');
+    tr.className = 'band';
+    tr.innerHTML = `<td>${i + 1}</td>
+<td><select><option>peak</option><option>lowshelf</option>
+<option>highshelf</option><option>lowpass</option><option>highpass</option>
+</select></td>
+<td><input type="number" value="${b.freq}" min="20" max="20000"
+ style="width:5.5rem"></td>
+<td><input type="number" value="${b.gain_db}" min="-24" max="24" step="0.5"
+ style="width:4.5rem"></td>
+<td><input type="number" value="${b.q}" min="0.1" max="10" step="0.1"
+ style="width:4.5rem"></td>`;
+    tr.querySelector('select').value = b.family;
+    tr.querySelectorAll('select,input').forEach(el => el.onchange = sendEQ);
+    eq.appendChild(tr);
+  });
+  const irs = await (await fetch('/irs')).json();
+  $('irs').innerHTML = irs.map(r =>
+    `<option value="${r.name}">${r.name} (${r.seconds.toFixed(2)}s)</option>`
+  ).join('');
 }
+async function sendEQ() {
+  const bands = [...$('eq').querySelectorAll('tr.band')].map(tr => {
+    const [fam] = tr.querySelectorAll('select');
+    const [f, g, q] = tr.querySelectorAll('input');
+    return {family: fam.value, freq: +f.value, gain_db: +g.value, q: +q.value};
+  });
+  await post('/eq', bands);
+}
+function sendConfig() {
+  post('/config', {bpm: +$('bpm').value, waveform: $('wave').value,
+                   decay_s: +$('decay').value, shuffle: +$('shuffle').value,
+                   running: $('running').checked});
+}
+['bpm', 'wave', 'decay', 'shuffle', 'running'].forEach(id =>
+  $(id).onchange = sendConfig);
 async function pump() {
   if (!playing) return;
   // keep ~3 blocks queued ahead of the playhead
@@ -397,38 +468,68 @@ async function pump() {
   }
   setTimeout(pump, 250 * BLOCK / sr);
 }
+function plotInto(cv, d, color, lo, hi) {
+  const g = cv.getContext('2d');
+  const y = db => cv.height * (1 - (db - lo) / (hi - lo));
+  g.strokeStyle = color; g.beginPath();
+  d.forEach((v, i) => {
+    const px = cv.width * i / (d.length - 1);
+    i ? g.lineTo(px, y(v)) : g.moveTo(px, y(v));
+  });
+  g.stroke();
+}
 async function drawScope() {
-  const cv = document.getElementById('scope'), g = cv.getContext('2d');
+  const cv = $('scope');
   const [spec, eq] = await Promise.all([
     (await fetch('/spectrum?points=256')).json(),
     (await fetch('/eq_curve?points=256')).json()]);
-  g.clearRect(0, 0, cv.width, cv.height);
-  const y = db => cv.height * (1 - (db + 130) / 154);  // -130..+24 dB
-  const plot = (d, color) => {
-    g.strokeStyle = color; g.beginPath();
-    d.db.forEach((v, i) => {
-      const px = cv.width * i / (d.db.length - 1);
-      i ? g.lineTo(px, y(v)) : g.moveTo(px, y(v));
-    });
-    g.stroke();
-  };
-  plot(spec, '#36c');
-  plot(eq, '#c63');
+  cv.getContext('2d').clearRect(0, 0, cv.width, cv.height);
+  plotInto(cv, spec.db, '#36c', -130, 24);
+  plotInto(cv, eq.db, '#c63', -130, 24);
   if (playing) setTimeout(drawScope, 120);
 }
-document.getElementById('play').onclick = async () => {
+async function drawNodeCurve() {
+  const id = $('nodesel').value;
+  const cv = $('nodecv');
+  cv.getContext('2d').clearRect(0, 0, cv.width, cv.height);
+  if (!id) return;
+  // dynamics nodes expose a static transfer curve, filter-ish nodes a
+  // magnitude response; try both endpoints
+  let r = await fetch('/dyn_curve?id=' + encodeURIComponent(id));
+  if (r.ok) {
+    const d = await r.json();
+    plotInto(cv, d.out_db, '#384', -60, 0);
+    $('nodemsg').textContent = 'static transfer (in -60..0 dB)';
+    return;
+  }
+  r = await fetch('/node_curve?id=' + encodeURIComponent(id) + '&points=256');
+  if (r.ok) {
+    const d = await r.json();
+    plotInto(cv, d.db, '#836', -60, 24);
+    $('nodemsg').textContent = 'magnitude response (20 Hz..Nyquist)';
+  } else $('nodemsg').textContent = 'no curve for this node type';
+}
+$('nodesel').onchange = drawNodeCurve;
+$('play').onclick = async () => {
   if (!ctx) ctx = new AudioContext({sampleRate: sr});
   await ctx.resume(); playing = true; nextT = 0; pump(); drawScope();
 };
-document.getElementById('stop').onclick = () => { playing = false; };
-document.getElementById('bpm').onchange = async (e) =>
-  fetch('/config', {method: 'POST',
-                    body: JSON.stringify({bpm: +e.target.value})});
-document.getElementById('load').onclick = async () => {
-  const r = await fetch('/graph', {method: 'POST',
-    body: document.getElementById('graph').value});
-  document.getElementById('msg').textContent =
-    r.ok ? 'chain loaded' : JSON.stringify(await r.json());
+$('stop').onclick = () => { playing = false; };
+$('irverb').onclick = () => {
+  $('graph').value = JSON.stringify({
+    nodes: [{id: 'verb', type: 'reverb-conv',
+             params: {irName: $('irs').value, wet: 0.35, dry: 1.0}}],
+    connections: [{from: '_input', to: 'verb'},
+                  {from: 'verb', to: '_output'}]}, null, 1);
+};
+$('load').onclick = async () => {
+  const ok = await post('/graph', JSON.parse($('graph').value));
+  $('msg').textContent = ok ? 'chain loaded' : $('msg').textContent;
+  if (ok) {
+    chainNodes = JSON.parse($('graph').value).nodes.map(n => n.id);
+    $('nodesel').innerHTML = '<option value="">(select node)</option>' +
+      chainNodes.map(n => `<option>${n}</option>`).join('');
+  }
 };
 getState();
 </script></body></html>
