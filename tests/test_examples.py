@@ -19,7 +19,7 @@ EXAMPLES = ["spectrum_analysis", "mastering_chain", "room_measurement",
             "stereo_widening", "window_info", "moog_ladder",
             "biquad_runtime", "filter_designers", "signal_stats",
             "modulation_zoo", "reverb_comparison", "streaming_convolution",
-            "spectrogram_mfcc"]
+            "spectrogram_mfcc", "lti_fusion", "precision_engineering"]
 
 
 @pytest.mark.parametrize("name", EXAMPLES)
