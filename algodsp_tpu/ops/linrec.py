@@ -357,21 +357,29 @@ def ar2_apply_blocked_banded(f, kernels: AR2Kernels, y1, y2,
     dtype = f.dtype
 
     L = jnp.asarray(kernels.L, dtype=dtype)        # (B, blk, blk)
-    G = jnp.asarray(kernels.G, dtype=dtype)        # (B, 2, 2)
-    p = jnp.asarray(kernels.p, dtype=dtype)        # (B, blk)
-    q = jnp.asarray(kernels.q, dtype=dtype)        # (B, blk)
+    Gm = jnp.asarray(kernels.Gm, dtype=dtype)      # (B, 2, 2)
+    Pm = jnp.asarray(kernels.Pm, dtype=dtype)      # (B, 2, blk)
 
+    mm2 = lambda M, v: jnp.einsum("sij,...sj->...si", M, v,
+                                  preferred_element_type=dtype,
+                                  precision=precision)
+    mm2k = lambda M, v: jnp.einsum("sij,...skj->...ski", M, v,
+                                   preferred_element_type=dtype,
+                                   precision=precision)
     fb = f.reshape(f.shape[:-1] + (k, b))
     u = jnp.einsum("...skb,scb->...skc", fb, L,
                    preferred_element_type=dtype, precision=precision)
     w = jnp.stack([u[..., b - 1], u[..., b - 2]], axis=-1)   # (..., B, K, 2)
     c_init = jnp.stack([y1, y2], axis=-1).astype(dtype)      # (..., B, 2)
-    w = w.at[..., 0, :].add(jnp.einsum("sij,...sj->...si", G, c_init,
-                                       preferred_element_type=dtype,
-                                       precision=precision))
-    c = _affine_scan_banded(G, w)
+    if bool(np.any(kernels.modal)):  # carry in the modal basis per band
+        S = jnp.asarray(kernels.S, dtype=dtype)
+        w = mm2k(S, w)
+        c_init = mm2(S, c_init)
+    w = w.at[..., 0, :].add(mm2(Gm, c_init))
+    c = _affine_scan_banded(Gm, w)
     c_prev = jnp.concatenate([c_init[..., None, :], c[..., :-1, :]], axis=-2)
-    y = u + c_prev[..., 0:1] * p[:, None, :] + c_prev[..., 1:2] * q[:, None, :]
+    y = (u + c_prev[..., 0:1] * Pm[:, None, 0, :]
+         + c_prev[..., 1:2] * Pm[:, None, 1, :])
     return y.reshape(f.shape[:-1] + (n,))
 
 
