@@ -231,20 +231,20 @@ class BiquadChain:
         (the state layout is tied to its conditioning split)."""
         from algodsp_tpu.ops import cascade as cascmod
         x = jnp.asarray(x)
-        if self.gain != 1.0:
-            x = x * jnp.asarray(self.gain, x.dtype)
+        # the input gain is folded into the engine's precomputed weights
+        # (no scaled copy of x — a full HBM round trip at bulk sizes)
         if (state is None and not return_state and self.block_size == 128
                 and x.shape[-1] % 256 == 0 and x.shape[-1] >= (1 << 16)):
             if not hasattr(self, "_sos_bulk256"):
                 self._sos_bulk256 = (linrec.condition_sos(self.sos, 256)
                                      if self._condition else self.sos)
             return cascmod.cascade_apply_blocked(
-                x, self._sos_bulk256, block=256)
+                x, self._sos_bulk256, block=256, gain=self.gain)
         s0 = None if state is None else cascmod.chain_state_to_compact(
             jnp.asarray(state, x.dtype))
         out = cascmod.cascade_apply_blocked(
             x, self.runtime_sos, block=self.block_size, s0=s0,
-            return_state=return_state)
+            return_state=return_state, gain=self.gain)
         if return_state:
             y, s_fin = out
             return y, cascmod.compact_state_to_chain(

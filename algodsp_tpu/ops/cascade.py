@@ -193,13 +193,45 @@ def _sweep_mats(sos_key: bytes, s_count: int, block: int, k_blocks: int):
     return tuple(mats)
 
 
+# ---------------------------------------------------------------------------
+# Matmul form notes (measured on a v5e chip, 8ch x 2^26, f32 HIGHEST)
+# ---------------------------------------------------------------------------
+#
+# The engine is HBM-bound: this chip sustains ~500-540 GB/s effective
+# (819 nominal), and a (2^21, 256)@(256, 256) HIGHEST dot runs at that
+# bandwidth — but the SAME contraction phrased as a batched einsum
+# "...kb,cb->...kc" costs ~1.7x more wall (XLA inserts relayouts for
+# the batch form). The engine therefore flattens every big contraction
+# to a 2-D dot against a host-pre-transposed weight and reshapes back.
+# Two fused-Pallas variants (whole-engine VMEM pass with in-kernel
+# carry scan; output-stage y = x@LcT + e@CoutT fusion) were built and
+# measured SLOWER (70 ms / 61 ms vs 51 ms XLA): per-grid-step small-op
+# latencies outweigh the saved HBM round trips at these shapes, so the
+# XLA formulation stays.
+
+
+@lru_cache(maxsize=64)
+def _dot_consts(sos_key: bytes, s_count: int, block: int, gain: float):
+    """Pre-transposed f64 weights for the flattened 2-D dot forms.
+
+    The chain input gain is folded into the input-drive weights (Lc,
+    Win) host-side — y = Lc @ (g x) + Cout @ s == (g Lc) @ x + Cout @ s
+    — so the engine never materializes a scaled copy of x (a full HBM
+    round trip at bulk sizes)."""
+    kern = _kernels_cached(sos_key, s_count, block)
+    return (np.ascontiguousarray(gain * kern.Lc.T),
+            np.ascontiguousarray(gain * kern.Win.T),
+            np.ascontiguousarray(kern.Cout.T))
+
+
 def cascade_apply_blocked(x, sos, *, block: int = 128, s0=None,
-                          return_state: bool = False,
+                          return_state: bool = False, gain: float = 1.0,
                           precision=jax.lax.Precision.HIGHEST):
     """Run an entire SOS cascade over x in blocked form.
 
     x: (..., N) with N a multiple of `block`; s0: optional (..., d)
-    entry state (zeros if None). Returns y or (y, s_final).
+    entry state (zeros if None); gain: input gain, folded into the
+    precomputed weights. Returns y or (y, s_final).
     """
     sos = np.ascontiguousarray(np.asarray(sos, dtype=np.float64))
     kern = cascade_kernels(sos, block)
@@ -210,17 +242,20 @@ def cascade_apply_blocked(x, sos, *, block: int = 128, s0=None,
         raise ValueError(f"length {n} not a multiple of block {B}")
     K = n // B
     dt = x.dtype
-    Lc = jnp.asarray(kern.Lc, dt)
-    Win = jnp.asarray(kern.Win, dt)
-    Cout = jnp.asarray(kern.Cout, dt)
+
+    LcT, WinT, CoutT = _dot_consts(sos.tobytes(), sos.shape[0], block,
+                                   float(gain))
     T = jnp.asarray(kern.T, dt)
 
     xb = x.reshape(x.shape[:-1] + (K, B))
-    mm = lambda a, b_: jnp.einsum("...kb,cb->...kc", a, b_,
-                                  preferred_element_type=dt,
-                                  precision=precision)
-    u = mm(xb, Lc)                                     # (..., K, B) zero-IC out
-    w = mm(xb, Win)                                    # (..., K, d) zero-IC end state
+    # flattened 2-D dots against pre-transposed weights (see the matmul
+    # form notes above: ~1.7x over the batched-einsum phrasing)
+    dot = lambda a, W: jnp.dot(
+        a.reshape((-1, a.shape[-1])), jnp.asarray(W, dt),
+        preferred_element_type=dt, precision=precision,
+    ).reshape(a.shape[:-1] + (W.shape[-1],))
+    u = dot(xb, LcT)                                   # (..., K, B) zero-IC out
+    w = dot(xb, WinT)                                  # (..., K, d) zero-IC end state
 
     if s0 is None:
         s0 = jnp.zeros(x.shape[:-1] + (d,), dt)
@@ -243,7 +278,7 @@ def cascade_apply_blocked(x, sos, *, block: int = 128, s0=None,
             [w[..., :shift, :], w[..., shift:, :] + shifted], axis=-2)
 
     entries = jnp.concatenate([s0[..., None, :], w[..., :-1, :]], axis=-2)
-    y = u + mm(entries, Cout)                          # (..., K, B)
+    y = u + dot(entries, CoutT)                        # (..., K, B)
     y = y.reshape(x.shape[:-1] + (n,))
     if return_state:
         s_fin = w[..., -1, :]
