@@ -102,14 +102,16 @@ def supported(B: int, P: int, n_samples: int, channels: int = 2) -> bool:
     n1 = 2 * B // LANES
     if n1 % 8 or n1 // 2 < 8:
         return False
+    q = _pick_pairs(channels) if channels >= 2 else 1
     const_bytes = 4 * (2 * n1 * n1 + 4 * n1 * LANES +
                        4 * LANES * LANES + n1 * n1)
-    ring_bytes = 16 * P * B
-    # double-buffered in/out blocks: the F-frame pair kernel moves
-    # 2F input windows (2B samples each) + 2 output windows of F*B per
-    # step, f32, x2 buffers; the single kernel 2 in + 1 out B-blocks
-    io_bytes = 48 * FRAMES_PER_STEP * B if channels >= 2 else 24 * B
-    return const_bytes + 2 * ring_bytes + io_bytes < _VMEM_BUDGET
+    ring_bytes = 16 * P * B * q   # per-pair frame ring (VMEM scratch)
+    # double-buffered in/out blocks: the F-frame Q-pair kernel moves
+    # 2QF input windows (2B samples each) + 2Q output windows of F*B
+    # per step, f32, x2 buffers; the single kernel 2 in + 1 out blocks
+    io_bytes = 48 * FRAMES_PER_STEP * B * q if channels >= 2 else 24 * B
+    # h-spectra constant (16*P*B) + ring + io
+    return const_bytes + 16 * P * B + ring_bytes + io_bytes < _VMEM_BUDGET
 
 
 @functools.lru_cache(maxsize=8)
@@ -198,15 +200,15 @@ def fdl_conv_fused(x, hgrid, B: int):
     if C == 0:
         return x
     if C >= 2:
-        s = jnp.max(jnp.abs(x), axis=-1, keepdims=True)        # (C, 1)
-        # zero/denormal channels get the smallest normal scale: x/s
+        s = jnp.max(jnp.abs(x), axis=-1)                       # (C,)
+        # zero/denormal channels get the smallest normal scale: x*inv
         # stays 0 and the rescale crushes any pair crosstalk to ~1e-45
         s = jnp.maximum(s, jnp.float32(np.finfo(np.float32).tiny))
-        x = x / s
         Cp = C + (C % 2)
         if Cp != C:
             x = jnp.concatenate(
                 [x, jnp.zeros((Cp - C, N), jnp.float32)], 0)
+            s = jnp.concatenate([s, jnp.ones((1,), jnp.float32)], 0)
         nf = N // B
         F = FRAMES_PER_STEP
         if nf % F:
@@ -214,8 +216,11 @@ def fdl_conv_fused(x, hgrid, B: int):
             # silence cannot affect earlier outputs), slice after
             x = jnp.concatenate(
                 [x, jnp.zeros((Cp, (F - nf % F) * B), jnp.float32)], -1)
-        y = _fdl_fused_multi(x, hgrid, B, F)
-        return y[:C, :N] * s
+        # the normalization is applied INSIDE the kernel (stage-1 frames
+        # scaled by 1/s, outputs rescaled by s): materializing x/s and
+        # y*s would cost two full HBM round trips (~16 ms at 8ch x 2^26)
+        y = _fdl_fused_multi(x, hgrid, B, F, s, 1.0 / s)
+        return y[:C, :N]
     return _fdl_fused_single(x, hgrid, B)
 
 
@@ -297,8 +302,16 @@ def _fdl_fused_single(x, hgrid, B: int):
     return out.reshape(C, N)
 
 
-def _fdl_fused_multi(x, hgrid, B: int, F: int):
-    """Channel-pair, F-frames-per-step variant (F = 2 or 4).
+def _pick_pairs(channels: int) -> int:
+    """Channel-pairs per grid step: 2 when the (padded) channel count
+    splits into quads, else 1. Two pairs double every matmul's M or N
+    dimension and halve the step count — the 4-step DFT matmuls are
+    small (K = 128), so wider ops raise MXU utilization ~1.2x."""
+    return 2 if channels >= 4 and channels % 4 == 0 else 1
+
+
+def _fdl_fused_multi(x, hgrid, B: int, F: int, scales, inv_scales):
+    """Channel-pair, F-frames-per-step, Q-pairs-per-step variant.
 
     Channels (2c, 2c+1) = (a, b) share one complex DFT pipeline per
     frame via the packing z = a + i*b: the FDL spectral MAC is
@@ -311,27 +324,38 @@ def _fdl_fused_multi(x, hgrid, B: int, F: int):
     per-channel; twiddles, stage 2, the P-tap MAC, and the inverse
     collapse to once per pair (~1.4x fewer FLOPs).
 
-    Each grid step closes F consecutive frames (Fg..Fg+F-1): a later
-    frame's newest MAC taps are the earlier frames' spectra, computed
-    in the same step and kept in registers, so batching costs nothing
-    algorithmically — it divides the per-step overheads by F and
-    multiplies every matmul's M or N dimension by F (stage 1 runs as
-    one (2n1, n1)@(n1, 2F*128) dot). All in-step spectra are written to
-    the ring only AFTER the MAC reads: ring slot (s0+j) mod P still
-    holds frame Fg+j-P, an earlier in-step frame's oldest tap. With
-    P < F, colliding in-step slots are written in ascending j order so
-    the newest frame survives. Requires C % 2 == 0 and nf % F == 0
-    (caller pads)."""
+    Each grid step closes F consecutive frames (Fg..Fg+F-1) for Q
+    channel pairs: a later frame's newest MAC taps are the earlier
+    frames' spectra, computed in the same step and kept in registers,
+    so frame-batching costs nothing algorithmically — it divides the
+    per-step overheads by F and multiplies every matmul's M or N
+    dimension by F (stage 1 runs as one (2n1, n1)@(n1, 2QF*128) dot).
+    Pair-batching (Q = 2 when channels % 4 == 0) stacks the second
+    pair's frames on matmul rows/columns — the DFT matmuls are small
+    (K = 128 contraction), so doubling their M/N dims and halving the
+    grid steps buys real MXU utilization. All in-step spectra are
+    written to the per-pair ring only AFTER the MAC reads: ring slot
+    (s0+j) mod P still holds frame Fg+j-P, an earlier in-step frame's
+    oldest tap. With P < F, colliding in-step slots are written in
+    ascending j order so the newest frame survives. Requires
+    C % (2Q) == 0 and nf % F == 0 (caller pads).
+
+    Per-channel peak normalization rides SMEM scalars: the loaded
+    half-frame windows are multiplied by 1/s_c before stage 1 and the
+    closed frames by s_c before the write — numerically the same
+    conditioning as pre-scaling x, without materializing scaled copies
+    of the input and output in HBM."""
     x = jnp.asarray(x, jnp.float32)
     C, N = x.shape
     nf = N // B
-    assert C % 2 == 0 and nf % F == 0
+    Q = _pick_pairs(C)
+    assert C % (2 * Q) == 0 and nf % F == 0
     n = 2 * B
     n1, n2 = n // LANES, LANES
     P = int(hgrid.shape[0])
     F1s, Tr, Ti, F2r, F2i, E2r, E2i, E1r, E1i = map(jnp.asarray, _plan(B))
-    TrF = jnp.concatenate([Tr] * F, 0)                         # (F*n1, n2)
-    TiF = jnp.concatenate([Ti] * F, 0)
+    TrQF = jnp.concatenate([Tr] * (Q * F), 0)                  # (QF*n1, n2)
+    TiQF = jnp.concatenate([Ti] * (Q * F), 0)
     rows = B // n2
 
     ext = jnp.concatenate([jnp.zeros((C, B), jnp.float32), x], -1)
@@ -339,97 +363,121 @@ def _fdl_fused_multi(x, hgrid, B: int, F: int):
 
     mm = _make_mm(_precision_mode())
 
-    def kern(wa_ref, wa2_ref, wb_ref, wb2_ref, h_ref, f1_ref,
-             trf_ref, tif_ref, f2r_ref, f2i_ref, e2r_ref, e2i_ref,
+    def kern(sc_ref, isc_ref, w1_ref, w2_ref, h_ref,
+             f1_ref, trf_ref, tif_ref, f2r_ref, f2i_ref, e2r_ref, e2i_ref,
              e1r_ref, e1i_ref, ya_ref, yb_ref, ring_ref):
+        c = pl.program_id(0)
         g = pl.program_id(1)
 
         @pl.when(g == 0)
         def _():
             ring_ref[...] = jnp.zeros_like(ring_ref)
 
-        # window of F+1 half-frames per channel: frames j = W[j*r:(j+2)*r]
-        Wa = jnp.concatenate([wa_ref[0], wa2_ref[0][-rows:]], 0)
-        Wb = jnp.concatenate([wb_ref[0], wb2_ref[0][-rows:]], 0)
+        # window of F+1 half-frames per channel, peak-normalized via the
+        # SMEM scale scalars: frames j = W[j*r:(j+2)*r]
+        Ws = [jnp.concatenate([w1_ref[ch], w2_ref[ch][-rows:]], 0)
+              * isc_ref[2 * Q * c + ch] for ch in range(2 * Q)]
+        # columns: all a-channel frames (q major, j minor), then all b's
         frames = jnp.concatenate(
-            [Wa[j * rows:j * rows + n1] for j in range(F)]
-            + [Wb[j * rows:j * rows + n1] for j in range(F)], 1)  # (n1, 2F*n2)
-        S = mm(f1_ref[...], frames)                               # (2n1, 2F*n2)
-        # pack z = a + i*b per frame, frames stacked on rows
+            [Ws[2 * q][j * rows:j * rows + n1]
+             for q in range(Q) for j in range(F)]
+            + [Ws[2 * q + 1][j * rows:j * rows + n1]
+               for q in range(Q) for j in range(F)], 1)     # (n1, 2QF*n2)
+        S = mm(f1_ref[...], frames)                         # (2n1, 2QF*n2)
+        # pack z = a + i*b per frame; (q, j) frames stacked on rows
+        colA = lambda q, j: (q * F + j) * n2
+        colB = lambda q, j: (Q * F + q * F + j) * n2
         Zr = jnp.concatenate(
-            [S[:n1, j * n2:(j + 1) * n2] - S[n1:, (F + j) * n2:(F + j + 1) * n2]
-             for j in range(F)], 0)                            # (F*n1, n2)
+            [S[:n1, colA(q, j):colA(q, j) + n2]
+             - S[n1:, colB(q, j):colB(q, j) + n2]
+             for q in range(Q) for j in range(F)], 0)       # (QF*n1, n2)
         Zi = jnp.concatenate(
-            [S[n1:, j * n2:(j + 1) * n2] + S[:n1, (F + j) * n2:(F + j + 1) * n2]
-             for j in range(F)], 0)
-        # shared twiddle (tiled) + stage 2, all frames in one dot
+            [S[n1:, colA(q, j):colA(q, j) + n2]
+             + S[:n1, colB(q, j):colB(q, j) + n2]
+             for q in range(Q) for j in range(F)], 0)
+        # shared twiddle (tiled) + stage 2, all pairs/frames in one dot
         Wr = Zr * trf_ref[...] - Zi * tif_ref[...]
         Wi = Zr * tif_ref[...] + Zi * trf_ref[...]
-        Xr = mm(Wr, f2r_ref[...]) - mm(Wi, f2i_ref[...])       # (F*n1, n2)
+        Xr = mm(Wr, f2r_ref[...]) - mm(Wi, f2i_ref[...])    # (QF*n1, n2)
         Xi = mm(Wr, f2i_ref[...]) + mm(Wi, f2r_ref[...])
-        Xs = [(Xr[j * n1:(j + 1) * n1], Xi[j * n1:(j + 1) * n1])
-              for j in range(F)]
+        row = lambda q, j: (q * F + j) * n1
+        Xs = {(q, j): (Xr[row(q, j):row(q, j) + n1],
+                       Xi[row(q, j):row(q, j) + n1])
+              for q in range(Q) for j in range(F)}
         s0 = jax.lax.rem(F * g, jnp.int32(P))
-        # P-tap spectral MAC: taps p <= j come from this step's
+        # P-tap spectral MAC per pair: taps p <= j come from this step's
         # registers, older taps from the ring (each slot read once)
-        accs = []
-        for j in range(F):
-            ar = jnp.zeros((n1, n2), jnp.float32)
-            ai = jnp.zeros((n1, n2), jnp.float32)
-            for p in range(min(j + 1, P)):
-                xr, xi = Xs[j - p]
-                hr = h_ref[p, 0]
-                hi = h_ref[p, 1]
-                ar = ar + xr * hr - xi * hi
-                ai = ai + xr * hi + xi * hr
-            accs.append([ar, ai])
+        accs = {}
+        for q in range(Q):
+            for j in range(F):
+                ar = jnp.zeros((n1, n2), jnp.float32)
+                ai = jnp.zeros((n1, n2), jnp.float32)
+                for p in range(min(j + 1, P)):
+                    xr, xi = Xs[(q, j - p)]
+                    hr = h_ref[p, 0]
+                    hi = h_ref[p, 1]
+                    ar = ar + xr * hr - xi * hi
+                    ai = ai + xr * hi + xi * hr
+                accs[(q, j)] = [ar, ai]
         for m in range(1, P):
             sm = jax.lax.rem(s0 - m + P, jnp.int32(P))
-            xr = ring_ref[sm, 0]
-            xi = ring_ref[sm, 1]
-            for j in range(F):
-                if j + m < P:
-                    hr = h_ref[j + m, 0]
-                    hi = h_ref[j + m, 1]
-                    accs[j][0] = accs[j][0] + xr * hr - xi * hi
-                    accs[j][1] = accs[j][1] + xr * hi + xi * hr
+            for q in range(Q):
+                xr = ring_ref[sm, q, 0]
+                xi = ring_ref[sm, q, 1]
+                for j in range(F):
+                    if j + m < P:
+                        hr = h_ref[j + m, 0]
+                        hi = h_ref[j + m, 1]
+                        accs[(q, j)][0] = accs[(q, j)][0] + xr * hr - xi * hi
+                        accs[(q, j)][1] = accs[(q, j)][1] + xr * hi + xi * hr
         for j in range(F):
             sj = jax.lax.rem(F * g + j, jnp.int32(P))
-            ring_ref[sj, 0] = Xs[j][0]
-            ring_ref[sj, 1] = Xs[j][1]
-        acc_r = jnp.concatenate([a[0] for a in accs], 0)       # (F*n1, n2)
-        acc_i = jnp.concatenate([a[1] for a in accs], 0)
+            for q in range(Q):
+                ring_ref[sj, q, 0] = Xs[(q, j)][0]
+                ring_ref[sj, q, 1] = Xs[(q, j)][1]
+        acc_r = jnp.concatenate(
+            [accs[(q, j)][0] for q in range(Q) for j in range(F)], 0)
+        acc_i = jnp.concatenate(
+            [accs[(q, j)][1] for q in range(Q) for j in range(F)], 0)
         # inverse 4-step, rows j1 >= n1/2; real part -> a, imag -> b
         Ar = mm(acc_r, e2r_ref[...]) - mm(acc_i, e2i_ref[...])
         Ai = mm(acc_r, e2i_ref[...]) + mm(acc_i, e2r_ref[...])
         Br = Ar * trf_ref[...] + Ai * tif_ref[...]
         Bi = Ai * trf_ref[...] - Ar * tif_ref[...]
         Bc_r = jnp.concatenate(
-            [Br[j * n1:(j + 1) * n1] for j in range(F)], 1)    # (n1, F*n2)
+            [Br[row(q, j):row(q, j) + n1]
+             for q in range(Q) for j in range(F)], 1)       # (n1, QF*n2)
         Bc_i = jnp.concatenate(
-            [Bi[j * n1:(j + 1) * n1] for j in range(F)], 1)
-        Cr = mm(e1r_ref[...], Bc_r) - mm(e1i_ref[...], Bc_i)   # (n1/2, F*n2)
+            [Bi[row(q, j):row(q, j) + n1]
+             for q in range(Q) for j in range(F)], 1)
+        Cr = mm(e1r_ref[...], Bc_r) - mm(e1i_ref[...], Bc_i)  # (n1/2, QF*n2)
         Ci = mm(e1r_ref[...], Bc_i) + mm(e1i_ref[...], Bc_r)
-        ya_ref[0] = jnp.concatenate(
-            [Cr[:, j * n2:(j + 1) * n2] for j in range(F)], 0)
-        yb_ref[0] = jnp.concatenate(
-            [Ci[:, j * n2:(j + 1) * n2] for j in range(F)], 0)
+        col = lambda q, j: (q * F + j) * n2
+        for q in range(Q):
+            ya_ref[q] = jnp.concatenate(
+                [Cr[:, col(q, j):col(q, j) + n2] for j in range(F)], 0) \
+                * sc_ref[2 * Q * c + 2 * q]
+            yb_ref[q] = jnp.concatenate(
+                [Ci[:, col(q, j):col(q, j) + n2] for j in range(F)], 0) \
+                * sc_ref[2 * Q * c + 2 * q + 1]
 
     const = lambda shp: pl.BlockSpec(shp, lambda c, g: tuple([0] * len(shp)),
                                      memory_space=pltpu.VMEM)
-    blk = lambda ch: pl.BlockSpec((1, F * rows, n2),
-                                  lambda c, g, ch=ch: (2 * c + ch, g, 0),
-                                  memory_space=pltpu.VMEM)
-    oblk = lambda: pl.BlockSpec((1, F * rows, n2), lambda c, g: (c, g, 0),
+    blk = lambda: pl.BlockSpec((2 * Q, F * rows, n2), lambda c, g: (c, g, 0),
+                               memory_space=pltpu.VMEM)
+    oblk = lambda: pl.BlockSpec((Q, F * rows, n2), lambda c, g: (c, g, 0),
                                 memory_space=pltpu.VMEM)
+    smem = lambda: pl.BlockSpec((C,), lambda c, g: (0,),
+                                memory_space=pltpu.SMEM)
     ya, yb = pl.pallas_call(
         kern,
-        grid=(C // 2, nf // F),
+        grid=(C // (2 * Q), nf // F),
         in_specs=[
-            blk(0), blk(0), blk(1), blk(1),
+            smem(), smem(),
+            blk(), blk(),
             const((P, 2, n1, n2)),
             const((2 * n1, n1)),
-            const((F * n1, n2)), const((F * n1, n2)),
+            const((Q * F * n1, n2)), const((Q * F * n1, n2)),
             const((n2, n2)), const((n2, n2)),
             const((n2, n2)), const((n2, n2)),
             const((n1 // 2, n1)), const((n1 // 2, n1)),
@@ -437,9 +485,10 @@ def _fdl_fused_multi(x, hgrid, B: int, F: int):
         out_specs=(oblk(), oblk()),
         out_shape=(jax.ShapeDtypeStruct((C // 2, nf * rows, n2), jnp.float32),
                    jax.ShapeDtypeStruct((C // 2, nf * rows, n2), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((P, 2, n1, n2), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((P, Q, 2, n1, n2), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
-    )(ext[:, :-rows], ext[:, rows:], ext[:, :-rows], ext[:, rows:],
-      jnp.asarray(hgrid), F1s, TrF, TiF, F2r, F2i, E2r, E2i, E1r, E1i)
+    )(jnp.asarray(scales, jnp.float32), jnp.asarray(inv_scales, jnp.float32),
+      ext[:, :-rows], ext[:, rows:],
+      jnp.asarray(hgrid), F1s, TrQF, TiQF, F2r, F2i, E2r, E2i, E1r, E1i)
     y = jnp.stack([ya, yb], 1)                                 # (C/2, 2, ...)
     return y.reshape(C, nf * rows, n2).reshape(C, N)

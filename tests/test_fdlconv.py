@@ -78,6 +78,26 @@ def test_quiet_channel_keeps_relative_snr():
     assert np.all(np.isfinite(y))
 
 
+def test_two_pairs_per_step_mixed_scales():
+    """8 channels route through the Q=2 (two-pairs-per-grid-step)
+    kernel with the in-kernel SMEM peak normalization; channels
+    spanning 9 orders of magnitude must each keep their own relative
+    noise floor."""
+    B, P = 1024, 3
+    rng = np.random.default_rng(17)
+    ir = (rng.standard_normal(P * B) *
+          np.exp(-np.arange(P * B) / 500.0)).astype(np.float32)
+    x = rng.standard_normal((8, 6 * B)).astype(np.float32)
+    x[2] *= 1e-5
+    x[5] *= 1e4
+    assert fdlconv._pick_pairs(8) == 2
+    hg = fdlconv.kernel_spectra(ir, B)
+    y = np.asarray(fdlconv.fdl_conv_fused(jnp.asarray(x), hg, B))
+    want = _oracle(x, ir, 6 * B)
+    for c in range(8):
+        assert snr_db(want[c], y[c]) > 110, c
+
+
 def test_fast_precision_mode(monkeypatch):
     """ALGODSP_FDL_PRECISION=fast (bf16x3 matmuls — the fastmath
     analog, `compressor_math_fast.go:1-32`) trades ~30 dB SNR for ~2x
