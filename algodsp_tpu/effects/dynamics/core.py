@@ -126,24 +126,13 @@ def dynamics_env_scan(src, env0, attack_coeff, release_coeff, *, unroll: int = 8
     TPU 2-D batches this runs through the fused Pallas envelope kernel
     with release' = 1-release — exactly the same recurrence.
     """
+    from algodsp_tpu.ops.envscan import envelope_scan
     x = jnp.asarray(src)
-    if (jax.default_backend() == "tpu" and x.ndim == 2
-            and jnp.ndim(attack_coeff) == 0 and jnp.ndim(release_coeff) == 0):
-        from algodsp_tpu.ops.pallas_kernels import envelope_scan_pallas
-        return envelope_scan_pallas(x, env0, attack_coeff,
-                                    1.0 - release_coeff)
-    xs = jnp.moveaxis(x, -1, 0)
-    a = jnp.asarray(attack_coeff, xs.dtype)
-    r = jnp.asarray(release_coeff, xs.dtype)
-
-    def step(env, s):
-        rising = env + (s - env) * a
-        falling = s + (env - s) * r
-        env = jnp.where(s > env, rising, falling)
-        return env, env
-
-    env_f, ys = jax.lax.scan(step, jnp.asarray(env0, xs.dtype), xs, unroll=unroll)
-    return env_f, jnp.moveaxis(ys, 0, -1)
+    # envelope_scan owns the backend dispatch (fused Pallas kernel on
+    # TPU) and the custom VJP, so dynamics processors stay
+    # differentiable on either backend.
+    return envelope_scan(x, env0, attack_coeff, 1.0 - release_coeff,
+                         unroll=unroll)
 
 
 class DynamicsCore:

@@ -183,7 +183,7 @@ def pick_block(m: int, n: int, channels: int = 2) -> int | None:
     return None
 
 
-def fdl_conv_fused(x, hgrid, B: int):
+def _fdl_conv_fused_raw(x, hgrid, B: int):
     """Zero-state causal FDL convolution of x: (C, N) with the kernel
     whose partition spectra are `hgrid` (P, 2, n1, 128). N % B == 0.
     Returns (C, N) float32. Matches `PartitionedConvolver`'s bulk-FDL
@@ -222,6 +222,76 @@ def fdl_conv_fused(x, hgrid, B: int):
         y = _fdl_fused_multi(x, hgrid, B, F, s, 1.0 / s)
         return y[:C, :N]
     return _fdl_fused_single(x, hgrid, B)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _fdl_vjp(x, hgrid, B: int):
+    return _fdl_conv_fused_raw(x, hgrid, B)
+
+
+def _fdl_fwd(x, hgrid, B: int):
+    return _fdl_conv_fused_raw(x, hgrid, B), (x, hgrid)
+
+
+def _fdl_bwd(B: int, res, g):
+    """Adjoints of the fused FDL (see `fdl_conv_fused` docstring).
+
+    Signal side: for hgrid = partition spectra of a real kernel the map
+    x -> y is causal Toeplitz (asserted vs direct convolution in
+    tests/test_fdlconv.py), so the adjoint is flip -> same fused kernel
+    -> flip: the backward runs at forward speed on the MXU.
+
+    Spectra side: y_f = Re(iFFT(sum_p H_p . X_{f-p}))[B:], so with
+    dV_f = FFT(embed(g_f)) / n (the exact adjoint of "real part of the
+    iFFT at the kept rows"),
+
+        dH_p = sum_{c, f >= p} dV_{c,f} . conj(X_{c,f-p}),
+
+    computed here with jnp.fft in natural bin order and re-laid onto
+    the (k1, k2) grid. This makes kernels *learnable*: chaining through
+    `kernel_spectra_jax` gives gradients to a time-domain IR.
+    """
+    x, hgrid = res
+    g = jnp.asarray(g, jnp.float32)
+    dx = jnp.flip(_fdl_conv_fused_raw(jnp.flip(g, -1), hgrid, B), -1)
+
+    C, N = x.shape
+    n = 2 * B
+    n1, n2 = n // LANES, LANES
+    P = hgrid.shape[0]
+    F = N // B
+    # overlap-save frames of x: frame_f = x[(f-1)B : (f+1)B], zero-front
+    blocks = jnp.concatenate(
+        [jnp.zeros((C, 1, B), x.dtype), x.reshape(C, F, B)], axis=1)
+    frames = jnp.concatenate([blocks[:, :-1], blocks[:, 1:]], axis=-1)
+    X = jnp.fft.fft(frames)                                   # (C, F, n)
+    ghat = jnp.concatenate(
+        [jnp.zeros((C, F, B), g.dtype), g.reshape(C, F, B)], axis=-1)
+    dV = jnp.fft.fft(ghat) / n                                # (C, F, n)
+    Xc = jnp.conj(X)
+    dH = jnp.stack([
+        jnp.sum(dV[:, p:, :] * Xc[:, :F - p, :], axis=(0, 1))
+        for p in range(P)
+    ])                                                        # (P, n)
+    dgrid = jnp.transpose(dH.reshape(P, n2, n1), (0, 2, 1))   # [k1, k2]
+    dhgrid = jnp.stack([jnp.real(dgrid), jnp.imag(dgrid)],
+                       axis=1).astype(hgrid.dtype)
+    return dx.astype(x.dtype), dhgrid
+
+
+_fdl_vjp.defvjp(_fdl_fwd, _fdl_bwd)
+
+
+def fdl_conv_fused(x, hgrid, B: int):
+    """Differentiable front door to the fused FDL kernel (contract in
+    `_fdl_conv_fused_raw`). Carries a custom VJP: JAX cannot autodiff
+    the Pallas grid kernel, so the signal adjoint is the same kernel on
+    the time-reversed cotangent (exact for hgrid = partition spectra of
+    a real kernel — the op's contract) and the spectra adjoint is the
+    frame-domain correlation (see `_fdl_bwd`), enabling gradient-based
+    IR learning through `kernel_spectra_jax`."""
+    return _fdl_vjp(jnp.asarray(x, jnp.float32),
+                    jnp.asarray(hgrid, jnp.float32), B)
 
 
 def _fdl_fused_single(x, hgrid, B: int):

@@ -112,13 +112,11 @@ def envelope_scan_pallas(targets, env0, attack, release):
 
 def envelope_scan_dispatch(targets, env0, attack, release):
     """Backend dispatch (the `OpRegistry.Lookup` analog): Pallas on TPU
-    for 2-D (C, T) batches, lax.scan elsewhere."""
+    for 2-D (C, T) batches, lax.scan elsewhere. Routed through
+    `ops.envscan.envelope_scan`, which owns both the backend selection
+    and the custom VJP (differentiable on either backend)."""
     from algodsp_tpu.ops.envscan import envelope_scan
-    x = jnp.asarray(targets)
-    if (jax.default_backend() == "tpu" and x.ndim == 2
-            and jnp.ndim(attack) <= 1 and jnp.ndim(release) <= 1):
-        return envelope_scan_pallas(x, env0, attack, release)
-    return envelope_scan(x, env0, attack, release)
+    return envelope_scan(targets, env0, attack, release)
 
 
 # ---------------------------------------------------------------------------
@@ -189,8 +187,8 @@ def _biquad_kernel(fir_ref, L_ref, p_ref, q_ref, c0_ref, h0_ref,
         hf_ref[...] = halo[...]
 
 
-def biquad_cascade_pallas(x, sos, gain: float = 1.0, state=None,
-                          return_state: bool = False):
+def _biquad_cascade_raw(x, sos, gain: float = 1.0, state=None,
+                        return_state: bool = False):
     """Fused biquad cascade: x (C, N) -> y (C, N).
 
     C and N are padded internally to multiples of (8, 128). The cascade
@@ -284,6 +282,61 @@ def biquad_cascade_pallas(x, sos, gain: float = 1.0, state=None,
     new_state = jnp.concatenate([hf, cf], axis=-1)        # (S, cp, 4)
     new_state = jnp.moveaxis(new_state, 0, 1)[:c]         # (C, S, 4)
     return y, new_state
+
+
+@functools.lru_cache(maxsize=64)
+def _cascade_diff_op(sos_bytes: bytes, n_sections: int, gain: float):
+    """custom-VJP wrapper for the zero-state fused cascade.
+
+    The zero-state cascade over a fixed length N is an exact causal LTI
+    map: per channel y = gain * T x with T an N x N lower-triangular
+    Toeplitz matrix (the carry corrections inside the kernel make the
+    blocked evaluation mathematically identical to the sequential
+    recurrence). Its adjoint is the anticausal filter T^T = J T J
+    (J = time flip), so the VJP is ONE more pass of the same fused
+    kernel on the time-reversed cotangent — no XLA fallback, no
+    recomputation, and the backward runs at forward speed. JAX cannot
+    autodiff the Pallas grid kernel itself; this rule makes the fast
+    path differentiable w.r.t. the signal.
+    """
+    import numpy as np
+    sos_arr = np.frombuffer(sos_bytes, dtype=np.float64).reshape(
+        n_sections, 5).copy()
+
+    @jax.custom_vjp
+    def op(x):
+        return _biquad_cascade_raw(x, sos_arr, gain=gain)
+
+    def fwd(x):
+        return _biquad_cascade_raw(x, sos_arr, gain=gain), None
+
+    def bwd(_, g):
+        dx = jnp.flip(_biquad_cascade_raw(jnp.flip(g, -1), sos_arr,
+                                          gain=gain), -1)
+        return (dx,)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def biquad_cascade_pallas(x, sos, gain: float = 1.0, state=None,
+                          return_state: bool = False):
+    """Fused biquad cascade (see `_biquad_cascade_raw` for the kernel
+    contract). The zero-state, no-state-return path — the bulk
+    processing case — carries a custom VJP (exact adjoint filter), so
+    `jax.grad` flows through it w.r.t. the input signal. The streaming
+    path (explicit state in/out) is not differentiable through the
+    Pallas kernel; streaming callers that need gradients should use the
+    XLA blocked engine (`BiquadChain.process(mode="blocked")`)."""
+    if state is None and not return_state:
+        import numpy as np
+        sos_arr = np.ascontiguousarray(
+            np.asarray(sos, dtype=np.float64).reshape(-1, 5))
+        op = _cascade_diff_op(sos_arr.tobytes(), sos_arr.shape[0],
+                              float(gain))
+        return op(x)
+    return _biquad_cascade_raw(x, sos, gain=gain, state=state,
+                               return_state=return_state)
 
 
 # ---------------------------------------------------------------------------
