@@ -19,7 +19,8 @@ EXAMPLES = ["spectrum_analysis", "mastering_chain", "room_measurement",
             "stereo_widening", "window_info", "moog_ladder",
             "biquad_runtime", "filter_designers", "signal_stats",
             "modulation_zoo", "reverb_comparison", "streaming_convolution",
-            "spectrogram_mfcc", "lti_fusion", "precision_engineering"]
+            "spectrogram_mfcc", "lti_fusion", "precision_engineering",
+            "gradient_eq_fit"]
 
 
 @pytest.mark.parametrize("name", EXAMPLES)
