@@ -263,16 +263,48 @@ class BiquadChain:
 
         state/return_state thread the standard (C, S, 4) streaming
         state, so this is also a valid `process_stream` backend.
-        """
-        from algodsp_tpu.ops import fold as foldmod
-        from algodsp_tpu.ops.pallas_kernels import biquad_cascade_pallas
 
+        The zero-state bulk case carries a custom VJP (the composite
+        map is the exact causal LTI cascade, so the adjoint is the
+        same folded evaluation on the time-reversed cotangent):
+        differentiable w.r.t. x through the Pallas kernel.
+        """
         x = jnp.asarray(x)
         if x.ndim != 2:
             raise ValueError("process_folded expects (C, N)")
         c, n = x.shape
         if folds is None:
             folds = self._pick_folds(c, n)
+        if state is None and not return_state:
+            return self._folded_diff_op(int(folds))(x)
+        return self._process_folded_raw(x, folds, state, return_state)
+
+    def _folded_diff_op(self, folds: int):
+        cache = self.__dict__.setdefault("_folded_vjp_cache", {})
+        op = cache.get(folds)
+        if op is None:
+            import jax
+
+            @jax.custom_vjp
+            def op(x):
+                return self._process_folded_raw(x, folds, None, False)
+
+            def fwd(x):
+                return self._process_folded_raw(x, folds, None, False), None
+
+            def bwd(_, g):
+                return (jnp.flip(self._process_folded_raw(
+                    jnp.flip(g, -1), folds, None, False), -1),)
+
+            op.defvjp(fwd, bwd)
+            cache[folds] = op
+        return op
+
+    def _process_folded_raw(self, x, folds, state, return_state):
+        from algodsp_tpu.ops import fold as foldmod
+        from algodsp_tpu.ops.pallas_kernels import biquad_cascade_pallas
+
+        c, n = x.shape
         if n % folds or (n // folds) % self.block_size:
             raise ValueError(
                 f"folds={folds} needs N divisible by folds*{self.block_size}")

@@ -201,9 +201,9 @@ class MoogFilter:
         state, ys = jax.lax.scan(lambda st, xv: self._step(st, xv), state, xs)
         return state, jnp.moveaxis(ys, 0, -1)
 
-    def _run_pallas(self, state, x_run):
-        """Fused VMEM ladder kernel for the classic family/Huovilainen;
-        full kernel chunks via Pallas, any tail via the scan."""
+    def _kernel_chunk(self, state, xb):
+        """One full-chunk pass through the fused Pallas ladder kernel
+        (dict state in/out)."""
         from algodsp_tpu.ops import pallas_kernels as pk
         v = self.variant
         improved = v in (MoogVariant.IMPROVED_CLASSIC,
@@ -220,21 +220,52 @@ class MoogFilter:
                                        if improved else 1.0)
             params = [coef, self.drive_scale, self.feedback, self.input_gain,
                       self.output_scale]
+        st8 = jnp.concatenate([state["stage"].T, state["tanh_last"].T,
+                               state["prev_out"][None, :]], axis=0)
+        if zdf:
+            st8, yb = pk.moog_zdf_pallas(xb, st8, params,
+                                         newton_iters=self.newton_iters)
+        else:
+            st8, yb = pk.moog_ladder_pallas(xb, st8, params,
+                                            fast_tanh=fast, huovilainen=huo)
+        return {"stage": st8[:4].T, "tanh_last": st8[4:7].T,
+                "prev_out": st8[7]}, yb
+
+    def _kernel_chunk_diff(self):
+        """custom-VJP wrapper: the fused ladder kernel is bit-exact vs
+        `_run_scan` (tests/test_pallas.py), so the backward recomputes
+        the chunk as the (autodiff-able) scan and pulls its VJP — the
+        standard recompute rule for a nonlinear sequential kernel JAX
+        cannot differentiate directly. Gradient cost: one scan forward
+        + backward per chunk; use the CPU/scan path for heavy training
+        loops if that matters."""
+        op = self.__dict__.get("_moog_vjp_op")
+        if op is None:
+            @jax.custom_vjp
+            def op(state, xb):
+                return self._kernel_chunk(state, xb)
+
+            def fwd(state, xb):
+                return self._kernel_chunk(state, xb), (state, xb)
+
+            def bwd(res, cot):
+                state, xb = res
+                _, vjp = jax.vjp(self._run_scan, state, xb)
+                return vjp(cot)
+
+            op.defvjp(fwd, bwd)
+            self.__dict__["_moog_vjp_op"] = op
+        return op
+
+    def _run_pallas(self, state, x_run):
+        """Fused VMEM ladder kernel for the classic family/Huovilainen;
+        full kernel chunks via Pallas, any tail via the scan."""
+        from algodsp_tpu.ops import pallas_kernels as pk
         t = x_run.shape[-1]
         nb = (t // pk._CHUNK_T) * pk._CHUNK_T
         ys = []
         if nb:
-            st8 = jnp.concatenate([state["stage"].T, state["tanh_last"].T,
-                                   state["prev_out"][None, :]], axis=0)
-            if zdf:
-                st8, yb = pk.moog_zdf_pallas(x_run[..., :nb], st8, params,
-                                             newton_iters=self.newton_iters)
-            else:
-                st8, yb = pk.moog_ladder_pallas(x_run[..., :nb], st8, params,
-                                                fast_tanh=fast,
-                                                huovilainen=huo)
-            state = {"stage": st8[:4].T, "tanh_last": st8[4:7].T,
-                     "prev_out": st8[7]}
+            state, yb = self._kernel_chunk_diff()(state, x_run[..., :nb])
             ys.append(yb)
         if t - nb:
             state, yt = self._run_scan(state, x_run[..., nb:])
