@@ -206,3 +206,25 @@ class Chain:
         if y is None:
             y = jnp.zeros_like(x)
         return new_state, y
+
+    def process_blocks(self, state, x, *, block_size: int | None = None,
+                       unroll: int = 1):
+        """Stream the whole graph over many latency blocks in ONE
+        traced program: `lax.scan` over (N // block_size) blocks with
+        every node's state carried — the same floats as calling
+        `process` block by block (asserted in tests/test_streaming.py),
+        but a single host<->device dispatch, so the relay's ~3-6 ms
+        floor amortizes across all blocks instead of being paid per
+        block. This is the TPU-shaped analog of the reference's
+        fixed-latency block loop (`dsp/conv/partitioned.go:348-396`);
+        latency semantics are unchanged (still one block).
+
+        Args:
+          state: chain state from `init_state`.
+          x: (..., N) with N a multiple of `block_size`.
+          block_size: defaults to the chain's configured block size.
+        """
+        from algodsp_tpu.streaming import scan_blocks
+        bs = self.ctx.block_size if block_size is None else block_size
+        return scan_blocks(self.process, state, x, block_size=bs,
+                           unroll=unroll)

@@ -41,8 +41,11 @@ import jax.numpy as jnp
 def constrain(raw, lo, hi):
     """Smooth sigmoid reparameterization of an unconstrained scalar onto
     (lo, hi) — keeps gradient-descent iterates inside valid design
-    ranges (frequencies inside (0, Nyquist), Q > 0) without clipping."""
-    return lo + (hi - lo) * jnp.reciprocal(1.0 + jnp.exp(-raw))
+    ranges (frequencies inside (0, Nyquist), Q > 0) without clipping.
+    Uses jax.nn.sigmoid so both the primal and the gradient stay finite
+    for arbitrarily large-magnitude `raw` (a naive 1/(1+exp(-raw))
+    overflows to inf and its gradient to NaN for raw << 0)."""
+    return lo + (hi - lo) * jax.nn.sigmoid(raw)
 
 
 # ---------------------------------------------------------------------------

@@ -153,7 +153,11 @@ def envelope_scan(targets, env0, attack, release, *, unroll: int = 8):
     Returns:
       (env_final, envelopes): carry after the block, and the (..., T)
       envelope trajectory. Differentiable w.r.t. every array argument
-      (custom VJP; see module docstring).
+      in REVERSE mode only (custom VJP; see module docstring) —
+      forward-mode (`jax.jvp`/`jax.jacfwd`) through this op raises,
+      because `jax.custom_vjp` removes the JVP rule. Use
+      `jax.jacrev`, or the plain-scan formulation in tests, if a
+      forward-mode Jacobian is genuinely needed.
     """
     targets = jnp.asarray(targets)
     dtype = targets.dtype

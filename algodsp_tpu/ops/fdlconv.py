@@ -269,8 +269,12 @@ def _fdl_bwd(B: int, res, g):
         [jnp.zeros((C, F, B), g.dtype), g.reshape(C, F, B)], axis=-1)
     dV = jnp.fft.fft(ghat) / n                                # (C, F, n)
     Xc = jnp.conj(X)
+    # only lags p < F are realizable: a partition delayed by >= F frames
+    # never overlaps the signal, so its true gradient is exactly zero
+    # (and the p >= F slices would be shape-mismatched empties)
     dH = jnp.stack([
         jnp.sum(dV[:, p:, :] * Xc[:, :F - p, :], axis=(0, 1))
+        if p < F else jnp.zeros((n,), dV.dtype)
         for p in range(P)
     ])                                                        # (P, n)
     dgrid = jnp.transpose(dH.reshape(P, n2, n1), (0, 2, 1))   # [k1, k2]

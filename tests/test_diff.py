@@ -208,6 +208,40 @@ class TestFDLVJP:
         g_ref = np.asarray(jax.grad(loss_ref)(h0.astype(jnp.float64)))
         assert snr_db(g_ref, g_fused) > 80.0
 
+    def test_kernel_longer_than_signal_gradient(self, rng):
+        """IR-learning on an excerpt shorter than the IR (P > F+1):
+        the spectra adjoint must skip unrealizable lags p >= F (their
+        true gradient is zero — those partitions never see the signal)
+        instead of crashing on empty-slice broadcasting."""
+        from algodsp_tpu.ops import fdlconv
+        B = 1024
+        F = 3
+        N = F * B
+        P = 5
+        h0 = jnp.asarray(
+            rng.standard_normal(P * B) * np.exp(-np.arange(P * B) / 800.0),
+            jnp.float32)
+        x = jnp.asarray(rng.standard_normal((1, N)), jnp.float32)
+        target = jnp.asarray(rng.standard_normal((1, N)), jnp.float32)
+
+        def loss_fused(h):
+            hg = fdlconv.kernel_spectra_jax(h, B, P)
+            y = fdlconv.fdl_conv_fused(x, hg, B)
+            return jnp.mean((y - target) ** 2)
+
+        def loss_ref(h):
+            xf = jnp.fft.rfft(x, 2 * P * B)
+            hf = jnp.fft.rfft(h, 2 * P * B)
+            y = jnp.fft.irfft(xf * hf, 2 * P * B)[..., :N]
+            return jnp.mean((y.astype(jnp.float32) - target) ** 2)
+
+        g_fused = np.asarray(jax.grad(loss_fused)(h0))  # must not raise
+        g_ref = np.asarray(jax.grad(loss_ref)(h0.astype(jnp.float64)))
+        assert snr_db(g_ref, g_fused) > 80.0
+        # taps at t >= N start past the last retained output sample, so
+        # their gradient is exactly zero (partitions p >= F zero-filled)
+        assert np.all(g_fused[F * B:] == 0.0)
+
 
 class TestDiffModule:
     """algodsp_tpu.diff — traced-coefficient designers + runtime."""
