@@ -237,6 +237,22 @@ def fir3(x, b0, b1, b2, x1, x2):
     return b0 * x + b1 * xm1 + b2 * xm2
 
 
+def affine1_scan(m, b, axis: int = -1):
+    """Inclusive composition of scalar affine maps s -> m_n s + b_n
+    along `axis`: returns (M, B) with the partial compositions
+    F_n = f_n o ... o f_1, i.e. s_n = M_n s_in + B_n for ANY incoming
+    state s_in. Log-depth associative scan; the workhorse for
+    time-varying one-pole recurrences (sidechain prefilters,
+    `core.go:600-662`; selection-fixed envelope solves,
+    `parallel/sharded.py:envelope_time_sharded`)."""
+    def combine(left, right):
+        ml, bl = left
+        mr, br = right
+        return ml * mr, mr * bl + br
+
+    return jax.lax.associative_scan(combine, (m, b), axis=axis)
+
+
 def _affine_scan(G, w):
     """Inclusive scan of c_k = G c_{k-1} + w_k over axis -2 of w.
 

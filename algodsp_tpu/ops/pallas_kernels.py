@@ -97,9 +97,18 @@ def envelope_scan_pallas(targets, env0, attack, release):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
+        # vma: when called inside shard_map (e.g. the time-SP envelope
+        # seed, parallel/sharded.py) the outputs vary over the union of
+        # the inputs' mesh axes; outside shard_map the sets are empty
         out_shape=[
-            jax.ShapeDtypeStruct((tp_, cp), dtype),
-            jax.ShapeDtypeStruct((1, cp), dtype),
+            jax.ShapeDtypeStruct(
+                (tp_, cp), dtype,
+                vma=jax.typeof(xt).vma | jax.typeof(e0).vma
+                    | jax.typeof(att).vma | jax.typeof(rel).vma),
+            jax.ShapeDtypeStruct(
+                (1, cp), dtype,
+                vma=jax.typeof(xt).vma | jax.typeof(e0).vma
+                    | jax.typeof(att).vma | jax.typeof(rel).vma),
         ],
         scratch_shapes=[pltpu.VMEM((1, cp), dtype)],
         interpret=jax.default_backend() != "tpu",

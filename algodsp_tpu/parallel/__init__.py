@@ -4,15 +4,23 @@ from algodsp_tpu.parallel.sharded import (
     fir_time_sharded,
     biquad_time_sharded,
     conv_time_sharded,
+    envelope_time_sharded,
+    onepole_time_sharded,
+    box_rms_time_sharded,
+    compressor_time_sharded,
     reduce_metrics,
 )
 
 __all__ = [
     "biquad_time_sharded",
     "biquad_pipeline",
+    "box_rms_time_sharded",
     "channel_sharding",
+    "compressor_time_sharded",
     "conv_time_sharded",
+    "envelope_time_sharded",
     "fir_time_sharded",
     "make_mesh",
+    "onepole_time_sharded",
     "reduce_metrics",
 ]

@@ -211,3 +211,119 @@ def test_channel_sharded_stft_mfcc_matches_single_device():
     g = jax.jit(lambda v: mfcc(v, 48000.0, n_mfcc=13, n_mels=40,
                                frame_size=1024, hop_size=256))
     assert snr_db(np.asarray(g(x)), np.asarray(g(xs))) > 120
+
+
+# ---------------------------------------------------------------------------
+# Time-SP envelope / dynamics (SURVEY §2.9 SP/CP row: "IIR/envelope scan
+# carries between neighbor shards")
+# ---------------------------------------------------------------------------
+
+def test_envelope_time_sharded_exact():
+    """Selection-fixpoint carry == the plain sequential envelope scan,
+    pure time-SP at 8 shards, nonzero initial carry."""
+    from algodsp_tpu.parallel import envelope_time_sharded
+    from algodsp_tpu.ops.envscan import envelope_scan
+    mesh = make_mesh({"time": 8})
+    rng = np.random.default_rng(7)
+    t = jnp.asarray(np.abs(rng.standard_normal((4, 4096))))
+    env0 = jnp.asarray(rng.uniform(0.5, 2.0, size=(4,)))
+    att, rel = 0.02, 0.995
+    ef_ref, traj_ref = envelope_scan(t, env0, att, rel)
+    ef, traj = envelope_time_sharded(t, env0, att, rel, mesh,
+                                     channel_axis_name=None)
+    assert snr_db(np.asarray(traj_ref), np.asarray(traj)) > 200
+    assert snr_db(np.asarray(ef_ref), np.asarray(ef)) > 200
+
+
+def test_envelope_time_sharded_channel_dp_mesh():
+    """channel-DP x time-SP mesh: the psum'd convergence flag spans
+    both axes."""
+    from algodsp_tpu.parallel import envelope_time_sharded
+    from algodsp_tpu.ops.envscan import envelope_scan
+    mesh = make_mesh({"channel": 2, "time": 4})
+    rng = np.random.default_rng(8)
+    t = jnp.asarray(np.abs(rng.standard_normal((4, 2048))))
+    _, traj_ref = envelope_scan(t, jnp.zeros((4,)), 0.1, 0.99)
+    _, traj = envelope_time_sharded(t, jnp.zeros((4,)), 0.1, 0.99, mesh)
+    assert snr_db(np.asarray(traj_ref), np.asarray(traj)) > 200
+
+
+def test_onepole_time_sharded_exact():
+    from algodsp_tpu.parallel import onepole_time_sharded
+    mesh = make_mesh({"channel": 2, "time": 4})
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((4, 2048)))
+    s0 = jnp.asarray(rng.standard_normal(4))
+    c = 0.015
+    # sequential oracle
+    ref = np.empty((4, 2048))
+    s = np.asarray(s0).copy()
+    for n in range(2048):
+        s = (1 - c) * s + c * np.asarray(x[:, n])
+        ref[:, n] = s
+    s_f, y = onepole_time_sharded(x, s0, c, mesh)
+    assert snr_db(ref, np.asarray(y)) > 200
+    assert snr_db(ref[:, -1], np.asarray(s_f)) > 200
+
+
+def test_box_rms_time_sharded_window_spans_shards():
+    """RMS window (1440) larger than a time shard (512): multi-hop halo
+    + history reads for the earliest shards."""
+    from algodsp_tpu.parallel import box_rms_time_sharded
+    mesh = make_mesh({"time": 8})
+    rng = np.random.default_rng(10)
+    w = 1440
+    src = np.abs(rng.standard_normal((2, 8 * 512)))
+    hist = rng.standard_normal((2, w - 1)) ** 2
+    ext = np.concatenate([hist, src ** 2], axis=-1)
+    csum = np.concatenate(
+        [np.zeros((2, 1)), np.cumsum(ext, axis=-1)], axis=-1)
+    n = src.shape[-1]
+    hi = np.arange(w - 1, w - 1 + n) + 1
+    ref = np.sqrt(np.maximum((csum[:, hi] - csum[:, hi - w]) / w, 0.0))
+    got = box_rms_time_sharded(jnp.asarray(src), jnp.asarray(hist), w, mesh,
+                               channel_axis_name=None)
+    assert snr_db(ref, np.asarray(got)) > 200
+
+
+@pytest.mark.parametrize("detector,prefilter", [
+    ("peak", False), ("rms", True)], ids=["peak", "rms+prefilters"])
+def test_compressor_time_sharded_matches_engine(detector, prefilter):
+    """Full feedforward compressor, end-to-end time-SP (no channel-DP
+    gather), peak and RMS+sidechain-prefilter variants, streaming state
+    across two consecutive sharded calls. Reference contract:
+    `dsp/effects/dynamics/core.go:274-495`."""
+    from algodsp_tpu.parallel import compressor_time_sharded
+    from algodsp_tpu.effects.dynamics import Compressor
+    from algodsp_tpu.effects.dynamics.core import DetectorMode
+    mesh = make_mesh({"channel": 2, "time": 4})
+    kw = dict(threshold_db=-18.0, ratio=5.0, attack_ms=3.0, release_ms=80.0)
+    if detector == "rms":
+        kw.update(detector_mode=DetectorMode.RMS, rms_window_ms=10.0)
+    if prefilter:
+        kw.update(sidechain_low_cut_hz=80.0, sidechain_high_cut_hz=9000.0)
+    comp = Compressor(48000.0, **kw)
+    rng = np.random.default_rng(11)
+    x1 = jnp.asarray(rng.standard_normal((4, 4096)) * 0.5)
+    x2 = jnp.asarray(rng.standard_normal((4, 4096)) * 0.5)
+
+    s_ref = comp.init_state((4,), jnp.float64)
+    s_ref, r1 = comp.process(s_ref, x1)
+    s_ref, r2 = comp.process(s_ref, x2)
+
+    s = comp.init_state((4,), jnp.float64)
+    s, y1 = compressor_time_sharded(comp, s, x1, mesh)
+    s, y2 = compressor_time_sharded(comp, s, x2, mesh)
+    assert snr_db(np.asarray(r1), np.asarray(y1)) > 200
+    assert snr_db(np.asarray(r2), np.asarray(y2)) > 200
+
+
+def test_compressor_time_sharded_rejects_feedback():
+    from algodsp_tpu.parallel import compressor_time_sharded
+    from algodsp_tpu.effects.dynamics import Compressor
+    from algodsp_tpu.effects.dynamics.core import Topology
+    mesh = make_mesh({"time": 8})
+    comp = Compressor(48000.0, topology=Topology.FEEDBACK)
+    s = comp.init_state((2,))
+    with pytest.raises(ValueError):
+        compressor_time_sharded(comp, s, jnp.zeros((2, 1024)), mesh)
