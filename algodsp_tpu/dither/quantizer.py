@@ -125,6 +125,7 @@ class Quantizer:
                  dither_type: DitherType = DitherType.TRIANGULAR,
                  dither_amplitude: float = 1.0, limit: bool = True,
                  shaper_coeffs=None, preset: Preset = Preset.FC9,
+                 iir_shelf_freq: float | None = None,
                  seed: int = 1):
         if sample_rate <= 0 or not math.isfinite(sample_rate):
             raise ValueError(f"dither: sample rate must be > 0: {sample_rate}")
@@ -136,6 +137,21 @@ class Quantizer:
         self.dither_amplitude = dither_amplitude
         self.limit = limit
         self.seed = seed
+        # IIR shelf error-feedback shaper (`shaper_iir.go:20-57`): a
+        # -5 dB Butterworth low-shelf biquad on the PREVIOUS error,
+        # the lightweight alternative to the FIR shaper. Precedence
+        # mirrors the Go options: explicit coefficients > shelf > preset.
+        self.iir_shelf_sos: np.ndarray | None = None
+        if iir_shelf_freq is not None and shaper_coeffs is None:
+            if not (iir_shelf_freq > 0 and math.isfinite(iir_shelf_freq)):
+                raise ValueError(
+                    f"dither: IIR shelf frequency must be > 0 and finite: "
+                    f"{iir_shelf_freq}")
+            from algodsp_tpu.filters.design.rbj import low_shelf
+            self.iir_shelf_sos = np.asarray(
+                low_shelf(iir_shelf_freq, -5.0, 1.0 / math.sqrt(2.0),
+                          sample_rate), np.float64).reshape(-1)
+            shaper_coeffs = []
         if shaper_coeffs is None:
             shaper_coeffs = preset_coefficients(preset)
         self.shaper_coeffs = np.asarray(shaper_coeffs, dtype=np.float64).reshape(-1)
@@ -146,8 +162,12 @@ class Quantizer:
 
     def init_state(self, batch_shape=(), dtype=jnp.float32):
         order = self.shaper_coeffs.size
-        return {"err": jnp.zeros(batch_shape + (max(order, 1),), dtype),
-                "key": jax.random.PRNGKey(self.seed)}
+        st = {"err": jnp.zeros(batch_shape + (max(order, 1),), dtype),
+              "key": jax.random.PRNGKey(self.seed)}
+        if self.iir_shelf_sos is not None:
+            # DF2T shelf state (d0, d1) + the recorded previous error
+            st["iir"] = jnp.zeros(batch_shape + (3,), dtype)
+        return st
 
     def _noise(self, key, shape, dtype):
         t = self.dither_type
@@ -192,6 +212,9 @@ class Quantizer:
         noise = self._noise(sub, x.shape, x.dtype)
         scaled = self.bit_mul * x
 
+        if self.iir_shelf_sos is not None:
+            return self._process_codes_iir(state, key, scaled, noise)
+
         if order == 0:
             q = jnp.floor(scaled + noise)
             if self.limit:
@@ -214,3 +237,35 @@ class Quantizer:
         hist, qs = jax.lax.scan(step, state["err"], seq)
         q = jnp.moveaxis(qs, 0, -1)
         return ({"err": hist, "key": key}, q)
+
+    def _process_codes_iir(self, state, key, scaled, noise):
+        """IIR shelf error-feedback loop (`shaper_iir.go:47-57` cycle):
+        shaped_n = scaled_n - shelf(err_{n-1}); err_n = q_n - shaped_n,
+        with the shelf the DF2T low-shelf biquad. One lax.scan with
+        (d0, d1, last_err) in the carry, channels on VPU lanes."""
+        dtype = scaled.dtype
+        b0, b1, b2, a1, a2 = (jnp.asarray(v, dtype)
+                              for v in self.iir_shelf_sos)
+        seq = jnp.moveaxis(jnp.stack([scaled, noise], axis=-1), -2, 0)
+
+        def step(carry, row):
+            d0, d1, lerr = carry
+            s, nz = row[..., 0], row[..., 1]
+            # shelf filter on the previous error (section.go:47-53)
+            fo = b0 * lerr + d0
+            d0n = b1 * lerr - a1 * fo + d1
+            d1n = b2 * lerr - a2 * fo
+            shaped = s - fo
+            q = jnp.floor(shaped + nz)
+            if self.limit:
+                q = jnp.clip(q, self.limit_lo, self.limit_hi)
+            return (d0n, d1n, q - shaped), q
+
+        iir = state["iir"]
+        carry0 = (iir[..., 0], iir[..., 1], iir[..., 2])
+        (d0, d1, lerr), qs = jax.lax.scan(step, carry0, seq)
+        q = jnp.moveaxis(qs, 0, -1)
+        new_state = dict(state)
+        new_state["key"] = key
+        new_state["iir"] = jnp.stack([d0, d1, lerr], axis=-1)
+        return new_state, q

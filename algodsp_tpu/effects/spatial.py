@@ -125,30 +125,81 @@ class CrosstalkCanceller:
 
 
 class CrosstalkSimulator:
+    """Loudspeaker crosstalk / crossfeed simulator.
+
+    Three operating modes, matching the reference pair of types:
+
+      * parametric (default): single delayed, high-shelf-shaped
+        crossfeed with mix (`crosstalk_simulator.go:171-185`);
+      * `hrtf_irs` = one array: that IR convolves the crossfeed path,
+        mixed like the parametric model;
+      * `hrtf_irs` = dict with keys left_direct/left_cross/
+        right_direct/right_cross (the `HRTFImpulseResponseSet` fields,
+        `crosstalk_simulator_hrtf.go:20-24`; e.g. from
+        `utils.irlib.hrtf_ir_set`): full 4-path FIR routing with
+        `hrtf_mode` "crossfeed_only" (dry direct + convolved crossfeed,
+        the reference default) or "complete" (both paths convolved) —
+        `ProcessStereo` semantics at `crosstalk_simulator_hrtf.go:121-137`.
+    """
+
     def __init__(self, sample_rate: float, *, delay_seconds: float = 0.0003,
                  shelf_freq: float = 3000.0, shelf_gain_db: float = -8.0,
                  crossfeed_mix: float = 0.35, invert_polarity: bool = False,
-                 hrtf_irs=None):
+                 hrtf_irs=None, hrtf_mode: str = "crossfeed_only"):
         if not (0.0 <= crossfeed_mix <= 1.0):
             raise ValueError(f"crossfeed mix must be in [0,1]: {crossfeed_mix}")
+        if hrtf_mode not in ("crossfeed_only", "complete"):
+            raise ValueError(
+                f"hrtf mode must be 'crossfeed_only' or 'complete': "
+                f"{hrtf_mode!r}")
         self.delay = max(int(round(delay_seconds * sample_rate)), 1)
         self.mix = crossfeed_mix
         self.invert = invert_polarity
+        self.hrtf_mode = hrtf_mode
         self.shelf = BiquadChain(rbj.high_shelf(shelf_freq, shelf_gain_db,
                                                 0.707, sample_rate))
-        # optional HRTF-style crossfeed IR (one per direction), applied by
-        # convolution instead of the delay+shelf model
-        self.hrtf = (np.asarray(hrtf_irs, dtype=np.float64)
-                     if hrtf_irs is not None else None)
+        self.hrtf = None
+        self.hrtf_set = None
+        if isinstance(hrtf_irs, dict):
+            keys = ("left_direct", "left_cross", "right_direct",
+                    "right_cross")
+            missing = [k for k in keys if k not in hrtf_irs]
+            if missing:
+                raise ValueError(f"hrtf ir set missing paths: {missing}")
+            self.hrtf_set = {k: np.asarray(hrtf_irs[k], np.float64).reshape(-1)
+                             for k in keys}
+            for k, v in self.hrtf_set.items():
+                if v.size == 0:
+                    raise ValueError(f"hrtf ir set path {k!r} is empty")
+        elif hrtf_irs is not None:
+            self.hrtf = np.asarray(hrtf_irs, dtype=np.float64)
 
     def init_state(self, batch_shape=(), dtype=jnp.float32):
-        if self.hrtf is not None:
+        if self.hrtf is not None or self.hrtf_set is not None:
             return {}
         return {"delay": jnp.zeros(batch_shape + (2, self.delay), dtype),
                 "shelf": self.shelf.init_state(batch_shape + (2,), dtype)}
 
+    def _process_hrtf_set(self, state, x):
+        """4-path FIR routing (`crosstalk_simulator_hrtf.go:121-137`)."""
+        n = x.shape[-1]
+        left, right = x[..., 0, :], x[..., 1, :]
+        conv = lambda sig, ir: fftconvolve(
+            sig, jnp.asarray(ir, x.dtype))[..., :n]
+        cross_l = conv(right, self.hrtf_set["left_cross"])
+        cross_r = conv(left, self.hrtf_set["right_cross"])
+        if self.hrtf_mode == "complete":
+            out_l = conv(left, self.hrtf_set["left_direct"]) + cross_l
+            out_r = conv(right, self.hrtf_set["right_direct"]) + cross_r
+        else:
+            out_l = left + cross_l
+            out_r = right + cross_r
+        return state, jnp.stack([out_l, out_r], axis=-2)
+
     def process(self, state, x):
         x = jnp.asarray(x)
+        if self.hrtf_set is not None:
+            return self._process_hrtf_set(state, x)
         swapped = x[..., ::-1, :]
         if self.hrtf is not None:
             n = x.shape[-1]

@@ -87,9 +87,13 @@ def _acc_den(q: float, order: int, c: int) -> float:
 def design_coefficients(number_of_coeffs: int, transition: float) -> np.ndarray:
     """Polyphase Hilbert allpass coefficients (`designer.go:18-33,107-121`)."""
     if number_of_coeffs < 1:
-        raise ValueError(f"hilbert: number of coefficients must be >= 1: {number_of_coeffs}")
+        raise ValueError(
+            f"hilbert designer needs at least one allpass coefficient pair, "
+            f"got {number_of_coeffs}")
     if not (0.0 < transition < 0.5) or not math.isfinite(transition):
-        raise ValueError(f"hilbert: transition must be in (0, 0.5): {transition}")
+        raise ValueError(
+            f"hilbert designer: transition bandwidth {transition} is outside "
+            f"the open interval (0, 0.5) of normalized frequency")
     k, q = _transition_params(transition)
     order = number_of_coeffs * 2 + 1
     out = np.empty(number_of_coeffs)

@@ -300,3 +300,127 @@ def test_quantizer_process_integer_codes():
     np.testing.assert_allclose(
         np.asarray(y), (np.asarray(codes) + 0.5) * q.bit_div, rtol=0, atol=0)
     assert int(codes.min()) >= q.limit_lo and int(codes.max()) <= q.limit_hi
+
+
+def test_quantizer_iir_shelf_oracle_parity():
+    """IIR shelf shaper scan vs a per-sample Go-semantics loop
+    (`shaper_iir.go:47-57`: shaped = in - shelf(prev_err), DF2T shelf,
+    error recorded after quantization), identical (zero) noise."""
+    from algodsp_tpu.filters.design.rbj import low_shelf
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-0.9, 0.9, 256)
+    q = Quantizer(SR, bit_depth=12, iir_shelf_freq=3000.0,
+                  dither_type=DitherType.NONE)
+    state = q.init_state(dtype=jnp.float64)
+    _, y = q.process(state, jnp.asarray(x))
+
+    b0, b1, b2, a1, a2 = np.asarray(low_shelf(3000.0, -5.0,
+                                              1.0 / math.sqrt(2.0), SR))
+    d0 = d1 = lerr = 0.0
+    expected = np.empty_like(x)
+    for i, v in enumerate(x):
+        fo = b0 * lerr + d0
+        d0 = b1 * lerr - a1 * fo + d1
+        d1 = b2 * lerr - a2 * fo
+        shaped = q.bit_mul * v - fo
+        qq = math.floor(shaped)
+        qq = max(q.limit_lo, min(q.limit_hi, qq))
+        lerr = qq - shaped
+        expected[i] = (qq + 0.5) * q.bit_div
+    assert snr_db(expected, np.asarray(y)) > 200
+
+
+def test_quantizer_iir_shelf_deemphasizes_low_band():
+    """The -5 dB low shelf on the error feedback pushes quantization
+    noise ABOVE the shelf corner relative to flat TPDF."""
+    x = tone(997.0, 1 << 16, 0.5)
+
+    def noise_spectrum(**kw):
+        q = Quantizer(SR, bit_depth=8, seed=3, **kw)
+        state = q.init_state(dtype=jnp.float64)
+        _, y = q.process(state, jnp.asarray(x))
+        err = np.asarray(y) - x
+        spec = np.abs(np.fft.rfft(err)) ** 2
+        freqs = np.fft.rfftfreq(x.size, 1 / SR)
+        return spec, freqs
+
+    s_flat, freqs = noise_spectrum(preset=Preset.NONE)
+    s_shelf, _ = noise_spectrum(iir_shelf_freq=4000.0)
+    low = (freqs > 100) & (freqs < 2000)
+    assert s_shelf[low].mean() < 0.7 * s_flat[low].mean()
+
+
+def test_quantizer_iir_shelf_validation_and_state():
+    with pytest.raises(ValueError):
+        Quantizer(SR, iir_shelf_freq=-10.0)
+    with pytest.raises(ValueError):
+        Quantizer(SR, iir_shelf_freq=float("nan"))
+    # streaming continuity: two half blocks == one full block
+    rng = np.random.default_rng(6)
+    x = rng.uniform(-0.5, 0.5, (2, 512))
+    q = Quantizer(SR, bit_depth=10, iir_shelf_freq=2000.0,
+                  dither_type=DitherType.NONE)
+    s = q.init_state((2,), dtype=jnp.float64)
+    _, y_full = q.process(s, jnp.asarray(x))
+    s2 = q.init_state((2,), dtype=jnp.float64)
+    s2, y1 = q.process(s2, jnp.asarray(x[:, :256]))
+    # reseed the key so the (unused, NONE-dither) stream split matches
+    s2["key"] = s["key"]
+    s2, y2 = q.process(s2, jnp.asarray(x[:, 256:]))
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
+    np.testing.assert_allclose(got, np.asarray(y_full), atol=1e-12)
+
+
+def test_hrtf_ir_set_physics():
+    """Spherical-head model set: the contralateral (cross) path arrives
+    LATER (ITD) and darker (head shadow) than the ipsilateral direct
+    path; the set is deterministic."""
+    from algodsp_tpu.utils.irlib import hrtf_ir_set
+    s = hrtf_ir_set(48000.0)
+    assert set(s) == {"left_direct", "left_cross", "right_direct",
+                      "right_cross"}
+    d, c = s["left_direct"], s["left_cross"]
+    # ITD: energy centroid of the cross path is later
+    t = np.arange(d.size)
+    cen = lambda h: float((t * h * h).sum() / (h * h).sum())
+    assert cen(c) > cen(d) + 48000.0 * 0.0002  # >= 0.2 ms ITD at 30 deg
+    # head shadow: cross path at 8 kHz well below the direct path
+    f = np.fft.rfftfreq(d.size, 1 / 48000.0)
+    hi = (f > 6000) & (f < 12000)
+    mag = lambda h: np.abs(np.fft.rfft(h))
+    assert mag(c)[hi].mean() < 0.6 * mag(d)[hi].mean()
+    # deterministic
+    s2 = hrtf_ir_set(48000.0)
+    np.testing.assert_array_equal(s2["left_cross"], c)
+    with pytest.raises(ValueError):
+        hrtf_ir_set(-1.0)
+
+
+def test_crosstalk_simulator_hrtf_set_routing():
+    """4-path routing parity with `crosstalk_simulator_hrtf.go:121-137`:
+    crossfeed_only = dry + conv(cross); complete = conv(direct) +
+    conv(cross)."""
+    from algodsp_tpu.effects.spatial import CrosstalkSimulator
+    from algodsp_tpu.utils.irlib import hrtf_ir_set
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((2, 1024))
+    irs = hrtf_ir_set(SR)
+    for mode in ("crossfeed_only", "complete"):
+        sim = CrosstalkSimulator(SR, hrtf_irs=irs, hrtf_mode=mode)
+        st = sim.init_state()
+        _, y = sim.process(st, jnp.asarray(x))
+        y = np.asarray(y)
+        conv = lambda sig, h: np.convolve(sig, h)[:1024]
+        cl = conv(x[1], irs["left_cross"])
+        cr = conv(x[0], irs["right_cross"])
+        if mode == "crossfeed_only":
+            want_l, want_r = x[0] + cl, x[1] + cr
+        else:
+            want_l = conv(x[0], irs["left_direct"]) + cl
+            want_r = conv(x[1], irs["right_direct"]) + cr
+        assert snr_db(want_l, y[0]) > 100
+        assert snr_db(want_r, y[1]) > 100
+    with pytest.raises(ValueError):
+        CrosstalkSimulator(SR, hrtf_irs={"left_cross": np.ones(4)})
+    with pytest.raises(ValueError):
+        CrosstalkSimulator(SR, hrtf_irs=irs, hrtf_mode="bogus")
