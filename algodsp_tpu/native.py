@@ -48,6 +48,15 @@ def _load():
     lib.envelope_process.restype = ctypes.c_double
     lib.envelope_process.argtypes = [dp, dp, ctypes.c_long, ctypes.c_double,
                                      ctypes.c_double, ctypes.c_double]
+    lib.moog_process.argtypes = [ctypes.c_int, dp, ctypes.c_int, ctypes.c_int,
+                                 dp, dp, dp, ctypes.c_long]
+    lib.dynamics_ff_process.argtypes = (
+        [dp, dp, dp, dp, ctypes.c_long]
+        + [ctypes.c_double] * 2 + [ctypes.c_int]
+        + [ctypes.c_double] * 8 + [dp])
+    lib.resample_polyphase_process.argtypes = [
+        dp, ctypes.c_int, ctypes.c_int, ctypes.c_int, dp, dp, ctypes.c_long,
+        dp, ctypes.c_long]
     lib.ring_create.restype = ctypes.c_void_p
     lib.ring_create.argtypes = [ctypes.c_long]
     lib.ring_destroy.argtypes = [ctypes.c_void_p]
@@ -112,6 +121,108 @@ def envelope(x, attack: float, release: float, env0: float = 0.0):
                                ctypes.c_double(attack), ctypes.c_double(release),
                                ctypes.c_double(env0))
     return float(env), out
+
+
+_MOOG_VARIANT_CODES = {
+    "classic": 0, "classic_lightweight": 1, "improved_classic": 2,
+    "improved_classic_lightweight": 3, "huovilainen": 4, "zdf": 5,
+}
+
+
+def moog(filt, state8, x):
+    """Golden per-sample Moog ladder, all 6 variants + oversampling
+    (oracle for `filters.moog.MoogFilter`; semantics parity with
+    `dsp/filter/moog/moog.go:39-62`). `filt` is a MoogFilter; `state8`
+    is the flat [stage0..3, tanh0..2, prev_out] state. Returns
+    (new_state8, y); float64 throughout."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    code = _MOOG_VARIANT_CODES[filt.variant.value]
+    if code == 5:
+        p0 = filt.zdf_gk
+    else:
+        p0 = filt.coefficient * (2 * filt.thermal_voltage
+                                 if code in (2, 3) else 1.0)
+    params = np.ascontiguousarray(
+        [p0, filt.drive_scale, filt.feedback, filt.input_gain,
+         filt.output_scale], dtype=np.float64)
+    st = np.ascontiguousarray(state8, dtype=np.float64).copy()
+    if st.size != 8:
+        raise ValueError("moog state must have 8 entries")
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(xin)
+    lib.moog_process(code, _dptr(params), filt.oversampling,
+                     filt.newton_iters, _dptr(st), _dptr(xin), _dptr(out),
+                     xin.size)
+    return st, out
+
+
+def dynamics_feedforward(core, x, state=None, sidechain=None):
+    """Golden per-sample feedforward dynamics path: sidechain one-pole
+    prefilters -> peak/windowed-RMS detector -> branching envelope ->
+    log2 soft-knee gain -> makeup (oracle for
+    `effects.dynamics.DynamicsCore.process`; semantics parity with
+    `dsp/effects/dynamics/core.go:274-495`). `state` is the flat
+    [lp, hp_lp, env, rms_ring...] vector (None = zeros). Returns
+    (new_state, y, gains)."""
+    from algodsp_tpu.effects.dynamics.core import DetectorMode, Topology
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    if core.cfg.topology is not Topology.FEEDFORWARD:
+        raise ValueError("golden kernel covers the feedforward topology")
+    w = (core.rms_window
+         if core.cfg.detector_mode == DetectorMode.RMS else 1)
+    n_state = 3 + max(w - 1, 0)
+    if state is None:
+        state = np.zeros(n_state)
+    st = np.ascontiguousarray(state, dtype=np.float64).copy()
+    if st.size != n_state:
+        raise ValueError(f"dynamics state must have {n_state} entries")
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    sc = (xin if sidechain is None
+          else np.ascontiguousarray(sidechain, dtype=np.float64))
+    out = np.empty_like(xin)
+    gains = np.empty_like(xin)
+    cf = 1.0 - 1.0 / core.cfg.ratio
+    lib.dynamics_ff_process(
+        _dptr(xin), _dptr(sc), _dptr(out), _dptr(gains), xin.size,
+        ctypes.c_double(core.lp_coeff), ctypes.c_double(core.hp_coeff),
+        int(w), ctypes.c_double(core.attack_coeff),
+        ctypes.c_double(core.release_coeff),
+        ctypes.c_double(core.threshold_log2),
+        ctypes.c_double(core.cfg.knee_db),
+        ctypes.c_double(core.knee_width_log2),
+        ctypes.c_double(core.inv_knee_width_log2), ctypes.c_double(cf),
+        ctypes.c_double(core.makeup_gain_lin), _dptr(st))
+    return st, out, gains
+
+
+def resample_polyphase(rs, x, hist=None, n_out=None):
+    """Golden per-output-sample polyphase resampler: phase select
+    (m*down) mod up, anchor floor(m*down/up) (oracle for
+    `resample.Resampler`; semantics parity with
+    `dsp/resample/resample.go:249-292`). `hist` = last phase_len-1
+    inputs, oldest first (None = stream start). Returns (new_hist, y)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    bank = np.ascontiguousarray(rs._bank, dtype=np.float64)
+    up, phase_len = bank.shape
+    if hist is None:
+        hist = np.zeros(phase_len - 1)
+    h = np.ascontiguousarray(hist, dtype=np.float64).copy()
+    if h.size != phase_len - 1:
+        raise ValueError("history length must be phase_len-1")
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    if n_out is None:
+        n_out = rs.output_len(xin.size)
+    out = np.empty(n_out, dtype=np.float64)
+    lib.resample_polyphase_process(_dptr(bank), int(up), int(rs.down),
+                                   int(phase_len), _dptr(h), _dptr(xin),
+                                   xin.size, _dptr(out), int(n_out))
+    return h, out
 
 
 class RingBuffer:

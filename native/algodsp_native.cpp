@@ -89,6 +89,267 @@ double envelope_process(const double* in, double* out, long n,
 }
 
 // ---------------------------------------------------------------------------
+// Moog ladder golden kernel — all 6 variants + oversampling.
+// Per-sample float64 oracle for the JAX engine in filters/moog.py
+// (capability parity with dsp/filter/moog/moog.go:39-62; coefficient
+// derivation moog.go:800-853). State: stage[4], tanh_last[3], prev_out
+// (8 doubles, updated in place).
+//
+// variant codes: 0 classic, 1 classic_lightweight, 2 improved_classic,
+// 3 improved_classic_lightweight, 4 huovilainen, 5 zdf.
+// ---------------------------------------------------------------------------
+
+static inline double moog_fast_tanh(double x) {
+    if (x > 3.0) return 1.0;
+    if (x < -3.0) return -1.0;
+    const double x2 = x * x;
+    double v = x * (27.0 + x2) / (27.0 + 9.0 * x2);
+    if (v > 1.0) v = 1.0;
+    if (v < -1.0) v = -1.0;
+    return v;
+}
+
+static inline double moog_clip_state(double x) {
+    const double lim = 32.0;
+    if (x > lim) return lim;
+    if (x < -lim) return -lim;
+    return x;
+}
+
+// One oversampled tick of the classic family (variants 0-3) or
+// Huovilainen (4). coef is pre-multiplied by 2*Vt for improved variants.
+static inline double moog_tick_classic(double* st, double xv, double coef,
+                                       double ds, double fb, double in_gain,
+                                       int fast, int huov) {
+    double* stage = st;         // [0..3]
+    double* tl = st + 4;        // [0..2]
+    double prev = st[7];
+    double u, t_in;
+    double tS0, tS1, tS2, tS3;
+    if (huov) {
+        const double fbv = 0.5 * (stage[3] + prev);
+        u = xv * in_gain - fb * fbv;
+        t_in = std::tanh(ds * u);
+        tS0 = std::tanh(ds * stage[0]);
+        tS1 = std::tanh(ds * stage[1]);
+        tS2 = std::tanh(ds * stage[2]);
+        tS3 = std::tanh(ds * stage[3]);
+    } else {
+        u = xv * in_gain - fb * stage[3];
+        t_in = fast ? moog_fast_tanh(ds * u) : std::tanh(ds * u);
+        tS0 = tl[0];
+        tS1 = tl[1];
+        tS2 = tl[2];
+        tS3 = fast ? moog_fast_tanh(ds * stage[3]) : std::tanh(ds * stage[3]);
+    }
+    const double s0 = moog_clip_state(stage[0] + coef * (t_in - tS0));
+    const double t0 = huov ? std::tanh(ds * s0)
+                           : (fast ? moog_fast_tanh(ds * s0) : std::tanh(ds * s0));
+    const double s1 = moog_clip_state(stage[1] + coef * (t0 - tS1));
+    const double t1 = huov ? std::tanh(ds * s1)
+                           : (fast ? moog_fast_tanh(ds * s1) : std::tanh(ds * s1));
+    const double s2 = moog_clip_state(stage[2] + coef * (t1 - tS2));
+    const double t2 = huov ? std::tanh(ds * s2)
+                           : (fast ? moog_fast_tanh(ds * s2) : std::tanh(ds * s2));
+    const double s3 = moog_clip_state(stage[3] + coef * (t2 - tS3));
+    stage[0] = s0; stage[1] = s1; stage[2] = s2; stage[3] = s3;
+    tl[0] = t0; tl[1] = t1; tl[2] = t2;
+    st[7] = s3;
+    return s3;
+}
+
+// One ZDF tick: TPT ladder with fixed-iteration Newton-Raphson on the
+// feedback unknown (moog.py:_step_zdf semantics; D'Angelo & Valimaki
+// nonlinearity, Zavalishin TPT).
+static inline double moog_tick_zdf(double* st, double xv, double gk,
+                                   double shape, double k, double in_gain,
+                                   int iters) {
+    double* s = st;             // stage[0..3]
+    const double v_scale = gk / shape;
+    const double inp = xv * in_gain;
+    const double tS0 = std::tanh(shape * s[0]);
+    const double tS1 = std::tanh(shape * s[1]);
+    const double tS2 = std::tanh(shape * s[2]);
+    const double tS3 = std::tanh(shape * s[3]);
+
+    double y3est = st[7];
+    double v0 = 0, v1 = 0, v2 = 0, v3 = 0, y3 = 0;
+    for (int it = 0; it <= iters; ++it) {
+        const double u = inp - k * y3est;
+        const double tU = std::tanh(shape * u);
+        v0 = v_scale * (tU - tS0);
+        const double y0 = v0 + s[0];
+        const double d0 = gk * (1.0 - tU * tU);
+        const double tY0 = std::tanh(shape * y0);
+        v1 = v_scale * (tY0 - tS1);
+        const double y1 = v1 + s[1];
+        const double d1 = gk * (1.0 - tY0 * tY0);
+        const double tY1 = std::tanh(shape * y1);
+        v2 = v_scale * (tY1 - tS2);
+        const double y2 = v2 + s[2];
+        const double d2 = gk * (1.0 - tY1 * tY1);
+        const double tY2 = std::tanh(shape * y2);
+        v3 = v_scale * (tY2 - tS3);
+        y3 = v3 + s[3];
+        const double d3 = gk * (1.0 - tY2 * tY2);
+        if (it == iters) break;  // final pass just re-evaluates the ladder
+        const double residual = y3 - y3est;
+        const double J = d0 * d1 * d2 * d3 * (-k) - 1.0;
+        if (std::fabs(J) >= 1e-15) y3est -= residual / J;
+    }
+    s[0] = moog_clip_state(s[0] + 2.0 * v0);
+    s[1] = moog_clip_state(s[1] + 2.0 * v1);
+    s[2] = moog_clip_state(s[2] + 2.0 * v2);
+    s[3] = moog_clip_state(s[3] + 2.0 * v3);
+    st[7] = y3;
+    return y3;
+}
+
+// params: [coef_or_gk, drive_scale, feedback, input_gain, output_scale]
+// (coef already includes the 2*Vt factor for improved variants; gk for
+// ZDF). state: 8 doubles. Oversampling: zero-stuff by `os` with x*os on
+// the first tick, keep the last tick's output.
+void moog_process(int variant, const double* params, int oversampling,
+                  int newton_iters, double* state, const double* in,
+                  double* out, long n) {
+    const double p0 = params[0];
+    const double ds = params[1];
+    const double fb = params[2];
+    const double in_gain = params[3];
+    const double out_scale = params[4];
+    const int fast = (variant == 1 || variant == 3);
+    const int huov = (variant == 4);
+    const int os = oversampling < 1 ? 1 : oversampling;
+    for (long i = 0; i < n; ++i) {
+        double y = 0.0;
+        for (int t = 0; t < os; ++t) {
+            const double xv = (t == 0) ? in[i] * (double)os : 0.0;
+            if (variant == 5)
+                y = moog_tick_zdf(state, xv, p0, ds, fb, in_gain,
+                                  newton_iters);
+            else
+                y = moog_tick_classic(state, xv, p0, ds, fb, in_gain,
+                                      fast, huov);
+        }
+        out[i] = out_scale * y;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Dynamics ballistics golden kernel — the full feedforward detector +
+// gain path (capability parity with dsp/effects/dynamics/core.go:274-495):
+// one-pole sidechain high-cut / low-cut prefilters (core.go:600-662),
+// peak or windowed-RMS detector over a ring buffer (core.go:361-388),
+// branching attack/release envelope (core.go:339-359), log2-domain
+// soft-knee gain computer (core.go:288-329), makeup gain.
+//
+// state layout: [lp, hp_lp, env] then rms ring of (rms_window-1)
+// squared samples, oldest first (matches DynamicsCore.init_state's
+// rms_hist). Updated in place. sidechain `sc` may alias `in`.
+// ---------------------------------------------------------------------------
+
+static inline double dyn_gain_log2(double level, double threshold_log2,
+                                   double knee_db, double knee_width_log2,
+                                   double inv_knee_width_log2,
+                                   double comp_factor) {
+    if (level <= 0.0) return 1.0;
+    const double overshoot = std::log2(level) - threshold_log2;
+    double eff;
+    if (knee_db <= 0.0) {
+        eff = overshoot > 0.0 ? overshoot : 0.0;
+    } else {
+        const double half = knee_width_log2 * 0.5;
+        if (overshoot > half) {
+            eff = overshoot;
+        } else if (overshoot < -half) {
+            eff = 0.0;
+        } else {
+            const double scratch = overshoot + half;
+            eff = scratch * scratch * 0.5 * inv_knee_width_log2;
+        }
+    }
+    return std::exp2(-eff * comp_factor);
+}
+
+void dynamics_ff_process(const double* in, const double* sc, double* out,
+                         double* gains, long n, double lp_coeff,
+                         double hp_coeff, int rms_window, double attack,
+                         double release, double threshold_log2,
+                         double knee_db, double knee_width_log2,
+                         double inv_knee_width_log2, double comp_factor,
+                         double makeup, double* state) {
+    double lp = state[0];
+    double hp_lp = state[1];
+    double env = state[2];
+    double* ring = state + 3;            // rms_window-1 squares, oldest first
+    const int h = rms_window - 1;
+    for (long i = 0; i < n; ++i) {
+        double pre = sc[i];
+        if (lp_coeff > 0.0) { lp += lp_coeff * (pre - lp); pre = lp; }
+        if (hp_coeff > 0.0) { hp_lp += hp_coeff * (pre - hp_lp); pre -= hp_lp; }
+        double src = std::fabs(pre);
+        if (rms_window > 1) {
+            const double sq = src * src;
+            double sum = sq;
+            for (int k = 0; k < h; ++k) sum += ring[k];
+            // shift ring (oldest first) and append
+            for (int k = 0; k < h - 1; ++k) ring[k] = ring[k + 1];
+            ring[h - 1] = sq;
+            double mean = sum / (double)rms_window;
+            src = mean > 0.0 ? std::sqrt(mean) : 0.0;
+        }
+        if (src > env) env += (src - env) * attack;      // rising
+        else           env = src + (env - src) * release; // falling
+        const double g = dyn_gain_log2(env, threshold_log2, knee_db,
+                                       knee_width_log2, inv_knee_width_log2,
+                                       comp_factor);
+        if (gains) gains[i] = g;
+        out[i] = in[i] * g * makeup;
+    }
+    state[0] = lp;
+    state[1] = hp_lp;
+    state[2] = env;
+}
+
+// ---------------------------------------------------------------------------
+// Polyphase rational resampler golden kernel — the per-output-sample
+// branch-select loop (capability parity with dsp/resample/
+// resample.go:249-292): output m uses phase (m*down) mod up and input
+// anchor floor(m*down/up); y[m] = sum_k bank[p][k] * x[i-k] with
+// history for indices before the block. hist holds the last L-1 inputs
+// (oldest first) and is updated in place.
+// ---------------------------------------------------------------------------
+
+void resample_polyphase_process(const double* bank, int up, int down,
+                                int phase_len, double* hist,
+                                const double* in, long n_in, double* out,
+                                long n_out) {
+    const int h = phase_len - 1;
+    for (long m = 0; m < n_out; ++m) {
+        const long step = m * (long)down;
+        const int p = (int)(step % up);
+        const long anchor = step / up;
+        double acc = 0.0;
+        const double* row = bank + (long)p * phase_len;
+        for (int k = 0; k < phase_len; ++k) {
+            const long j = anchor - k;
+            double x;
+            if (j >= 0) {
+                x = (j < n_in) ? in[j] : 0.0;
+            } else {
+                x = (h + j >= 0) ? hist[h + j] : 0.0;
+            }
+            acc += row[k] * x;
+        }
+        out[m] = acc;
+    }
+    for (int k = 0; k < h; ++k) {
+        const long j = n_in - h + k;
+        hist[k] = (j >= 0) ? in[j] : hist[k + (int)n_in];
+    }
+}
+
+// ---------------------------------------------------------------------------
 // SPSC ring buffer for real-time block streaming (float32 frames)
 // ---------------------------------------------------------------------------
 

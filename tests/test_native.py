@@ -111,3 +111,140 @@ def test_ring_read_into_staging():
     np.testing.assert_array_equal(big[:4], np.arange(6, 10, dtype=np.float32))
     with pytest.raises(ValueError):
         rb.read_into(np.empty(4, np.float64))
+
+
+# ---------------------------------------------------------------------------
+# Round-4 golden families: Moog (6 variants), dynamics ballistics,
+# polyphase resampler — the independent per-sample oracles the blocked
+# JAX engines are asserted against (>=120 dB, SURVEY.md §4.4).
+# ---------------------------------------------------------------------------
+
+from algodsp_tpu.filters.moog import MoogFilter, MoogVariant
+
+
+def _moog_state8(st):
+    return np.concatenate([np.asarray(st["stage"], np.float64),
+                           np.asarray(st["tanh_last"], np.float64),
+                           np.atleast_1d(np.asarray(st["prev_out"],
+                                                    np.float64))])
+
+
+@pytest.mark.parametrize("variant", list(MoogVariant),
+                         ids=[v.value for v in MoogVariant])
+def test_native_moog_matches_jax_all_variants(variant):
+    filt = MoogFilter(48000.0, variant=variant, cutoff_hz=1800.0,
+                      resonance=2.4, drive=2.0)
+    rng = np.random.default_rng(20)
+    x = rng.standard_normal(512) * 0.5
+    st_j = filt.init_state(dtype=jnp.float64)
+    _, y_jax = filt.process(st_j, jnp.asarray(x))
+    _, y_gold = native.moog(filt, np.zeros(8), x)
+    assert snr_db(y_gold, np.asarray(y_jax)) > 120
+
+
+def test_native_moog_oversampled_and_streaming():
+    """os=4 Huovilainen: zero-stuff/decimate ticks match, and two
+    half-block golden calls equal one (state carry)."""
+    filt = MoogFilter(48000.0, variant=MoogVariant.HUOVILAINEN,
+                      cutoff_hz=3000.0, resonance=3.0, oversampling=4)
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal(256) * 0.4
+    st_j = filt.init_state(dtype=jnp.float64)
+    _, y_jax = filt.process(st_j, jnp.asarray(x))
+    st, y1 = native.moog(filt, np.zeros(8), x[:128])
+    st, y2 = native.moog(filt, st, x[128:])
+    y_gold = np.concatenate([y1, y2])
+    assert snr_db(y_gold, np.asarray(y_jax)) > 120
+
+
+def test_native_moog_zdf_newton_iters():
+    filt = MoogFilter(48000.0, variant=MoogVariant.ZDF, cutoff_hz=900.0,
+                      resonance=3.6, drive=4.0, newton_iters=2)
+    rng = np.random.default_rng(22)
+    x = rng.standard_normal(300) * 0.3
+    st_j = filt.init_state(dtype=jnp.float64)
+    _, y_jax = filt.process(st_j, jnp.asarray(x))
+    _, y_gold = native.moog(filt, np.zeros(8), x)
+    assert snr_db(y_gold, np.asarray(y_jax)) > 120
+
+
+from algodsp_tpu.effects.dynamics.core import (DetectorMode, DynamicsConfig,
+                                               DynamicsCore)
+
+
+@pytest.mark.parametrize("detector,prefilter", [
+    ("peak", False), ("rms", False), ("rms", True)],
+    ids=["peak", "rms", "rms+prefilters"])
+def test_native_dynamics_ballistics_matches_jax(detector, prefilter):
+    kw = dict(sample_rate=48000.0, threshold_db=-16.0, ratio=4.0,
+              knee_db=6.0, attack_ms=2.0, release_ms=60.0,
+              makeup_gain_db=1.5)
+    if detector == "rms":
+        kw.update(detector_mode=DetectorMode.RMS, rms_window_ms=5.0)
+    if prefilter:
+        kw.update(sidechain_low_cut_hz=100.0, sidechain_high_cut_hz=8000.0)
+    core = DynamicsCore(DynamicsConfig(**kw))
+    rng = np.random.default_rng(23)
+    x = rng.standard_normal(2048) * 0.6
+    st_j = core.init_state((), jnp.float64)
+    _, y_jax, g_jax = core.process(st_j, jnp.asarray(x))
+    _, y_gold, g_gold = native.dynamics_feedforward(core, x)
+    assert snr_db(y_gold, np.asarray(y_jax)) > 120
+    assert snr_db(g_gold, np.asarray(g_jax)) > 120
+
+
+def test_native_dynamics_streaming_state_carry():
+    core = DynamicsCore(DynamicsConfig(
+        sample_rate=48000.0, detector_mode=DetectorMode.RMS,
+        rms_window_ms=3.0, sidechain_low_cut_hz=120.0, threshold_db=-20.0,
+        ratio=6.0, attack_ms=1.0, release_ms=40.0))
+    rng = np.random.default_rng(24)
+    x = rng.standard_normal(1600) * 0.5
+    _, y_once, _ = native.dynamics_feedforward(core, x)
+    st, y1, _ = native.dynamics_feedforward(core, x[:700])
+    st, y2, _ = native.dynamics_feedforward(core, x[700:], state=st)
+    np.testing.assert_allclose(np.concatenate([y1, y2]), y_once, atol=1e-12)
+
+
+def test_native_dynamics_external_sidechain():
+    core = DynamicsCore(DynamicsConfig(sample_rate=48000.0,
+                                       threshold_db=-24.0, ratio=8.0))
+    rng = np.random.default_rng(25)
+    x = rng.standard_normal(1024)
+    sc = rng.standard_normal(1024) * 0.3
+    st_j = core.init_state((), jnp.float64)
+    _, y_jax, _ = core.process(st_j, jnp.asarray(x), jnp.asarray(sc))
+    _, y_gold, _ = native.dynamics_feedforward(core, x, sidechain=sc)
+    assert snr_db(y_gold, np.asarray(y_jax)) > 120
+
+
+from algodsp_tpu.resample import Quality, Resampler
+
+
+@pytest.mark.parametrize("up,down", [(2, 1), (3, 2), (147, 160), (1, 3)],
+                         ids=["2:1", "3:2", "147:160", "1:3"])
+def test_native_resampler_matches_jax(up, down):
+    """Per-output-sample polyphase branch-select loop vs the strided-conv
+    JAX engine (the two formulations derive the same sample map)."""
+    rs = Resampler(up, down, quality=Quality.BALANCED)
+    rng = np.random.default_rng(26)
+    x = rng.standard_normal(1000)
+    y_jax = np.asarray(rs.process(jnp.asarray(x, jnp.float64)))
+    _, y_gold = native.resample_polyphase(rs, x)
+    assert y_gold.size == y_jax.size
+    assert snr_db(y_gold, y_jax) > 120
+
+
+def test_native_resampler_streaming_matches_jax_stream():
+    rs = Resampler(4, 3, quality=Quality.FAST)
+    rng = np.random.default_rng(27)
+    x = rng.standard_normal(1200)
+    st_j = rs.init_state(dtype=jnp.float64)
+    st_j, yj1 = rs.process_stream(st_j, jnp.asarray(x[:600], jnp.float64))
+    st_j, yj2 = rs.process_stream(st_j, jnp.asarray(x[600:], jnp.float64))
+    y_jax = np.concatenate([np.asarray(yj1), np.asarray(yj2)])
+    h, yg1 = native.resample_polyphase(rs, x[:600], n_out=600 * 4 // 3)
+    h, yg2 = native.resample_polyphase(rs, x[600:], hist=h,
+                                       n_out=600 * 4 // 3)
+    y_gold = np.concatenate([yg1, yg2])
+    assert snr_db(y_gold, y_jax) > 120
