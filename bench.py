@@ -107,12 +107,18 @@ def main():
 
     dt_bq = _timeit(biquads, x)
     from algodsp_tpu.ops import cascade as cascmod
-    B = chain.block_size
-    d = 2 * chain.num_runtime_sections + 2
+    from algodsp_tpu.ops import linrec
+    # the bulk one-shot path re-blocks to B=256 (biquad.py:process_cascade),
+    # so model the flops of the kernels that actually ran: 256-conditioned
+    # SOS, B=256, its own sweep count
+    B = 256
+    sos_bulk = (linrec.condition_sos(chain.sos, B)
+                if chain._condition else chain.sos)
+    d = 2 * sos_bulk.shape[0] + 2
     K = n // B
     sweeps = len(cascmod._sweep_mats(
-        np.ascontiguousarray(chain.runtime_sos).tobytes(),
-        chain.num_runtime_sections, B, K))
+        np.ascontiguousarray(np.asarray(sos_bulk, np.float64)).tobytes(),
+        sos_bulk.shape[0], B, K))
     flops = 2.0 * channels * (n * (B + 2 * d) + K * d * d * sweeps)
     roofline_pct = 100.0 * (flops / dt_bq) / TPU_PEAKS["v5e"]["flops_f32"]
 

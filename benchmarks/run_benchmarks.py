@@ -189,6 +189,50 @@ def main():
     row("WSOLA pitch shift +3 st, 64ch x 2^16",
         bench(f_w, xw), 64 * (1 << 16))
 
+    # 11. multi-block single-dispatch streaming (streaming.scan_blocks /
+    # Chain.process_blocks): 256 latency blocks of 2048 per dispatch so
+    # the ~3-6 ms relay floor amortizes; same per-block state semantics
+    # as rows 9 (exactness asserted in tests/test_streaming.py)
+    import functools
+    import json as _json
+    from algodsp_tpu.streaming import scan_blocks
+    nb = 256
+    xs = jnp.asarray(rng.standard_normal((64, 2048 * nb)), jnp.float32)
+    for name, eff in (("Freeverb", fv), ("FDN reverb", fdn),
+                      ("feedback delay 250ms", dl)):
+        f_s = jax.jit(functools.partial(scan_blocks, eff.process,
+                                        block_size=2048))
+        row(f"{name} streamed, 64ch x 2048 x {nb} blocks (one dispatch)",
+            bench(f_s, eff.init_state((64,)), xs), 64 * 2048 * nb)
+    from algodsp_tpu.chain import Chain
+    c4 = Chain(sr, block_size=2048)
+    c4.load_graph(_json.dumps({
+        "nodes": [
+            {"id": "comp", "type": "dyn-compressor",
+             "params": {"thresholdDB": -20.0, "ratio": 4.0}},
+            {"id": "rev", "type": "reverb-freeverb",
+             "params": {"wet": 0.2, "dry": 1.0}},
+            {"id": "cho", "type": "chorus", "params": {"mix": 0.4}},
+            {"id": "del", "type": "delay",
+             "params": {"time": 0.1, "feedback": 0.3, "mix": 0.25}},
+        ],
+        "connections": [
+            {"from": "_input", "to": "comp"},
+            {"from": "comp", "to": "rev"},
+            {"from": "rev", "to": "cho"},
+            {"from": "cho", "to": "del"},
+            {"from": "del", "to": "_output"},
+        ]}))
+    f_c4 = jax.jit(c4.process_blocks)
+    row(f"config-4 chain streamed, 64ch x 2048 x {nb} blocks (one dispatch)",
+        bench(f_c4, c4.init_state((64,)), xs), 64 * 2048 * nb)
+    f_vs = jax.jit(functools.partial(scan_blocks, voc.process,
+                                     block_size=2048))
+    xvs = jnp.asarray(rng.standard_normal((8, 2048 * nb)), jnp.float32)
+    cvs = jnp.asarray(rng.standard_normal((8, 2048 * nb)), jnp.float32)
+    row(f"vocoder streamed, 8ch x 2048 x {nb} blocks (one dispatch)",
+        bench(f_vs, voc.init_state((8,)), xvs, cvs), 8 * 2048 * nb)
+
     print(f"\nBackend: {jax.default_backend()}, devices: {jax.devices()}\n")
     print("| Benchmark | ms/call | Msamples/s | Notes |")
     print("|---|---:|---:|---|")
@@ -226,6 +270,37 @@ def roofline_main():
               f"({m.flops_roofline_pct or 0:.1f}% f32 peak), "
               f"{(m.achieved_gbps or 0)/1e9:.0f} GB/s "
               f"({m.bandwidth_roofline_pct or 0:.1f}% HBM)", file=sys.stderr)
+
+    # 0. measured machine ceilings — what "peak" actually means in this
+    #    environment. The nominal v5e table numbers (98 TFLOP/s f32,
+    #    819 GB/s HBM) are NOT reachable by a HIGHEST-precision (6-pass
+    #    bf16) matmul or a plain stream through the axon relay; these
+    #    two anchors are the achievable rooflines the %-columns should
+    #    be read against.
+    # Each anchor iterates its op inside ONE dispatch (fori_loop with a
+    # data dependence XLA cannot fuse away), so the 3-6 ms relay floor
+    # is amortized out of the ceiling measurement.
+    ITS = 16
+    xa = jnp.asarray(rng.standard_normal((8, 1 << 24)), jnp.float32)
+    fa = jax.jit(lambda a: jax.lax.fori_loop(
+        0, ITS, lambda i, v: jnp.roll(v, 1, axis=-1), a))
+    m = measure_op(fa, xa, reps=5, flops=0.0,
+                   bytes_accessed=ITS * 2.0 * 4 * 8 * (1 << 24))
+    row(f"ANCHOR stream ({ITS}x 537 MB f32 copy, one dispatch)", m,
+        "achievable HBM ceiling for the %HBM column")
+    bw_ceiling = m.achieved_gbps
+    ba = jnp.asarray(rng.standard_normal((1 << 19, 256)), jnp.float32)
+    Wa = jnp.asarray(np.linalg.qr(rng.standard_normal((256, 256)))[0],
+                     jnp.float32)  # orthonormal: iterates stay finite
+    fm = jax.jit(lambda a, b: jax.lax.fori_loop(
+        0, ITS, lambda i, v: jnp.dot(
+            v, b, precision=jax.lax.Precision.HIGHEST), a))
+    m = measure_op(fm, ba, Wa, reps=5,
+                   flops=ITS * 2.0 * (1 << 19) * 256 * 256,
+                   bytes_accessed=ITS * 2.0 * 4 * (1 << 19) * 256)
+    row(f"ANCHOR matmul ({ITS}x (2^19,256)@(256,256) HIGHEST)", m,
+        "achievable f32-HIGHEST MXU ceiling for the %f32 column")
+    flop_ceiling = m.achieved_flops
 
     # 1. folded biquad cascade (headline formulation, 8ch folded -> 128
     #    lanes). FLOPs: Toeplitz matmul, 2*B MACs/sample/section.
@@ -302,11 +377,13 @@ def roofline_main():
     row("fftconvolve 2^17 x 2^17-tap, 64ch", m, "single big rfft pair")
 
     # 7. whole-cascade block engine (ops/cascade.py) — its ACTUAL op
-    #    count: (B + 2d) MACs/sample + d^2 per block per kept sweep
+    #    count: (B + 2d) MACs/sample + d^2 per block per kept sweep.
+    #    The bulk one-shot path re-blocks to B=256
+    #    (biquad.py:process_cascade), so model THOSE kernels.
     from algodsp_tpu.ops import cascade as cascmod
     sosc = np.concatenate([bq.runtime_sos, aw.runtime_sos])
     chain = BiquadChain(sosc, condition=False)
-    Bc = chain.block_size
+    Bc = 256
     dd = 2 * chain.num_runtime_sections + 2
     Kc = n // Bc
     nsw = len(cascmod._sweep_mats(
@@ -318,7 +395,7 @@ def roofline_main():
                    bytes_accessed=4.0 * 4 * C * n)
     row(f"whole-cascade engine ({chain.num_runtime_sections} sections), "
         f"8ch x 2^20", m,
-        f"one Toeplitz pass for all sections; {nsw} carry sweeps")
+        f"one B=256 Toeplitz pass for all sections; {nsw} carry sweeps")
 
     # 8. fused Pallas FDL conv kernel — actual matmul op count
     from algodsp_tpu.ops import fdlconv
@@ -339,14 +416,20 @@ def roofline_main():
         "HIGHEST-precision MXU matmuls; spectra never leave VMEM")
 
     print(f"\nBackend: {jax.default_backend()}\n")
-    print("| Kernel | ms | TFLOP/s | % f32 peak | GB/s | % HBM | Notes |")
-    print("|---|---:|---:|---:|---:|---:|---|")
+    print("| Kernel | ms | TFLOP/s | % f32 peak | % mach | GB/s | % HBM "
+          "| % mach | Notes |")
+    print("|---|---:|---:|---:|---:|---:|---:|---:|---|")
     for name, m, note in rows:
+        pm_f = 100.0 * (m.achieved_flops or 0) / flop_ceiling
+        pm_b = 100.0 * (m.achieved_gbps or 0) / bw_ceiling
         print(f"| {name} | {m.seconds*1e3:.2f} | "
               f"{(m.achieved_flops or 0)/1e12:.2f} | "
-              f"{m.flops_roofline_pct or 0:.1f} | "
+              f"{m.flops_roofline_pct or 0:.1f} | {pm_f:.0f} | "
               f"{(m.achieved_gbps or 0)/1e9:.0f} | "
-              f"{m.bandwidth_roofline_pct or 0:.1f} | {note} |")
+              f"{m.bandwidth_roofline_pct or 0:.1f} | {pm_b:.0f} | {note} |")
+    print("\n'% mach' columns: same numerators divided by the measured "
+          "ANCHOR ceilings above (the nominal-peak columns keep the "
+          "BASELINE.json definition).")
 
 
 if __name__ == "__main__":
