@@ -57,6 +57,14 @@ def _load():
     lib.resample_polyphase_process.argtypes = [
         dp, ctypes.c_int, ctypes.c_int, ctypes.c_int, dp, dp, ctypes.c_long,
         dp, ctypes.c_long]
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.freeverb_process.restype = ctypes.c_long
+    lib.freeverb_process.argtypes = (
+        [ip, ctypes.c_int, ip, ctypes.c_int] + [ctypes.c_double] * 6
+        + [dp, dp, dp, ctypes.c_long, dp, dp, ctypes.c_long])
+    lib.fdn_process.restype = ctypes.c_long
+    lib.fdn_process.argtypes = [dp, dp, dp, dp, dp, ctypes.c_long, dp, dp,
+                                ctypes.c_long]
     lib.ring_create.restype = ctypes.c_void_p
     lib.ring_create.argtypes = [ctypes.c_long]
     lib.ring_destroy.argtypes = [ctypes.c_void_p]
@@ -223,6 +231,65 @@ def resample_polyphase(rs, x, hist=None, n_out=None):
                                    int(phase_len), _dptr(h), _dptr(xin),
                                    xin.size, _dptr(out), int(n_out))
     return h, out
+
+
+def freeverb(fv, x, state=None, step: int = 0):
+    """Golden per-sample Freeverb (oracle for
+    `effects.reverb.Freeverb`; semantics parity with
+    `dsp/effects/reverb/reverb.go:118-166`). `state` is
+    (combs_flat, fstore, allp_flat) f64 arrays (None = zeros). Returns
+    (new_state, new_step, y)."""
+    from algodsp_tpu.effects.reverb.freeverb import (ALLPASS_TUNINGS,
+                                                     COMB_TUNINGS)
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    csz = np.asarray(COMB_TUNINGS, np.int32)
+    asz = np.asarray(ALLPASS_TUNINGS, np.int32)
+    if state is None:
+        state = (np.zeros(int(csz.sum())), np.zeros(csz.size),
+                 np.zeros(int(asz.sum())))
+    combs, fstore, allp = (np.ascontiguousarray(a, np.float64).copy()
+                           for a in state)
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(xin)
+    iptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+    new_step = lib.freeverb_process(
+        iptr(csz), csz.size, iptr(asz), asz.size,
+        ctypes.c_double(fv.input_gain), ctypes.c_double(fv.comb_feedback),
+        ctypes.c_double(fv.allpass_feedback), ctypes.c_double(fv.damp),
+        ctypes.c_double(fv.wet), ctypes.c_double(fv.dry),
+        _dptr(combs), _dptr(fstore), _dptr(allp), int(step),
+        _dptr(xin), _dptr(out), xin.size)
+    return (combs, fstore, allp), int(new_step), out
+
+
+def fdn(rv, x, state=None, step: int = 0):
+    """Golden per-sample FDN reverb (oracle for
+    `effects.reverb.FDNReverb`; semantics parity with
+    `dsp/effects/reverb/fdn_reverb.go:196-259`). `state` is
+    (lines (8, L), pre (P,), filt (8,), lfo scalar) f64 (None = zeros).
+    Returns (new_state, new_step, y)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    L, P = rv.line_len, rv.pre_len
+    if state is None:
+        state = (np.zeros((8, L)), np.zeros(P), np.zeros(8), 0.0)
+    lines = np.ascontiguousarray(state[0], np.float64).copy().reshape(8, L)
+    pre = np.ascontiguousarray(state[1], np.float64).copy()
+    filt = np.ascontiguousarray(state[2], np.float64).copy()
+    lfo = np.asarray([float(state[3])], np.float64)
+    dphase = 2.0 * np.pi * rv.mod_rate / rv.sample_rate
+    params = np.ascontiguousarray(np.concatenate([
+        [L, P, rv.pre_delay, rv.mod_depth, dphase, rv.gain, rv.damp,
+         rv.wet, rv.dry], rv.base_delays, rv.feedback_gains]), np.float64)
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(xin)
+    new_step = lib.fdn_process(_dptr(params), _dptr(lines), _dptr(pre),
+                               _dptr(filt), _dptr(lfo), int(step),
+                               _dptr(xin), _dptr(out), xin.size)
+    return (lines, pre, filt, float(lfo[0])), int(new_step), out
 
 
 class RingBuffer:

@@ -350,6 +350,140 @@ void resample_polyphase_process(const double* bank, int up, int down,
 }
 
 // ---------------------------------------------------------------------------
+// Freeverb golden kernel — per-sample Schroeder reverb oracle for the
+// blocked JAX engine (capability parity with dsp/effects/reverb/
+// reverb.go:5-200): 8 parallel feedback combs with in-loop damping
+// one-pole and 1e-23 denormal squelch, 4 serial allpasses, shared
+// sample counter indexing each ring modulo its own tuning length.
+//
+// comb_sizes/allpass_sizes passed explicitly; state arrays are the
+// concatenated rings (combs, then fstore[n_combs], then allpasses) and
+// are updated in place. step is the global sample counter.
+// ---------------------------------------------------------------------------
+
+long freeverb_process(const int* comb_sizes, int n_combs,
+                      const int* allpass_sizes, int n_allpasses,
+                      double input_gain, double comb_feedback,
+                      double allpass_feedback, double damp, double wet,
+                      double dry, double* combs, double* fstore,
+                      double* allpasses, long step, const double* in,
+                      double* out, long n) {
+    const double da = damp, db = 1.0 - damp;
+    for (long s = 0; s < n; ++s) {
+        const double xv = in[s];
+        const double inp = input_gain * xv;
+        double acc = 0.0;
+        double* buf = combs;
+        for (int i = 0; i < n_combs; ++i) {
+            const int size = comb_sizes[i];
+            const long idx = step % size;
+            const double o = buf[idx];
+            double fs = o * db + fstore[i] * da;
+            if (std::fabs(fs) < 1e-23) fs = 0.0;
+            buf[idx] = inp + fs * comb_feedback;
+            fstore[i] = fs;
+            acc += o;
+            buf += size;
+        }
+        buf = allpasses;
+        for (int j = 0; j < n_allpasses; ++j) {
+            const int size = allpass_sizes[j];
+            const long idx = step % size;
+            const double bo = buf[idx];
+            buf[idx] = acc + bo * allpass_feedback;
+            acc = bo - acc;
+            buf += size;
+        }
+        out[s] = acc * wet + xv * dry;
+        ++step;
+    }
+    return step;
+}
+
+// ---------------------------------------------------------------------------
+// FDN reverb golden kernel — per-sample 8-line feedback-delay-network
+// oracle (capability parity with dsp/effects/reverb/
+// fdn_reverb.go:9-330): fractional pre-delay, sinusoidal per-line
+// delay modulation with 2*pi*i/8 phase offsets, linear-interp
+// fractional reads, 8x8 Hadamard feedback (1/sqrt(8) scaled), in-loop
+// one-pole damping, RT60-derived per-line feedback gains.
+//
+// params: [line_len, pre_len, pre_delay, mod_depth, dphase, gain,
+//          damp, wet, dry, base_delays[8], feedback_gains[8]]
+// state: lines (8*line_len), pre (pre_len), filter (8), lfo phase (1),
+// all updated in place. step is the global sample counter.
+// ---------------------------------------------------------------------------
+
+static inline double fdn_frac_read(const double* buf, int L, double wp,
+                                   double delay) {
+    double pos = std::fmod(wp - delay, (double)L);
+    if (pos < 0.0) pos += (double)L;
+    const long i0 = (long)std::floor(pos);
+    const double frac = pos - (double)i0;
+    const long a = ((i0 % L) + L) % L;
+    const long b = (a + 1) % L;
+    return buf[a] * (1.0 - frac) + buf[b] * frac;
+}
+
+long fdn_process(const double* params, double* lines, double* pre,
+                 double* filt, double* lfo_phase, long step,
+                 const double* in, double* out, long n) {
+    const int L = (int)params[0];
+    const int P = (int)params[1];
+    const double pre_delay = params[2];
+    const double mod_depth = params[3];
+    const double dphase = params[4];
+    const double gain = params[5];
+    const double damp = params[6];
+    const double wet = params[7];
+    const double dry = params[8];
+    const double* base = params + 9;
+    const double* fb_g = params + 17;
+    const double two_pi = 2.0 * M_PI;
+    // 8x8 Hadamard (Sylvester), scaled by `gain` at use site
+    static const int had8[8][8] = {
+        {+1,+1,+1,+1,+1,+1,+1,+1}, {+1,-1,+1,-1,+1,-1,+1,-1},
+        {+1,+1,-1,-1,+1,+1,-1,-1}, {+1,-1,-1,+1,+1,-1,-1,+1},
+        {+1,+1,+1,+1,-1,-1,-1,-1}, {+1,-1,+1,-1,-1,+1,-1,+1},
+        {+1,+1,-1,-1,-1,-1,+1,+1}, {+1,-1,-1,+1,-1,+1,+1,-1}};
+    double lfo = *lfo_phase;
+    for (long s = 0; s < n; ++s) {
+        const double xv = in[s];
+        double inp = xv;
+        if (pre_delay > 0.0) {
+            const long wp = step % P;
+            pre[wp] = xv;
+            inp = fdn_frac_read(pre, P, (double)wp, pre_delay);
+        }
+        const long wp_l = step % L;
+        double d[8], fb[8];
+        for (int i = 0; i < 8; ++i) {
+            const double mod = 0.5 * (1.0 + std::sin(
+                lfo + two_pi * (double)i / 8.0));
+            const double delay = base[i] + mod_depth * mod;
+            d[i] = fdn_frac_read(lines + (long)i * L, L, (double)wp_l, delay);
+        }
+        double acc = 0.0;
+        for (int i = 0; i < 8; ++i) {
+            double v = 0.0;
+            for (int j = 0; j < 8; ++j) v += (double)had8[i][j] * d[j];
+            fb[i] = v * gain;
+            acc += d[i];
+        }
+        for (int i = 0; i < 8; ++i) {
+            const double filtered = fb[i] * (1.0 - damp) + filt[i] * damp;
+            filt[i] = filtered;
+            lines[(long)i * L + wp_l] = inp * gain + filtered * fb_g[i];
+        }
+        out[s] = xv * dry + acc * gain * wet;
+        lfo = std::fmod(lfo + dphase, two_pi);
+        ++step;
+    }
+    *lfo_phase = lfo;
+    return step;
+}
+
+// ---------------------------------------------------------------------------
 // SPSC ring buffer for real-time block streaming (float32 frames)
 // ---------------------------------------------------------------------------
 
