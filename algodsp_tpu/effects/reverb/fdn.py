@@ -10,10 +10,10 @@ fractional pre-delay.
 TPU design — blocked feedback processing: every feedback read lags by
 at least the shortest line delay (1537 samples at 44.1 kHz, scaled), so
 a block of B=128 samples never reads a value written inside the same
-block.  Per block: the 8 modulated fractional reads become two batched
-gathers, the Hadamard mix an 8x8 matmul over the whole block, and the
-in-loop damping one-pole an exact 128x128 lower-triangular Toeplitz
-matmul plus carry term.  The pre-delay is a pure input delay (no
+block.  Per block: the 8 modulated fractional reads become a static
+set of contiguous dynamic slices, the Hadamard mix an 8x8 matmul over
+the whole block, and the in-loop damping one-pole an exact log-depth
+affine composition (`linrec.affine1_scan`) plus carry term.  The pre-delay is a pure input delay (no
 feedback), so it is applied to the whole call vectorized, outside the
 scan.  ~128x fewer sequential steps than the per-sample `lax.scan`
 (`process_scan`, kept for parity testing); results are exact.
@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ...ops import ring
+from ...ops import linrec, ring
 
 FDN_SIZE = 8
 _DELAYS_441 = np.array([1537, 1753, 1999, 2251, 2473, 2689, 2851, 3067],
@@ -81,11 +81,6 @@ class FDNReverb:
             B //= 2
         self._block = B
         self._nshift = int(np.ceil(drift * B)) + 3
-        da, db = self.damp, 1.0 - self.damp
-        t = np.arange(max(self._block, 1))
-        lag = t[:, None] - t[None, :]
-        self._damp_T = np.where(lag >= 0, db * da ** np.maximum(lag, 0), 0.0)
-        self._damp_p = da ** (t + 1.0)
 
     def init_state(self, batch_shape=(), dtype=jnp.float32):
         return {
@@ -142,8 +137,6 @@ class FDNReverb:
         had = jnp.asarray(self.hadamard, dtype)
         fb_g = jnp.asarray(self.feedback_gains, dtype)
         base = jnp.asarray(self.base_delays, dtype)
-        T = jnp.asarray(self._damp_T[:B, :B], dtype)
-        p = jnp.asarray(self._damp_p[:B], dtype)
         phase_off = jnp.asarray(2.0 * np.pi * np.arange(FDN_SIZE) / FDN_SIZE,
                                 dtype)
         dphase = 2.0 * np.pi * self.mod_rate / self.sample_rate
@@ -176,9 +169,14 @@ class FDNReverb:
         d = jnp.stack(reads, axis=-2)                             # (...,8,B)
         feedback = jnp.einsum("ij,...jt->...it", had, d,
                               precision=jax.lax.Precision.HIGHEST)
-        filtered = (jnp.einsum("...ck,tk->...ct", feedback, T,
-                               precision=jax.lax.Precision.HIGHEST)
-                    + fstate[..., None] * p)                      # (...,8,B)
+        # in-loop damping one-pole fs[t] = (1-da)*fb[t] + da*fs[t-1] as
+        # a log-depth affine composition — exact, and ~2*log2(B) VPU
+        # ops/sample instead of the 2*B MACs a dense B x B Toeplitz
+        # matmul costs (at B=1024 that matmul dominated the block)
+        da = jnp.asarray(self.damp, dtype)
+        M, Bv = linrec.affine1_scan(
+            jnp.broadcast_to(da, feedback.shape), (1.0 - da) * feedback)
+        filtered = M * fstate[..., None] + Bv                     # (...,8,B)
         write = inpb[..., None, :] * self.gain + filtered * fb_g[:, None]
         lines = jnp.concatenate([lines[..., B:], write], axis=-1)
         out = jnp.sum(d, axis=-2) * self.gain
