@@ -307,14 +307,14 @@ def roofline_main():
     #    Bytes: signal read+written once per section pass (f32).
     bq = BiquadChain(design.butterworth_lp(2000.0, 10, sr))
     aw = weighting_chain(WeightingType.A, sr)
-    C, n = 8, 1 << 20
+    C, n = 8, 1 << 23
     x = jnp.asarray(rng.standard_normal((C, n)), jnp.float32)
     f = jax.jit(lambda x: aw.process_folded(bq.process_folded(x)))
     secs = bq.num_runtime_sections + aw.num_runtime_sections
     m = measure_op(f, x, reps=5,
                    flops=2.0 * biquad_cascade_flops(C, n, secs),
                    bytes_accessed=2.0 * 4 * C * n * secs)
-    row(f"folded biquad cascade ({secs} sections), 8ch x 2^20", m,
+    row(f"folded biquad cascade ({secs} sections), 8ch x 2^23", m,
         "Toeplitz matmul 2B MACs/sample/section")
 
     # 2. wide biquad cascade (512 ch, lanes full without folding)
@@ -329,7 +329,7 @@ def roofline_main():
 
     # 3. Pallas envelope follower kernel (1 mul + 2 add/sample => VPU;
     #    bytes: x read, env written)
-    C3, n3 = 512, 1 << 16
+    C3, n3 = 512, 1 << 18
     x3 = jnp.abs(jnp.asarray(rng.standard_normal((C3, n3)), jnp.float32))
     att = jnp.full((C3,), 0.01, jnp.float32)
     rel = jnp.full((C3,), 0.001, jnp.float32)
@@ -337,26 +337,26 @@ def roofline_main():
         x, jnp.zeros((C3,), jnp.float32), att, rel))
     m = measure_op(f3, x3, reps=5, flops=4.0 * C3 * n3,
                    bytes_accessed=2.0 * 4 * C3 * n3)
-    row("Pallas envelope scan, 512ch x 2^16", m,
+    row("Pallas envelope scan, 512ch x 2^18", m,
         "sequential scan: latency-bound, not FLOP-bound")
 
     # 4. fused Pallas Moog ladder (classic: ~36 flops/sample incl tanh)
     mg = MoogFilter(sr, variant=MoogVariant.CLASSIC, cutoff_hz=2000.0,
                     resonance=0.5)
-    C4, n4 = 128, 1 << 15
+    C4, n4 = 128, 1 << 16
     x4 = jnp.asarray(rng.standard_normal((C4, n4)), jnp.float32)
     st4 = mg.init_state((C4,))
     f4 = jax.jit(lambda s, x: mg.process(s, x))
     m = measure_op(f4, st4, x4, reps=5, flops=36.0 * C4 * n4,
                    bytes_accessed=2.0 * 4 * C4 * n4)
-    row("fused Pallas Moog ladder (classic), 128ch x 2^15", m,
+    row("fused Pallas Moog ladder (classic), 128ch x 2^16", m,
         "5 tanh + 4 one-poles/sample in VMEM")
 
     # 5. FDL conv reverb bulk (FFT MACs on the MXU)
     ir = (rng.standard_normal(1 << 17)
           * np.exp(-np.arange(1 << 17) / 20000)).astype(np.float32)
     pc = PartitionedConvolver(ir, min_block_order=10)
-    C5, n5 = 8, 1 << 20
+    C5, n5 = 8, 1 << 23
     x5 = jnp.asarray(rng.standard_normal((C5, n5)), jnp.float32)
     f5 = jax.jit(pc.process)
     B = 1 << 13
@@ -365,7 +365,7 @@ def roofline_main():
           + 8.0 * C5 * (n5 // B) * P * (B + 1))  # FDL MAC tail
     m = measure_op(f5, x5, reps=3, flops=fl,
                    bytes_accessed=4.0 * 4 * C5 * n5)
-    row("FDL conv reverb 2^17-tap IR (bulk), 8ch x 2^20", m,
+    row("FDL conv reverb 2^17-tap IR (bulk), 8ch x 2^23", m,
         "rfft batch + P-tap freq-domain FIR")
 
     # 6. one-shot fftconvolve (pure FFT roofline anchor)
@@ -385,16 +385,18 @@ def roofline_main():
     chain = BiquadChain(sosc, condition=False)
     Bc = 256
     dd = 2 * chain.num_runtime_sections + 2
-    Kc = n // Bc
+    n7 = 1 << 24
+    Kc = n7 // Bc
     nsw = len(cascmod._sweep_mats(
         np.ascontiguousarray(chain.runtime_sos).tobytes(),
         chain.num_runtime_sections, Bc, Kc))
     f7 = jax.jit(lambda x: chain.process(x, mode="cascade"))
-    m = measure_op(f7, x, reps=5,
-                   flops=2.0 * C * (n * (Bc + 2 * dd) + Kc * dd * dd * nsw),
-                   bytes_accessed=4.0 * 4 * C * n)
+    x7 = jnp.asarray(rng.standard_normal((C, n7)), jnp.float32)
+    m = measure_op(f7, x7, reps=5,
+                   flops=2.0 * C * (n7 * (Bc + 2 * dd) + Kc * dd * dd * nsw),
+                   bytes_accessed=4.0 * 4 * C * n7)
     row(f"whole-cascade engine ({chain.num_runtime_sections} sections), "
-        f"8ch x 2^20", m,
+        f"8ch x 2^24", m,
         f"one B=256 Toeplitz pass for all sections; {nsw} carry sweeps")
 
     # 8. fused Pallas FDL conv kernel — actual matmul op count
@@ -412,7 +414,7 @@ def roofline_main():
     m = measure_op(f8, x5, reps=5,
                    flops=float(per_frame) * C5 * (n5 // Bf),
                    bytes_accessed=3.0 * 4 * C5 * n5)
-    row("fused Pallas FDL (matmul FFT+MAC+iFFT), 8ch x 2^20", m,
+    row("fused Pallas FDL (matmul FFT+MAC+iFFT), 8ch x 2^23", m,
         "HIGHEST-precision MXU matmuls; spectra never leave VMEM")
 
     print(f"\nBackend: {jax.default_backend()}\n")
