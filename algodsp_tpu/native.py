@@ -58,6 +58,8 @@ def _load():
         dp, ctypes.c_int, ctypes.c_int, ctypes.c_int, dp, dp, ctypes.c_long,
         dp, ctypes.c_long]
     ip = ctypes.POINTER(ctypes.c_int)
+    lib.hilbert_process.argtypes = [dp, ctypes.c_int, dp, dp, dp, dp,
+                                    ctypes.c_long]
     lib.freeverb_process.restype = ctypes.c_long
     lib.freeverb_process.argtypes = (
         [ip, ctypes.c_int, ip, ctypes.c_int] + [ctypes.c_double] * 6
@@ -231,6 +233,34 @@ def resample_polyphase(rs, x, hist=None, n_out=None):
                                    int(phase_len), _dptr(h), _dptr(xin),
                                    xin.size, _dptr(out), int(n_out))
     return h, out
+
+
+def hilbert(ht, x, state=None):
+    """Golden full-rate per-sample Hilbert transformer (oracle for the
+    polyphase `filters.hilbert.HilbertTransformer`; semantics parity
+    with `hilbert64.go:298-300`). Each coefficient is a first-order
+    allpass in z^-2 evaluated at the full rate — an independent check
+    of the substream/deinterleave routing. `state` is the flat
+    [x_delay, 4*nA, 4*nB] register vector (None = zeros). Returns
+    (new_state, a, b)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    coeffs = np.ascontiguousarray(ht.coeffs, dtype=np.float64)
+    nA = (coeffs.size + 1) // 2
+    nB = coeffs.size // 2
+    n_state = 1 + 4 * (nA + nB)
+    if state is None:
+        state = np.zeros(n_state)
+    st = np.ascontiguousarray(state, dtype=np.float64).copy()
+    if st.size != n_state:
+        raise ValueError(f"hilbert state must have {n_state} entries")
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    a = np.empty_like(xin)
+    b = np.empty_like(xin)
+    lib.hilbert_process(_dptr(coeffs), coeffs.size, _dptr(st), _dptr(xin),
+                        _dptr(a), _dptr(b), xin.size)
+    return st, a, b
 
 
 def freeverb(fv, x, state=None, step: int = 0):

@@ -484,6 +484,64 @@ long fdn_process(const double* params, double* lines, double* pre,
 }
 
 // ---------------------------------------------------------------------------
+// Hilbert transformer golden kernel — full-rate per-sample oracle for
+// the polyphase implementation in filters/hilbert.py (capability
+// parity with the reference's half-band allpass pair,
+// hilbert64.go:298-300). Each designed coefficient c is a first-order
+// allpass in z^-2 at the FULL rate:
+//     y[n] = c*x[n] - x[n-2] + c*y[n-2]
+// path A cascades coeffs[0], coeffs[2], ... on x[n]; path B cascades
+// coeffs[1], coeffs[3], ... on x[n-1]. When the coefficient count is
+// even, path A is the in-phase output and B the quadrature (the
+// even-indexed chain ends one section earlier); odd counts swap them.
+// Evaluating the structure at full rate (no deinterleave) makes this
+// an independent check of the polyphase/substream routing.
+//
+// state: [x_delay, then 4 regs (x1,x2,y1,y2) per A section, then 4
+// regs per B section], updated in place.
+// ---------------------------------------------------------------------------
+
+void hilbert_process(const double* coeffs, int n_coeffs, double* state,
+                     const double* in, double* out_a, double* out_b,
+                     long n) {
+    const int nA = (n_coeffs + 1) / 2;   // even-indexed coefficients
+    const int nB = n_coeffs / 2;         // odd-indexed coefficients
+    double* xd = state;                  // previous input sample
+    double* regA = state + 1;            // nA * 4
+    double* regB = state + 1 + 4 * nA;   // nB * 4
+    const int a_is_even_chain = (n_coeffs % 2 == 0);
+    for (long i = 0; i < n; ++i) {
+        const double xv = in[i];
+        double va = xv;
+        for (int s = 0; s < nA; ++s) {
+            double* r = regA + 4 * s;    // x1, x2, y1, y2
+            const double c = coeffs[2 * s];
+            const double y = c * va - r[1] + c * r[3];
+            r[1] = r[0]; r[0] = va;
+            r[3] = r[2]; r[2] = y;
+            va = y;
+        }
+        double vb = *xd;
+        *xd = xv;
+        for (int s = 0; s < nB; ++s) {
+            double* r = regB + 4 * s;
+            const double c = coeffs[2 * s + 1];
+            const double y = c * vb - r[1] + c * r[3];
+            r[1] = r[0]; r[0] = vb;
+            r[3] = r[2]; r[2] = y;
+            vb = y;
+        }
+        if (a_is_even_chain) {
+            out_a[i] = va;
+            out_b[i] = vb;
+        } else {
+            out_a[i] = vb;
+            out_b[i] = va;
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
 // SPSC ring buffer for real-time block streaming (float32 frames)
 // ---------------------------------------------------------------------------
 

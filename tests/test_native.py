@@ -297,3 +297,33 @@ def test_native_fdn_streaming_state_carry():
     st, n, y1 = native.fdn(rv, x[:1700])
     st, n, y2 = native.fdn(rv, x[1700:], state=st, step=n)
     np.testing.assert_allclose(np.concatenate([y1, y2]), y_once, atol=1e-12)
+
+
+from algodsp_tpu.filters.hilbert import HilbertTransformer
+
+
+@pytest.mark.parametrize("ncoef", [7, 8], ids=["odd", "even"])
+def test_native_hilbert_matches_polyphase(ncoef):
+    """Full-rate z^-2 allpass cascade vs the polyphase/deinterleaved
+    JAX engine — exercises the substream routing and the A/B output
+    tap selection for both coefficient parities."""
+    ht = HilbertTransformer(ncoef, 0.05)
+    rng = np.random.default_rng(40)
+    x = rng.standard_normal(2048)
+    a_jax, b_jax = ht.process(jnp.asarray(x, jnp.float64))
+    _, a_gold, b_gold = native.hilbert(ht, x)
+    assert snr_db(a_gold, np.asarray(a_jax)) > 120
+    assert snr_db(b_gold, np.asarray(b_jax)) > 120
+
+
+def test_native_hilbert_analytic_pair():
+    """The golden a/b pair forms an analytic signal: for a passband
+    tone, b lags a by ~90 degrees and the envelope is ~constant."""
+    ht = HilbertTransformer(12, 0.02)
+    sr = 48000.0
+    t = np.arange(1 << 14) / sr
+    x = np.sin(2 * np.pi * 1000.0 * t)
+    _, a, b = native.hilbert(ht, x)
+    env = np.hypot(a, b)[2048:]
+    assert abs(env.mean() - 1.0) < 0.01
+    assert env.std() < 0.01
