@@ -60,6 +60,10 @@ def _load():
     ip = ctypes.POINTER(ctypes.c_int)
     lib.hilbert_process.argtypes = [dp, ctypes.c_int, dp, dp, dp, dp,
                                     ctypes.c_long]
+    lib.wsola_stretch.restype = ctypes.c_long
+    lib.wsola_stretch.argtypes = [dp, ctypes.c_long, ctypes.c_int,
+                                  ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_double, dp]
     lib.freeverb_process.restype = ctypes.c_long
     lib.freeverb_process.argtypes = (
         [ip, ctypes.c_int, ip, ctypes.c_int] + [ctypes.c_double] * 6
@@ -261,6 +265,48 @@ def hilbert(ht, x, state=None):
     lib.hilbert_process(_dptr(coeffs), coeffs.size, _dptr(st), _dptr(xin),
                         _dptr(a), _dptr(b), xin.size)
     return st, a, b
+
+
+def wsola(ws, x):
+    """Golden per-segment WSOLA pitch shift (oracle for
+    `effects.pitch.WSOLAPitchShifter`; semantics parity with
+    `dsp/effects/pitch/pitch_shifter.go` music preset, fixed-grid
+    deviation included): C++ stretch per channel, then the golden
+    polyphase resampler. Returns y with the JAX engine's
+    output-length contract (== input length)."""
+    from algodsp_tpu.effects.pitch.wsola import _ratio_to_fraction
+    from algodsp_tpu.resample import Resampler
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    x2 = np.ascontiguousarray(x, dtype=np.float64)
+    batch = x2.shape[:-1]
+    n = x2.shape[-1]
+    r = ws.pitch_ratio
+    if r == 1.0:
+        return x2.copy()
+    seq, ov, seek = ws.sequence, ws.overlap, ws.seek
+    flat = seq - ov
+    S = max(int((n - seq - seek) / (flat * r)), 1)
+    out_len = (S - 1) * flat + seq
+    flat_in = x2.reshape((-1, n))
+    stretched = np.empty((flat_in.shape[0], out_len))
+    for c in range(flat_in.shape[0]):
+        xi = np.ascontiguousarray(flat_in[c])
+        got = lib.wsola_stretch(_dptr(xi), n, seq, ov, seek,
+                                ctypes.c_double(r), _dptr(stretched[c]))
+        if got != out_len:
+            raise RuntimeError(f"wsola_stretch length {got} != {out_len}")
+    rs = Resampler(*_ratio_to_fraction(1.0 / r),
+                   quality=ws.resample_quality)
+    outs = []
+    for c in range(stretched.shape[0]):
+        _, y = resample_polyphase(rs, stretched[c])
+        if y.size >= n:
+            outs.append(y[:n])
+        else:
+            outs.append(np.concatenate([y, np.zeros(n - y.size)]))
+    return np.stack(outs).reshape(batch + (n,))
 
 
 def freeverb(fv, x, state=None, step: int = 0):

@@ -542,6 +542,88 @@ void hilbert_process(const double* coeffs, int n_coeffs, double* state,
 }
 
 // ---------------------------------------------------------------------------
+// WSOLA time-stretch golden kernel — per-segment oracle for the
+// batched-correlation formulation in effects/pitch/wsola.py
+// (capability parity with dsp/effects/pitch/pitch_shifter.go, music
+// preset, fixed-grid deviation as documented there). One channel per
+// call. Semantics mirrored exactly:
+//   * nominal grid: floor(i*flat*rate) + seek/2, clamped;
+//   * alignment: maximize dot(region[k:k+ov], ref)/sqrt(E_k + 1e-12),
+//     k in [0, seek), first index wins ties; the candidate energies
+//     E_k accumulate in FLOAT because the JAX path pins its prefix-sum
+//     to f32 (wsola.py `csq`) — the golden reproduces that so argmax
+//     decisions match bit-for-bit on typical signals;
+//   * sequential tail crossfade (linspace fade, endpoint=False), then
+//     flat-sample advance (pitch_shifter.go:328-337).
+// Returns the stretched length (S-1)*flat + seq; out must have room.
+// ---------------------------------------------------------------------------
+
+long wsola_stretch(const double* x, long n, int seq, int ov, int seek,
+                   double rate, double* out) {
+    const int flat = seq - ov;
+    long S = (long)((double)(n - seq - seek) / ((double)flat * rate));
+    if (S < 1) S = 1;
+    // f32 prefix energies (see note above)
+    float* csq = new (std::nothrow) float[n + 1];
+    if (!csq) return -1;
+    csq[0] = 0.0f;
+    for (long i = 0; i < n; ++i)
+        csq[i + 1] = csq[i] + (float)(x[i] * x[i]);
+
+    long pts = -1;  // previous tail start
+    double* seg_prev = new (std::nothrow) double[seq];
+    double* carry = new (std::nothrow) double[ov];
+    long emitted = 0;
+    for (long i = 0; i < S; ++i) {
+        long nominal = (long)((double)i * (double)flat * rate) + seek / 2;
+        const long nom_max = n - seq - seek / 2 - 1;
+        if (nominal > nom_max) nominal = nom_max;
+        const long rs = nominal - seek / 2;
+        long start;
+        if (i == 0) {
+            pts = nominal;
+        }
+        {
+            const double* ref = x + pts;
+            int best = 0;
+            double best_score = -1.0 / 0.0;
+            for (int k = 0; k < seek; ++k) {
+                double dot = 0.0;
+                const double* cand = x + rs + k;
+                for (int j = 0; j < ov; ++j) dot += cand[j] * ref[j];
+                const double e = (double)(csq[rs + k + ov] - csq[rs + k]);
+                const double score = dot / std::sqrt(e + 1e-12);
+                if (score > best_score) { best_score = score; best = k; }
+            }
+            start = rs + best;
+        }
+        pts = start + flat;
+        const double* seg = x + start;
+        if (i == 0) {
+            for (int j = 0; j < flat; ++j) out[emitted + j] = seg[j];
+            emitted += flat;
+            for (int j = 0; j < ov; ++j) carry[j] = seg[flat + j];
+        } else {
+            // crossfade carry with the new segment head, emit flat
+            for (int j = 0; j < seq; ++j) seg_prev[j] = seg[j];
+            for (int j = 0; j < ov; ++j) {
+                const double fin = (double)j / (double)ov;
+                seg_prev[j] = (1.0 - fin) * carry[j] + fin * seg_prev[j];
+            }
+            for (int j = 0; j < flat; ++j) out[emitted + j] = seg_prev[j];
+            emitted += flat;
+            for (int j = 0; j < ov; ++j) carry[j] = seg_prev[flat + j];
+        }
+    }
+    for (int j = 0; j < ov; ++j) out[emitted + j] = carry[j];
+    emitted += ov;
+    delete[] csq;
+    delete[] seg_prev;
+    delete[] carry;
+    return emitted;
+}
+
+// ---------------------------------------------------------------------------
 // SPSC ring buffer for real-time block streaming (float32 frames)
 // ---------------------------------------------------------------------------
 

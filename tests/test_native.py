@@ -327,3 +327,24 @@ def test_native_hilbert_analytic_pair():
     env = np.hypot(a, b)[2048:]
     assert abs(env.mean() - 1.0) < 0.01
     assert env.std() < 0.01
+
+
+from algodsp_tpu.effects.pitch import WSOLAPitchShifter
+
+
+@pytest.mark.parametrize("semitones", [3.0, -4.0], ids=["up3", "down4"])
+def test_native_wsola_matches_jax(semitones):
+    """Per-segment C++ WSOLA (alignment search with the f32 energy
+    prefix mirrored, sequential tail crossfade, golden resampler) vs
+    the batched-correlation JAX engine."""
+    ws = WSOLAPitchShifter(48000.0, pitch_ratio=2.0 ** (semitones / 12.0))
+    rng = np.random.default_rng(50)
+    # band-limited-ish material: smoothed noise (correlation peaks are
+    # well separated, so both implementations choose identical offsets)
+    x = np.convolve(rng.standard_normal(1 << 15), np.ones(8) / 8.0,
+                    mode="same").reshape(1, -1)
+    x = np.concatenate([x, np.roll(x, 100, axis=-1)], axis=0)
+    y_jax = np.asarray(ws.process(jnp.asarray(x, jnp.float64)))
+    y_gold = native.wsola(ws, x)
+    assert y_gold.shape == y_jax.shape
+    assert snr_db(y_gold, y_jax) > 120
