@@ -64,6 +64,10 @@ def _load():
     lib.wsola_stretch.argtypes = [dp, ctypes.c_long, ctypes.c_int,
                                   ctypes.c_int, ctypes.c_int,
                                   ctypes.c_double, dp]
+    lib.granular_process.argtypes = [dp, ctypes.c_long, dp, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_double, dp, ctypes.c_double,
+                                     ctypes.c_double, dp]
     lib.freeverb_process.restype = ctypes.c_long
     lib.freeverb_process.argtypes = (
         [ip, ctypes.c_int, ip, ctypes.c_int] + [ctypes.c_double] * 6
@@ -307,6 +311,37 @@ def wsola(ws, x):
         else:
             outs.append(np.concatenate([y, np.zeros(n - y.size)]))
     return np.stack(outs).reshape(batch + (n,))
+
+
+def granular(gr, x):
+    """Golden per-grain granular resynthesis (oracle for
+    `effects.spectral.Granular`; semantics parity with
+    `granular.go:218-280`): same grain schedule and spray stream,
+    explicit per-grain loop with linear-interp reads, OLA +
+    envelope normalization. Returns y."""
+    from algodsp_tpu.effects.spectral import _NORM_FLOOR
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    x2 = np.ascontiguousarray(x, dtype=np.float64)
+    batch, n = x2.shape[:-1], x2.shape[-1]
+    g, hop = gr.grain, gr.hop
+    n_grains = max((n - g) // hop + 1, 1)
+    rng = np.random.default_rng(gr.seed)
+    spray = (rng.integers(-gr.spray, gr.spray + 1, n_grains)
+             if gr.spray > 0 else np.zeros(n_grains, dtype=np.int64))
+    starts = np.ascontiguousarray(np.clip(
+        np.arange(n_grains) * hop + spray, 0, max(n - g, 0)), np.float64)
+    env = np.ascontiguousarray(gr.env, np.float64)
+    flat = x2.reshape((-1, n))
+    out = np.empty_like(flat)
+    for c in range(flat.shape[0]):
+        xi = np.ascontiguousarray(flat[c])
+        lib.granular_process(_dptr(xi), n, _dptr(starts), n_grains, g, hop,
+                             ctypes.c_double(gr.pitch), _dptr(env),
+                             ctypes.c_double(gr.mix),
+                             ctypes.c_double(_NORM_FLOOR), _dptr(out[c]))
+    return out.reshape(batch + (n,))
 
 
 def freeverb(fv, x, state=None, step: int = 0):

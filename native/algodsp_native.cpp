@@ -624,6 +624,50 @@ long wsola_stretch(const double* x, long n, int seq, int ov, int seek,
 }
 
 // ---------------------------------------------------------------------------
+// Granular golden kernel — per-grain oracle for the vectorized
+// gather/scatter formulation in effects/spectral.py:Granular
+// (capability parity with granular.go:218-280): Hann-enveloped grains
+// scheduled on a fixed hop grid (spray jitter resolved host-side into
+// `starts`), each reading the input timeline at its own playback rate
+// with linear interpolation (out-of-range reads are 0), overlap-added
+// and envelope-normalized with a floor, then wet/dry mixed. One
+// channel per call.
+// ---------------------------------------------------------------------------
+
+void granular_process(const double* x, long n, const double* starts,
+                      int n_grains, int g, int hop, double pitch,
+                      const double* env, double mix, double norm_floor,
+                      double* out) {
+    const long total = (long)(n_grains - 1) * hop + g;
+    double* wet = new (std::nothrow) double[total]();
+    double* norm = new (std::nothrow) double[total]();
+    if (!wet || !norm) { delete[] wet; delete[] norm; return; }
+    for (int gi = 0; gi < n_grains; ++gi) {
+        const long base = (long)gi * hop;
+        for (int j = 0; j < g; ++j) {
+            const double pos = starts[gi] + (double)j * pitch;
+            const long i0 = (long)std::floor(pos);
+            const double t = pos - (double)i0;
+            const double a = (i0 >= 0 && i0 < n) ? x[i0] : 0.0;
+            const double b = (i0 + 1 >= 0 && i0 + 1 < n) ? x[i0 + 1] : 0.0;
+            const double v = a * (1.0 - t) + b * t;
+            wet[base + j] += v * env[j];
+            norm[base + j] += env[j];
+        }
+    }
+    for (long i = 0; i < n; ++i) {
+        double w = 0.0;
+        if (i < total) {
+            const double nz = norm[i] > norm_floor ? norm[i] : norm_floor;
+            w = wet[i] / nz;
+        }
+        out[i] = x[i] * (1.0 - mix) + w * mix;
+    }
+    delete[] wet;
+    delete[] norm;
+}
+
+// ---------------------------------------------------------------------------
 // SPSC ring buffer for real-time block streaming (float32 frames)
 // ---------------------------------------------------------------------------
 
