@@ -68,6 +68,10 @@ def _load():
                                      ctypes.c_int, ctypes.c_int,
                                      ctypes.c_double, dp, ctypes.c_double,
                                      ctypes.c_double, dp]
+    lib.vocoder_process.argtypes = ([dp, dp, ctypes.c_int]
+                                    + [ctypes.c_double] * 5
+                                    + [dp, dp, dp, dp, dp, dp,
+                                       ctypes.c_long])
     lib.freeverb_process.restype = ctypes.c_long
     lib.freeverb_process.argtypes = (
         [ip, ctypes.c_int, ip, ctypes.c_int] + [ctypes.c_double] * 6
@@ -342,6 +346,39 @@ def granular(gr, x):
                              ctypes.c_double(gr.mix),
                              ctypes.c_double(_NORM_FLOOR), _dptr(out[c]))
     return out.reshape(batch + (n,))
+
+
+def vocoder(voc, modulator, carrier, state=None):
+    """Golden per-sample channel vocoder (oracle for
+    `effects.vocoder.Vocoder`; semantics parity with
+    `dsp/effects/vocoder.go`): per-band analysis bandpass -> branching
+    envelope -> envelope-scaled synthesis bandpass, with level mixing.
+    One channel. `state` is (a_state (B,2), s_state (B,2), env (B,))
+    f64 (None = zeros). Returns (new_state, y)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    nb = voc.num_bands
+    a_sos = np.ascontiguousarray(voc.analysis.sos[:, 0, :], np.float64)
+    s_sos = np.ascontiguousarray(voc.synthesis.sos[:, 0, :], np.float64)
+    if state is None:
+        state = (np.zeros((nb, 2)), np.zeros((nb, 2)), np.zeros(nb))
+    a_st, s_st, env = (np.ascontiguousarray(a, np.float64).copy()
+                       for a in state)
+    m = np.ascontiguousarray(modulator, dtype=np.float64)
+    c = np.ascontiguousarray(carrier, dtype=np.float64)
+    if m.ndim != 1 or m.shape != c.shape:
+        raise ValueError("vocoder golden takes matching 1-D signals")
+    out = np.empty_like(m)
+    lib.vocoder_process(_dptr(a_sos), _dptr(s_sos), nb,
+                        ctypes.c_double(voc.attack_coeff),
+                        ctypes.c_double(voc.release_coeff),
+                        ctypes.c_double(voc.input_level),
+                        ctypes.c_double(voc.synth_level),
+                        ctypes.c_double(voc.vocoded_level),
+                        _dptr(env), _dptr(a_st), _dptr(s_st), _dptr(m),
+                        _dptr(c), _dptr(out), m.size)
+    return (a_st, s_st, env), out
 
 
 def freeverb(fv, x, state=None, step: int = 0):

@@ -668,6 +668,49 @@ void granular_process(const double* x, long n, const double* starts,
 }
 
 // ---------------------------------------------------------------------------
+// Vocoder golden kernel — per-sample channel-vocoder oracle for
+// effects/vocoder.py (capability parity with dsp/effects/vocoder.go):
+// per band, a constant-peak-gain bandpass on the modulator feeds a
+// branching attack/release envelope; the same-band synthesis bandpass
+// on the carrier is scaled by that envelope; the output mixes the
+// vocoded sum, the raw modulator, and the raw synthesis-bank sum.
+//
+// a_sos/s_sos: n_bands rows of [b0,b1,b2,a1,a2] (a0-normalized).
+// a_state/s_state: n_bands*2 DF2T registers; env: n_bands. All
+// updated in place. One channel per call.
+// ---------------------------------------------------------------------------
+
+void vocoder_process(const double* a_sos, const double* s_sos, int n_bands,
+                     double attack, double release, double in_lvl,
+                     double synth_lvl, double voc_lvl, double* env,
+                     double* a_state, double* s_state, const double* mod,
+                     const double* car, double* out, long n) {
+    for (long i = 0; i < n; ++i) {
+        const double m = mod[i];
+        const double c = car[i];
+        double voc = 0.0, ssum = 0.0;
+        for (int b = 0; b < n_bands; ++b) {
+            const double* A = a_sos + 5 * b;
+            double* ar = a_state + 2 * b;
+            const double ya = A[0] * m + ar[0];
+            ar[0] = A[1] * m - A[3] * ya + ar[1];
+            ar[1] = A[2] * m - A[4] * ya;
+            const double tgt = std::fabs(ya);
+            const double coeff = (tgt > env[b]) ? attack : release;
+            env[b] += coeff * (tgt - env[b]);
+            const double* S = s_sos + 5 * b;
+            double* sr = s_state + 2 * b;
+            const double ys = S[0] * c + sr[0];
+            sr[0] = S[1] * c - S[3] * ys + sr[1];
+            sr[1] = S[2] * c - S[4] * ys;
+            voc += env[b] * ys;
+            ssum += ys;
+        }
+        out[i] = voc_lvl * voc + in_lvl * m + synth_lvl * ssum;
+    }
+}
+
+// ---------------------------------------------------------------------------
 // SPSC ring buffer for real-time block streaming (float32 frames)
 // ---------------------------------------------------------------------------
 

@@ -374,3 +374,32 @@ def test_native_granular_identity_regime():
     y = native.granular(gr, x)
     mid = slice(2048, (1 << 14) - 2048)
     assert snr_db(x[mid], y[mid]) > 40
+
+
+def test_native_vocoder_matches_jax():
+    """Per-sample per-band loop (DF2T bandpasses + branching envelope)
+    vs the banded-engine JAX vocoder, both band layouts."""
+    from algodsp_tpu.effects.vocoder import BandLayout, Vocoder
+    rng = np.random.default_rng(70)
+    n = 8192
+    mod = rng.standard_normal(n) * 0.5
+    car = rng.standard_normal(n) * 0.5
+    for layout in (BandLayout.THIRD_OCTAVE, BandLayout.BARK):
+        voc = Vocoder(48000.0, layout=layout, input_level=0.1,
+                      synth_level=0.05, vocoded_level=1.0)
+        st = voc.init_state((), jnp.float64)
+        _, y_jax = voc.process(st, jnp.asarray(mod), jnp.asarray(car))
+        _, y_gold = native.vocoder(voc, mod, car)
+        assert snr_db(y_gold, np.asarray(y_jax)) > 120
+
+
+def test_native_vocoder_streaming_state_carry():
+    from algodsp_tpu.effects.vocoder import Vocoder
+    voc = Vocoder(48000.0)
+    rng = np.random.default_rng(71)
+    mod = rng.standard_normal(4096)
+    car = rng.standard_normal(4096)
+    _, y_once = native.vocoder(voc, mod, car)
+    st, y1 = native.vocoder(voc, mod[:1500], car[:1500])
+    st, y2 = native.vocoder(voc, mod[1500:], car[1500:], state=st)
+    np.testing.assert_allclose(np.concatenate([y1, y2]), y_once, atol=1e-12)
