@@ -53,3 +53,8 @@ entry:
 
 clean:
 	rm -rf /tmp/jax_cache __pycache__ .pytest_cache
+
+# On-TPU smoke validation: engine-vs-oracle checks on the real device
+# (the CPU pytest suite's complement; see tools/tpu_smoke.py)
+smoke-tpu:
+	$(PY) tools/tpu_smoke.py
