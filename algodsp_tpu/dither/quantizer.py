@@ -143,10 +143,14 @@ class Quantizer:
         # mirrors the Go options: explicit coefficients > shelf > preset.
         self.iir_shelf_sos: np.ndarray | None = None
         if iir_shelf_freq is not None and shaper_coeffs is None:
-            if not (iir_shelf_freq > 0 and math.isfinite(iir_shelf_freq)):
+            if not (0.0 < iir_shelf_freq < sample_rate / 2.0) \
+                    or not math.isfinite(iir_shelf_freq):
+                # >= Nyquist would silently design an all-zero shelf
+                # (rbj convention) and disable the shaping the caller
+                # asked for — reject it instead
                 raise ValueError(
-                    f"dither: IIR shelf frequency must be > 0 and finite: "
-                    f"{iir_shelf_freq}")
+                    f"dither: IIR shelf frequency must be in (0, Nyquist "
+                    f"= {sample_rate / 2.0}): {iir_shelf_freq}")
             from algodsp_tpu.filters.design.rbj import low_shelf
             self.iir_shelf_sos = np.asarray(
                 low_shelf(iir_shelf_freq, -5.0, 1.0 / math.sqrt(2.0),

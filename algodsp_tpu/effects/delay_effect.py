@@ -165,9 +165,13 @@ class Delay:
                   if target_delay_samples is None
                   else jnp.asarray(target_delay_samples, dtype))
         sc = jnp.asarray(self.smooth_coeff, dtype)
-        # closed-form smoothed lag trajectory (delay.go:140-166 recurrence)
+        # closed-form smoothed lag trajectory (delay.go:140-166 recurrence),
+        # clamped to the ring's representable lags — a runtime target
+        # beyond the max-delay buffer would otherwise alias mod L in the
+        # sample-scan tier (the reference clamps in SetDelayTime)
         n = jnp.arange(N, dtype=dtype)
         cur = target + (state["current"] - target) * (1.0 - sc) ** (n + 1.0)
+        cur = jnp.clip(cur, 1.0, float(L - 2))
         new_cur = cur[-1] if N else state["current"]
         w_in = jnp.mod(state["write"], L)
 

@@ -64,6 +64,7 @@ def _load():
     lib.wsola_stretch.argtypes = [dp, ctypes.c_long, ctypes.c_int,
                                   ctypes.c_int, ctypes.c_int,
                                   ctypes.c_double, dp]
+    lib.granular_process.restype = ctypes.c_int
     lib.granular_process.argtypes = [dp, ctypes.c_long, dp, ctypes.c_int,
                                      ctypes.c_int, ctypes.c_int,
                                      ctypes.c_double, dp, ctypes.c_double,
@@ -341,10 +342,12 @@ def granular(gr, x):
     out = np.empty_like(flat)
     for c in range(flat.shape[0]):
         xi = np.ascontiguousarray(flat[c])
-        lib.granular_process(_dptr(xi), n, _dptr(starts), n_grains, g, hop,
-                             ctypes.c_double(gr.pitch), _dptr(env),
-                             ctypes.c_double(gr.mix),
-                             ctypes.c_double(_NORM_FLOOR), _dptr(out[c]))
+        rc = lib.granular_process(
+            _dptr(xi), n, _dptr(starts), n_grains, g, hop,
+            ctypes.c_double(gr.pitch), _dptr(env), ctypes.c_double(gr.mix),
+            ctypes.c_double(_NORM_FLOOR), _dptr(out[c]))
+        if rc != 0:
+            raise MemoryError("granular_process: allocation failed")
     return out.reshape(batch + (n,))
 
 

@@ -153,7 +153,8 @@ def _psum_axes(mesh: Mesh, time_axis_name: str,
 def envelope_time_sharded(targets, env0, attack, release, mesh: Mesh, *,
                           time_axis_name: str = "time",
                           channel_axis_name: str | None = "channel",
-                          max_iters: int = 32):
+                          max_iters: int = 32,
+                          return_converged: bool = False):
     """Branching one-pole envelope over a time-sharded (C, N) signal.
 
     The recurrence (`dsp/signal/generate.go:322-350`,
@@ -188,6 +189,16 @@ def envelope_time_sharded(targets, env0, attack, release, mesh: Mesh, *,
     Payload per iteration per shard: 2 floats/channel (the affine
     summary) + one psum scalar. Returns (env_final, traj) like
     `envelope_scan`. attack/release must be scalars.
+
+    Convergence contract: the fixpoint stops after `max_iters` global
+    sweeps even if some selections are still flipping (a pathological
+    regime — targets hovering exactly at the carried envelope with
+    near-1 coefficients); the result is then the trajectory of the
+    last consistent-selection solve, not the exact recurrence. Pass
+    `return_converged=True` to additionally receive a traced boolean
+    (True iff the selection fixpoint converged on every shard) to
+    assert on or to gate a fallback; raise `max_iters` to buy more
+    sweeps at 2 floats/channel each.
     """
     from algodsp_tpu.ops.envscan import envelope_scan
 
@@ -254,16 +265,21 @@ def envelope_time_sharded(targets, env0, attack, release, mesh: Mesh, *,
             changed = jax.lax.psum(flips, paxes).astype(jnp.int32)
             return k + 1, changed, new_sel
 
-        _, _, sel = jax.lax.while_loop(
+        _, changed, sel = jax.lax.while_loop(
             cond, body, (jnp.int32(0), jnp.int32(1), sel0))
 
         # 3. sequential refinement with the converged carry
         c, _ = solve(sel)
         _, traj = envelope_scan(tl, c, att, rel)
-        return traj
+        # `changed` is already psum'd over the mesh axes, so the flag is
+        # shard-invariant (replicated out_spec below)
+        return traj, changed == 0
 
-    traj = shard_map(local, mesh=mesh, in_specs=(in_spec, c_spec),
-                     out_specs=in_spec)(targets, env0)
+    traj, converged = shard_map(
+        local, mesh=mesh, in_specs=(in_spec, c_spec),
+        out_specs=(in_spec, P()))(targets, env0)
+    if return_converged:
+        return traj[..., -1], traj, converged
     return traj[..., -1], traj
 
 

@@ -144,7 +144,11 @@ def hrtf_ir_set(sample_rate: float = 48000.0, *,
     c = 343.0                      # speed of sound, m/s
     r = head_radius_m
     w0 = c / r
-    base_delay = 8.0 / sample_rate  # causality headroom for the ramp
+    # causality headroom: the Woodworth ITD on the lit side is an
+    # ADVANCE of up to r/c seconds (th -> 0), so the base delay must
+    # cover it at any sample rate / speaker angle or the main impulse
+    # wraps out of the irfft window and is truncated
+    base_delay = r / c + 4.0 / sample_rate
 
     freqs = np.fft.rfftfreq(2 * n_taps, 1.0 / sample_rate)
     w = 2.0 * np.pi * freqs

@@ -565,14 +565,17 @@ long wsola_stretch(const double* x, long n, int seq, int ov, int seek,
     if (S < 1) S = 1;
     // f32 prefix energies (see note above)
     float* csq = new (std::nothrow) float[n + 1];
-    if (!csq) return -1;
+    double* seg_prev = new (std::nothrow) double[seq];
+    double* carry = new (std::nothrow) double[ov];
+    if (!csq || !seg_prev || !carry) {
+        delete[] csq; delete[] seg_prev; delete[] carry;
+        return -1;
+    }
     csq[0] = 0.0f;
     for (long i = 0; i < n; ++i)
         csq[i + 1] = csq[i] + (float)(x[i] * x[i]);
 
     long pts = -1;  // previous tail start
-    double* seg_prev = new (std::nothrow) double[seq];
-    double* carry = new (std::nothrow) double[ov];
     long emitted = 0;
     for (long i = 0; i < S; ++i) {
         long nominal = (long)((double)i * (double)flat * rate) + seek / 2;
@@ -634,14 +637,15 @@ long wsola_stretch(const double* x, long n, int seq, int ov, int seek,
 // channel per call.
 // ---------------------------------------------------------------------------
 
-void granular_process(const double* x, long n, const double* starts,
-                      int n_grains, int g, int hop, double pitch,
-                      const double* env, double mix, double norm_floor,
-                      double* out) {
+// Returns 0 on success, -1 on allocation failure (out untouched).
+int granular_process(const double* x, long n, const double* starts,
+                     int n_grains, int g, int hop, double pitch,
+                     const double* env, double mix, double norm_floor,
+                     double* out) {
     const long total = (long)(n_grains - 1) * hop + g;
     double* wet = new (std::nothrow) double[total]();
     double* norm = new (std::nothrow) double[total]();
-    if (!wet || !norm) { delete[] wet; delete[] norm; return; }
+    if (!wet || !norm) { delete[] wet; delete[] norm; return -1; }
     for (int gi = 0; gi < n_grains; ++gi) {
         const long base = (long)gi * hop;
         for (int j = 0; j < g; ++j) {
@@ -665,6 +669,7 @@ void granular_process(const double* x, long n, const double* starts,
     }
     delete[] wet;
     delete[] norm;
+    return 0;
 }
 
 // ---------------------------------------------------------------------------

@@ -424,3 +424,27 @@ def test_crosstalk_simulator_hrtf_set_routing():
         CrosstalkSimulator(SR, hrtf_irs={"left_cross": np.ones(4)})
     with pytest.raises(ValueError):
         CrosstalkSimulator(SR, hrtf_irs=irs, hrtf_mode="bogus")
+
+
+def test_hrtf_ir_set_high_rate_and_wide_angle():
+    """Causality headroom must cover the Woodworth ITD advance: at
+    96 kHz and at wide speaker angles the direct-path impulse must not
+    wrap out of the irfft window (review finding, round 4)."""
+    from algodsp_tpu.utils.irlib import hrtf_ir_set
+    for kw in ({"sample_rate": 96000.0},
+               {"sample_rate": 48000.0, "speaker_angle_deg": 60.0}):
+        s = hrtf_ir_set(**kw)
+        d = s["left_direct"]
+        # the direct path is a near-unit impulse: dominant peak with
+        # most of its energy in the early taps
+        assert np.abs(d).max() > 0.5, kw
+        assert (d ** 2)[: d.size // 2].sum() > 0.9 * (d ** 2).sum(), kw
+
+
+def test_quantizer_iir_shelf_rejects_nyquist():
+    """A shelf corner at/above Nyquist would silently design an
+    all-zero biquad and disable the shaping (review finding)."""
+    with pytest.raises(ValueError):
+        Quantizer(SR, iir_shelf_freq=SR / 2)
+    with pytest.raises(ValueError):
+        Quantizer(SR, iir_shelf_freq=SR)

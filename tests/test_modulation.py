@@ -375,3 +375,23 @@ def test_phaser_stages_range():
         _, y1 = ph.process(s1, x)
         _, y2 = ph.process_scan(s2, x)
         assert snr_db(np.asarray(y2), np.asarray(y1)) > 200
+
+
+def test_delay_out_of_range_target_clamps():
+    """A runtime target beyond the max-delay ring must clamp to the
+    buffer's representable lags, not alias mod L (review finding)."""
+    dl = Delay(1000.0, delay_seconds=0.1, max_delay_seconds=0.25,
+               smooth_ms=0.0)
+    L = dl.buf_len
+    x = np.zeros(600)
+    x[0] = 1.0
+    st = dl.init_state(dtype=jnp.float64)
+    _, y = dl.process(st, jnp.asarray(x),
+                      target_delay_samples=float(L + 20))
+    y = np.asarray(y)
+    wet = y.copy()
+    wet[0] = 0.0  # remove the dry impulse
+    first = int(np.flatnonzero(np.abs(wet) > 1e-9)[0])
+    # clamped to <= L-2: the echo lands near the buffer limit, NOT at
+    # (L+20) mod L = 20 samples
+    assert first > 100, f"aliased echo at {first}"

@@ -327,3 +327,20 @@ def test_compressor_time_sharded_rejects_feedback():
     s = comp.init_state((2,))
     with pytest.raises(ValueError):
         compressor_time_sharded(comp, s, jnp.zeros((2, 1024)), mesh)
+
+
+def test_envelope_time_sharded_convergence_flag():
+    """return_converged surfaces the fixpoint contract (review
+    finding): True on ordinary material, and the trajectory still
+    matches the sequential scan."""
+    from algodsp_tpu.parallel import envelope_time_sharded
+    from algodsp_tpu.ops.envscan import envelope_scan
+    mesh = make_mesh({"time": 8})
+    rng = np.random.default_rng(77)
+    t = jnp.asarray(np.abs(rng.standard_normal((2, 2048))))
+    ef, traj, ok = envelope_time_sharded(
+        t, jnp.zeros((2,)), 0.05, 0.995, mesh, channel_axis_name=None,
+        return_converged=True)
+    assert bool(ok)
+    _, ref = envelope_scan(t, jnp.zeros((2,)), 0.05, 0.995)
+    assert snr_db(np.asarray(ref), np.asarray(traj)) > 200
