@@ -73,6 +73,10 @@ def _load():
                                     + [ctypes.c_double] * 5
                                     + [dp, dp, dp, dp, dp, dp,
                                        ctypes.c_long])
+    lib.phaser_process.argtypes = ([ctypes.c_int] + [ctypes.c_double] * 6
+                                   + [dp, dp, dp, ctypes.c_long])
+    lib.flanger_process.argtypes = ([ctypes.c_int] + [ctypes.c_double] * 6
+                                    + [dp, dp, dp, ctypes.c_long])
     lib.freeverb_process.restype = ctypes.c_long
     lib.freeverb_process.argtypes = (
         [ip, ctypes.c_int, ip, ctypes.c_int] + [ctypes.c_double] * 6
@@ -349,6 +353,60 @@ def granular(gr, x):
         if rc != 0:
             raise MemoryError("granular_process: allocation failed")
     return out.reshape(batch + (n,))
+
+
+def phaser(ph, x, state=None):
+    """Golden per-sample phaser (oracle for
+    `effects.modulation.Phaser`'s (2S+1)-dim affine-scan formulation;
+    semantics parity with `dsp/effects/phaser.go:268-285`). One
+    channel. `state` = flat [x1 (S,), y1 (S,), fb, phase] (None =
+    zeros). Returns (new_state, y)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    S = ph.stages
+    if state is None:
+        state = np.zeros(2 * S + 2)
+    st = np.ascontiguousarray(state, dtype=np.float64).copy()
+    if st.size != 2 * S + 2:
+        raise ValueError(f"phaser state must have {2 * S + 2} entries")
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(xin)
+    lib.phaser_process(S, ctypes.c_double(ph.sample_rate),
+                       ctypes.c_double(ph.rate_hz),
+                       ctypes.c_double(ph.min_freq),
+                       ctypes.c_double(ph.max_freq),
+                       ctypes.c_double(ph.feedback),
+                       ctypes.c_double(ph.mix), _dptr(st), _dptr(xin),
+                       _dptr(out), xin.size)
+    return st, out
+
+
+def flanger(fl, x, state=None):
+    """Golden per-sample flanger (oracle for
+    `effects.modulation.Flanger`'s blocked contiguous-slice
+    formulation; semantics parity with `dsp/effects/flanger.go:
+    259-282`). One channel. `state` = flat [buf (L,), phase, write]
+    (None = zeros). Returns (new_state, y)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    L = fl.buf_len
+    if state is None:
+        state = np.zeros(L + 2)
+    st = np.ascontiguousarray(state, dtype=np.float64).copy()
+    if st.size != L + 2:
+        raise ValueError(f"flanger state must have {L + 2} entries")
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(xin)
+    lib.flanger_process(L, ctypes.c_double(fl.sample_rate),
+                        ctypes.c_double(fl.rate_hz),
+                        ctypes.c_double(fl.depth),
+                        ctypes.c_double(fl.base_delay),
+                        ctypes.c_double(fl.feedback),
+                        ctypes.c_double(fl.mix), _dptr(st), _dptr(xin),
+                        _dptr(out), xin.size)
+    return st, out
 
 
 def vocoder(voc, modulator, carrier, state=None):

@@ -488,8 +488,14 @@ def affine_scan_nd(A, w, s0):
     def combine(left, right):
         a_l, b_l = left
         a_r, b_r = right
-        a = jnp.einsum("nij,njk->nik", a_r, a_l)
-        b = jnp.einsum("nij,n...j->n...i", a_r, b_l) + b_r
+        # HIGHEST: on TPU an unqualified f32 einsum lowers to bf16 MXU
+        # passes, which collapses this scan's accuracy from ~125 dB to
+        # ~34 dB over a few thousand composed steps (caught by the
+        # phaser golden in tools/tpu_smoke.py)
+        a = jnp.einsum("nij,njk->nik", a_r, a_l,
+                       precision=jax.lax.Precision.HIGHEST)
+        b = jnp.einsum("nij,n...j->n...i", a_r, b_l,
+                       precision=jax.lax.Precision.HIGHEST) + b_r
         return a, b
 
     _, after_t = jax.lax.associative_scan(combine, (A, wt), axis=0)

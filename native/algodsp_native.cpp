@@ -716,6 +716,87 @@ void vocoder_process(const double* a_sos, const double* s_sos, int n_bands,
 }
 
 // ---------------------------------------------------------------------------
+// Phaser golden kernel — per-sample oracle for the (2S+1)-dim affine
+// scan formulation in effects/modulation/modulation.py:Phaser
+// (capability parity with dsp/effects/phaser.go:268-285): LFO-driven
+// first-order allpass coefficient a = (g-1)/(g+1), g = tan(pi f / sr),
+// S-stage cascade with feedback of the last stage's output.
+// state: [x1[0..S), y1[0..S), fb, phase], updated in place.
+// ---------------------------------------------------------------------------
+
+void phaser_process(int stages, double sample_rate, double rate_hz,
+                    double min_freq, double max_freq, double feedback,
+                    double mix, double* state, const double* in,
+                    double* out, long n) {
+    const double two_pi = 2.0 * M_PI;
+    const double inc = two_pi * rate_hz / sample_rate;
+    const double max_safe = 0.45 * sample_rate;
+    double* x1 = state;
+    double* y1 = state + stages;
+    double fb = state[2 * stages];
+    double phase = state[2 * stages + 1];
+    for (long s = 0; s < n; ++s) {
+        const double mod = 0.5 * (1.0 + std::sin(phase));
+        double freq = min_freq + (max_freq - min_freq) * mod;
+        if (freq < 1.0) freq = 1.0;
+        if (freq > max_safe) freq = max_safe;
+        const double g = std::tan(M_PI * freq / sample_rate);
+        const double a = (g - 1.0) / (g + 1.0);
+        const double xv = in[s];
+        double v = xv + fb * feedback;
+        for (int i = 0; i < stages; ++i) {
+            const double y = a * v + x1[i] - a * y1[i];
+            x1[i] = v;
+            y1[i] = y;
+            v = y;
+        }
+        fb = v;
+        phase = std::fmod(phase + inc, two_pi);
+        out[s] = xv * (1.0 - mix) + v * mix;
+    }
+    state[2 * stages] = fb;
+    state[2 * stages + 1] = phase;
+}
+
+// ---------------------------------------------------------------------------
+// Flanger golden kernel — per-sample oracle for the blocked
+// contiguous-slice formulation in modulation.py:Flanger (capability
+// parity with dsp/effects/flanger.go:259-282): LFO-modulated
+// fractional delay (linear interp in a ring), feedback into the
+// write, wet/dry mix. state: [buf[0..L), phase, write], in place.
+// ---------------------------------------------------------------------------
+
+void flanger_process(int buf_len, double sample_rate, double rate_hz,
+                     double depth_s, double base_delay_s, double feedback,
+                     double mix, double* state, const double* in,
+                     double* out, long n) {
+    const double two_pi = 2.0 * M_PI;
+    const double inc = two_pi * rate_hz / sample_rate;
+    const int L = buf_len;
+    double* buf = state;
+    double phase = state[L];
+    long w = (long)state[L + 1];
+    for (long s = 0; s < n; ++s) {
+        const double mod = 0.5 * (1.0 + std::sin(phase));
+        double lag = (base_delay_s + depth_s * mod) * sample_rate;
+        if (lag < 1.0) lag = 1.0;
+        const double pos = (double)w - lag;
+        long i0 = (long)std::floor(pos);
+        const double frac = pos - (double)i0;
+        i0 = ((i0 % L) + L) % L;
+        const long i1 = (i0 + 1) % L;
+        const double delayed = buf[i0] * (1.0 - frac) + buf[i1] * frac;
+        const double xv = in[s];
+        buf[((w % L) + L) % L] = xv + delayed * feedback;
+        out[s] = xv * (1.0 - mix) + delayed * mix;
+        phase = std::fmod(phase + inc, two_pi);
+        ++w;
+    }
+    state[L] = phase;
+    state[L + 1] = (double)w;
+}
+
+// ---------------------------------------------------------------------------
 // SPSC ring buffer for real-time block streaming (float32 frames)
 // ---------------------------------------------------------------------------
 

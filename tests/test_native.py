@@ -403,3 +403,43 @@ def test_native_vocoder_streaming_state_carry():
     st, y1 = native.vocoder(voc, mod[:1500], car[:1500])
     st, y2 = native.vocoder(voc, mod[1500:], car[1500:], state=st)
     np.testing.assert_allclose(np.concatenate([y1, y2]), y_once, atol=1e-12)
+
+
+from algodsp_tpu.effects.modulation import Flanger, Phaser
+
+
+@pytest.mark.parametrize("stages", [2, 4, 8])
+def test_native_phaser_matches_jax(stages):
+    """Per-sample allpass-cascade loop vs the (2S+1)-dim log-depth
+    affine-scan engine."""
+    ph = Phaser(48000.0, stages=stages, rate_hz=1.2, feedback=0.6,
+                mix=0.7)
+    rng = np.random.default_rng(80)
+    x = rng.standard_normal(4096) * 0.5
+    st = ph.init_state((), jnp.float64)
+    _, y_jax = ph.process(st, jnp.asarray(x))
+    _, y_gold = native.phaser(ph, x)
+    assert snr_db(y_gold, np.asarray(y_jax)) > 120
+
+
+def test_native_phaser_streaming_state_carry():
+    ph = Phaser(48000.0)
+    rng = np.random.default_rng(81)
+    x = rng.standard_normal(3000)
+    _, y_once = native.phaser(ph, x)
+    st, y1 = native.phaser(ph, x[:1300])
+    st, y2 = native.phaser(ph, x[1300:], state=st)
+    np.testing.assert_allclose(np.concatenate([y1, y2]), y_once, atol=1e-12)
+
+
+def test_native_flanger_matches_jax():
+    """Per-sample modulated-delay ring loop vs the blocked
+    contiguous-slice engine, including LFO phase continuity."""
+    fl = Flanger(48000.0, rate_hz=0.8, depth_seconds=0.0015,
+                 base_delay_seconds=0.003, feedback=0.4, mix=0.6)
+    rng = np.random.default_rng(82)
+    x = rng.standard_normal(4096) * 0.5
+    st = fl.init_state((), jnp.float64)
+    _, y_jax = fl.process(st, jnp.asarray(x))
+    _, y_gold = native.flanger(fl, x)
+    assert snr_db(y_gold, np.asarray(y_jax)) > 120

@@ -174,6 +174,21 @@ def main():
     check("Hilbert polyphase (a)", snr_db(ga, np.asarray(a)), 110)
     check("Hilbert polyphase (b)", snr_db(gb, np.asarray(b)), 110)
 
+    # phaser: guards the affine_scan_nd HIGHEST-precision contract —
+    # with default (bf16) einsum lowering this collapses to ~34 dB
+    from algodsp_tpu.effects.modulation import Flanger, Phaser
+    ph = Phaser(sr, stages=4)
+    xp = (rng.standard_normal(4096) * 0.5).astype(np.float32)
+    st = ph.init_state(())
+    _, yp = jax.jit(ph.process)(st, jnp.asarray(xp))
+    _, gp = native.phaser(ph, xp)
+    check("phaser affine-scan", snr_db(gp, np.asarray(yp)), 100)
+    fl = Flanger(sr)
+    st = fl.init_state(())
+    _, yfl = jax.jit(fl.process)(st, jnp.asarray(xp))
+    _, gfl = native.flanger(fl, xp)
+    check("flanger blocked slices", snr_db(gfl, np.asarray(yfl)), 80)
+
     ws = WSOLAPitchShifter(sr, pitch_ratio=2 ** (3 / 12))
     xw = np.convolve(rng.standard_normal(1 << 15), np.ones(8) / 8,
                      mode="same").astype(np.float32).reshape(1, -1)
