@@ -240,5 +240,6 @@ def fir_filter(taps, x):
                  ((0, 0), (0, 0), (m - 1, 0)))
     k = jnp.flip(taps, -1).reshape(1, 1, m).astype(dtype)
     y = lax.conv_general_dilated(xp, k, window_strides=(1,),
+                                 precision=lax.Precision.HIGHEST,
                                  padding="VALID")
     return y.reshape(lead + (n,))

@@ -230,7 +230,8 @@ class Quantizer:
 
         def step(hist, row):
             s, nz = row[..., 0], row[..., 1]
-            shaped = s - jnp.einsum("k,...k->...", coeffs, hist)
+            shaped = s - jnp.einsum("k,...k->...", coeffs, hist,
+                                    precision=jax.lax.Precision.HIGHEST)
             q = jnp.floor(shaped + nz)
             if self.limit:
                 q = jnp.clip(q, self.limit_lo, self.limit_hi)

@@ -208,7 +208,8 @@ class FDNReverb:
                 reads.append(self._frac_read(lines[..., i, :],
                                              wp_l.astype(dtype), delays[i]))
             d = jnp.stack(reads, axis=-1)                    # (..., 8)
-            feedback = jnp.einsum("ij,...j->...i", had, d)
+            feedback = jnp.einsum("ij,...j->...i", had, d,
+                                  precision=jax.lax.Precision.HIGHEST)
             filtered = feedback * (1 - damp) + fstate * damp
             write = inp[..., None] * self.gain + filtered * fb_g
             lines = lines.at[..., :, wp_l].set(write)
@@ -281,7 +282,8 @@ class FDNReverb:
                 reads.append(self._frac_read(lines[..., i, :],
                                              wp_l.astype(dtype), delays[i]))
             d = jnp.stack(reads, axis=-1)
-            feedback = jnp.einsum("ij,...j->...i", had, d)
+            feedback = jnp.einsum("ij,...j->...i", had, d,
+                                  precision=jax.lax.Precision.HIGHEST)
             filtered = feedback * (1 - damp) + fstate * damp
             write = inp[..., None] * self.gain + filtered * fb_g
             lines = lines.at[..., :, wp_l].set(write)

@@ -134,8 +134,13 @@ def biquad_time_sharded(x, chain: BiquadChain, mesh: Mesh, *,
             qs = jnp.arange(nsh)
             mask = (qs < idx).astype(dtype)  # (P,)
             pw = jnp.clip(idx - 1 - qs, 0, nsh - 1)
-            terms = jnp.einsum("pij,pcj->pci", ap[pw], gathered)
-            c_in = jnp.einsum("p,pci->ci", mask, terms)  # (C_l, 2)
+            # full f32: a bf16-lowered carry combine would corrupt
+            # the cross-shard state (same class as the affine_scan_nd
+            # combine fix in linrec.py)
+            terms = jnp.einsum("pij,pcj->pci", ap[pw], gathered,
+                               precision=jax.lax.Precision.HIGHEST)
+            c_in = jnp.einsum("p,pci->ci", mask, terms,
+                              precision=jax.lax.Precision.HIGHEST)
             y = y0 + c_in[:, 0:1] * jnp.asarray(p_ext[s], dtype) \
                    + c_in[:, 1:2] * jnp.asarray(q_ext[s], dtype)
         return y

@@ -28,6 +28,7 @@ from __future__ import annotations
 from functools import lru_cache
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 _TINY_SIN = 1e-12
@@ -110,8 +111,11 @@ class Goertzel:
         basis, prop = _basis_cached(tuple(self.frequencies), self.sample_rate, n)
         basis = jnp.asarray(basis, dtype=x.dtype)  # (N, K, 2)
         prop = jnp.asarray(prop, dtype=x.dtype)    # (K, 2, 2)
-        driven = jnp.einsum("...n,nks->...ks", x, basis)
-        carried = jnp.einsum("kst,...kt->...ks", prop, state.astype(x.dtype))
+        driven = jnp.einsum("...n,nks->...ks", x, basis,
+                            precision=jax.lax.Precision.HIGHEST)
+        carried = jnp.einsum("kst,...kt->...ks", prop,
+                             state.astype(x.dtype),
+                             precision=jax.lax.Precision.HIGHEST)
         return carried + driven
 
     def power(self, state):
