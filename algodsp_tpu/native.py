@@ -57,6 +57,12 @@ def _load():
     lib.resample_polyphase_process.argtypes = [
         dp, ctypes.c_int, ctypes.c_int, ctypes.c_int, dp, dp, ctypes.c_long,
         dp, ctypes.c_long]
+    lib.dynamics_fb_process.argtypes = (
+        [dp, dp, dp, ctypes.c_long] + [ctypes.c_double] * 8 + [dp])
+    lib.dynamics_expand_process.argtypes = (
+        [dp, dp, dp, dp, ctypes.c_long]
+        + [ctypes.c_double] * 2 + [ctypes.c_int]
+        + [ctypes.c_double] * 8 + [dp])
     ip = ctypes.POINTER(ctypes.c_int)
     lib.hilbert_process.argtypes = [dp, ctypes.c_int, dp, dp, dp, dp,
                                     ctypes.c_long]
@@ -223,6 +229,78 @@ def dynamics_feedforward(core, x, state=None, sidechain=None):
         ctypes.c_double(core.knee_width_log2),
         ctypes.c_double(core.inv_knee_width_log2), ctypes.c_double(cf),
         ctypes.c_double(core.makeup_gain_lin), _dptr(st))
+    return st, out, gains
+
+
+def dynamics_feedback(core, x, state=None):
+    """Golden per-sample FEEDBACK-topology dynamics (oracle for
+    `DynamicsCore._process_feedback`; semantics parity with
+    `core.go:274-286`): the detector reads the previous output's
+    magnitude. `state` = [env, prev_abs] (None = zeros). Returns
+    (new_state, y, gains)."""
+    from algodsp_tpu.effects.dynamics.core import Topology
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    if core.cfg.topology is not Topology.FEEDBACK:
+        raise ValueError("golden kernel covers the feedback topology")
+    if state is None:
+        state = np.zeros(2)
+    st = np.ascontiguousarray(state, dtype=np.float64).copy()
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(xin)
+    gains = np.empty_like(xin)
+    fb_scale = core.cfg.feedback_ratio_scale
+    a = core.fb_attack_coeff if fb_scale else core.attack_coeff
+    r = core.fb_release_coeff if fb_scale else core.release_coeff
+    cf = (core.cfg.ratio - 1.0) if fb_scale else (1.0 - 1.0 / core.cfg.ratio)
+    lib.dynamics_fb_process(
+        _dptr(xin), _dptr(out), _dptr(gains), xin.size,
+        ctypes.c_double(a), ctypes.c_double(r),
+        ctypes.c_double(core.threshold_log2),
+        ctypes.c_double(core.cfg.knee_db),
+        ctypes.c_double(core.knee_width_log2),
+        ctypes.c_double(core.inv_knee_width_log2), ctypes.c_double(cf),
+        ctypes.c_double(core.makeup_gain_lin), _dptr(st))
+    return st, out, gains
+
+
+def dynamics_expansion(proc, x, state=None, sidechain=None):
+    """Golden per-sample downward expander / gate (oracle for
+    `effects.dynamics.{Expander,Gate}`; semantics parity with
+    `expander.go:358-411`): feedforward detector chain + expansion
+    gain computer floored at range_lin. `proc` is an Expander or Gate;
+    state layout matches `dynamics_feedforward`. Returns
+    (new_state, y, gains)."""
+    from algodsp_tpu.effects.dynamics.core import DetectorMode
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    core = proc.core
+    w = (core.rms_window
+         if core.cfg.detector_mode == DetectorMode.RMS else 1)
+    n_state = 3 + max(w - 1, 0)
+    if state is None:
+        state = np.zeros(n_state)
+    st = np.ascontiguousarray(state, dtype=np.float64).copy()
+    if st.size != n_state:
+        raise ValueError(f"dynamics state must have {n_state} entries")
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    sc = (xin if sidechain is None
+          else np.ascontiguousarray(sidechain, dtype=np.float64))
+    out = np.empty_like(xin)
+    gains = np.empty_like(xin)
+    lib.dynamics_expand_process(
+        _dptr(xin), _dptr(sc), _dptr(out), _dptr(gains), xin.size,
+        ctypes.c_double(core.lp_coeff), ctypes.c_double(core.hp_coeff),
+        int(w), ctypes.c_double(core.attack_coeff),
+        ctypes.c_double(core.release_coeff),
+        ctypes.c_double(core.threshold_log2),
+        ctypes.c_double(core.cfg.knee_db),
+        ctypes.c_double(core.knee_width_log2),
+        ctypes.c_double(core.inv_knee_width_log2),
+        ctypes.c_double(core.cfg.ratio),
+        ctypes.c_double(proc.range_lin), _dptr(st))
     return st, out, gains
 
 

@@ -311,6 +311,107 @@ void dynamics_ff_process(const double* in, const double* sc, double* out,
     state[2] = env;
 }
 
+// Feedback-topology dynamics (core.go:274-286 semantics as mirrored by
+// DynamicsCore._process_feedback): the detector reads the PREVIOUS
+// output's magnitude; no sidechain prefilters or RMS window apply.
+// state: [env, prev_abs], updated in place.
+void dynamics_fb_process(const double* in, double* out, double* gains,
+                         long n, double attack, double release,
+                         double threshold_log2, double knee_db,
+                         double knee_width_log2, double inv_knee_width_log2,
+                         double comp_factor, double makeup, double* state) {
+    double env = state[0];
+    double prev_abs = state[1];
+    for (long i = 0; i < n; ++i) {
+        const double src = prev_abs;
+        if (src > env) env += (src - env) * attack;
+        else           env = src + (env - src) * release;
+        const double g = dyn_gain_log2(env, threshold_log2, knee_db,
+                                       knee_width_log2, inv_knee_width_log2,
+                                       comp_factor);
+        if (gains) gains[i] = g;
+        const double y = in[i] * g * makeup;
+        out[i] = y;
+        prev_abs = std::fabs(y);
+    }
+    state[0] = env;
+    state[1] = prev_abs;
+}
+
+// Downward expansion / gate gain (expander.go:358-411 semantics as
+// mirrored by downward_expansion_gain): undershoot in log2, quadratic
+// knee, factor = ratio-1, floored at range_lin; level <= 0 -> range.
+static inline double dyn_expansion_gain_log2(double level,
+                                             double threshold_log2,
+                                             double knee_db,
+                                             double knee_width_log2,
+                                             double inv_knee_width_log2,
+                                             double ratio,
+                                             double range_lin) {
+    if (level <= 0.0) return range_lin;
+    const double undershoot = threshold_log2 - std::log2(level);
+    const double factor = ratio - 1.0;
+    double eff;
+    if (knee_db <= 0.0) {
+        eff = undershoot > 0.0 ? undershoot : 0.0;
+    } else {
+        const double half = knee_width_log2 * 0.5;
+        if (undershoot > half) {
+            eff = undershoot;
+        } else if (undershoot < -half) {
+            eff = 0.0;
+        } else {
+            const double scratch = undershoot + half;
+            eff = scratch * scratch * 0.5 * inv_knee_width_log2;
+        }
+    }
+    const double g = std::exp2(-eff * factor);
+    return g > range_lin ? g : range_lin;
+}
+
+// Feedforward expander/gate: identical detector chain to
+// dynamics_ff_process, expansion gain computer, no makeup.
+// state layout as dynamics_ff_process.
+void dynamics_expand_process(const double* in, const double* sc,
+                             double* out, double* gains, long n,
+                             double lp_coeff, double hp_coeff,
+                             int rms_window, double attack, double release,
+                             double threshold_log2, double knee_db,
+                             double knee_width_log2,
+                             double inv_knee_width_log2, double ratio,
+                             double range_lin, double* state) {
+    double lp = state[0];
+    double hp_lp = state[1];
+    double env = state[2];
+    double* ring = state + 3;
+    const int h = rms_window - 1;
+    for (long i = 0; i < n; ++i) {
+        double pre = sc[i];
+        if (lp_coeff > 0.0) { lp += lp_coeff * (pre - lp); pre = lp; }
+        if (hp_coeff > 0.0) { hp_lp += hp_coeff * (pre - hp_lp); pre -= hp_lp; }
+        double src = std::fabs(pre);
+        if (rms_window > 1) {
+            const double sq = src * src;
+            double sum = sq;
+            for (int k = 0; k < h; ++k) sum += ring[k];
+            for (int k = 0; k < h - 1; ++k) ring[k] = ring[k + 1];
+            ring[h - 1] = sq;
+            double mean = sum / (double)rms_window;
+            src = mean > 0.0 ? std::sqrt(mean) : 0.0;
+        }
+        if (src > env) env += (src - env) * attack;
+        else           env = src + (env - src) * release;
+        const double g = dyn_expansion_gain_log2(
+            env, threshold_log2, knee_db, knee_width_log2,
+            inv_knee_width_log2, ratio, range_lin);
+        if (gains) gains[i] = g;
+        out[i] = in[i] * g;
+    }
+    state[0] = lp;
+    state[1] = hp_lp;
+    state[2] = env;
+}
+
 // ---------------------------------------------------------------------------
 // Polyphase rational resampler golden kernel — the per-output-sample
 // branch-select loop (capability parity with dsp/resample/

@@ -169,7 +169,7 @@ def test_native_moog_zdf_newton_iters():
 
 
 from algodsp_tpu.effects.dynamics.core import (DetectorMode, DynamicsConfig,
-                                               DynamicsCore)
+                                               DynamicsCore, Topology)
 
 
 @pytest.mark.parametrize("detector,prefilter", [
@@ -443,3 +443,41 @@ def test_native_flanger_matches_jax():
     _, y_jax = fl.process(st, jnp.asarray(x))
     _, y_gold = native.flanger(fl, x)
     assert snr_db(y_gold, np.asarray(y_jax)) > 120
+
+
+@pytest.mark.parametrize("fb_scale", [False, True],
+                         ids=["plain", "ratio-scaled"])
+def test_native_dynamics_feedback_matches_jax(fb_scale):
+    """Feedback-topology compressor (detector on the previous output)
+    vs the per-sample JAX scan, both legacy variants."""
+    core = DynamicsCore(DynamicsConfig(
+        sample_rate=48000.0, topology=Topology.FEEDBACK,
+        feedback_ratio_scale=fb_scale, threshold_db=-20.0, ratio=4.0,
+        knee_db=6.0, attack_ms=3.0, release_ms=80.0))
+    rng = np.random.default_rng(90)
+    x = rng.standard_normal(2048) * 0.6
+    st = core.init_state((), jnp.float64)
+    _, y_jax, g_jax = core.process(st, jnp.asarray(x))
+    _, y_gold, g_gold = native.dynamics_feedback(core, x)
+    assert snr_db(y_gold, np.asarray(y_jax)) > 120
+    assert snr_db(g_gold, np.asarray(g_jax)) > 120
+
+
+@pytest.mark.parametrize("kind", ["expander", "gate"])
+def test_native_expansion_matches_jax(kind):
+    """Downward expander / gate gain computer (undershoot knee +
+    range floor) vs the JAX engine, RMS detector + sidechain."""
+    from algodsp_tpu.effects.dynamics import Expander, Gate
+    cls = Expander if kind == "expander" else Gate
+    proc = cls(48000.0, threshold_db=-30.0, ratio=3.0, knee_db=4.0,
+               attack_ms=2.0, release_ms=40.0,
+               detector_mode=DetectorMode.RMS, rms_window_ms=5.0)
+    rng = np.random.default_rng(91)
+    # material crossing the threshold both ways
+    x = rng.standard_normal(4096) * np.concatenate(
+        [np.full(2048, 0.5), np.full(2048, 0.005)])
+    st = proc.init_state((), jnp.float64)
+    _, y_jax, g_jax = proc.process(st, jnp.asarray(x), with_gain=True)
+    _, y_gold, g_gold = native.dynamics_expansion(proc, x)
+    assert snr_db(g_gold, np.asarray(g_jax)) > 120
+    assert snr_db(y_gold + 1e-30, np.asarray(y_jax) + 1e-30) > 100
