@@ -83,6 +83,9 @@ def _load():
                                    + [dp, dp, dp, ctypes.c_long])
     lib.flanger_process.argtypes = ([ctypes.c_int] + [ctypes.c_double] * 6
                                     + [dp, dp, dp, ctypes.c_long])
+    lib.chorus_process.argtypes = ([ctypes.c_int, ctypes.c_int]
+                                   + [ctypes.c_double] * 5
+                                   + [dp, dp, dp, ctypes.c_long])
     lib.freeverb_process.restype = ctypes.c_long
     lib.freeverb_process.argtypes = (
         [ip, ctypes.c_int, ip, ctypes.c_int] + [ctypes.c_double] * 6
@@ -484,6 +487,33 @@ def flanger(fl, x, state=None):
                         ctypes.c_double(fl.feedback),
                         ctypes.c_double(fl.mix), _dptr(st), _dptr(xin),
                         _dptr(out), xin.size)
+    return st, out
+
+
+def chorus(ch, x, state=None):
+    """Golden per-sample multi-voice chorus (oracle for
+    `effects.modulation.Chorus`'s walking-slice formulation; semantics
+    parity with `chorus.go:136-165`): Hermite-interpolated modulated
+    reads on the history-extended timeline, voice-averaged wet. One
+    channel. `state` = flat [hist (H,), phase] (None = zeros). Returns
+    (new_state, y)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    H = int(np.asarray(ch.delayline.init_state()).shape[-1])
+    if state is None:
+        state = np.zeros(H + 1)
+    st = np.ascontiguousarray(state, dtype=np.float64).copy()
+    if st.size != H + 1:
+        raise ValueError(f"chorus state must have {H + 1} entries")
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(xin)
+    lib.chorus_process(ch.stages, H, ctypes.c_double(ch.sample_rate),
+                       ctypes.c_double(ch.speed_hz),
+                       ctypes.c_double(ch.depth),
+                       ctypes.c_double(ch.base_delay),
+                       ctypes.c_double(ch.mix), _dptr(st), _dptr(xin),
+                       _dptr(out), xin.size)
     return st, out
 
 

@@ -898,6 +898,67 @@ void flanger_process(int buf_len, double sample_rate, double rate_hz,
 }
 
 // ---------------------------------------------------------------------------
+// Chorus golden kernel — per-sample oracle for the walking-slice
+// formulation in modulation.py:Chorus (capability parity with
+// dsp/effects/modulation/chorus.go:136-165): S voices of LFO-modulated
+// fractional delay with 2*pi*i/S phase offsets, 4-point Catmull-Rom
+// Hermite interpolation (interp.go:51-59) on the history-extended
+// timeline (out-of-range reads are 0), voice-averaged wet, wet/dry
+// mix. state: [hist (H,), phase], updated in place; H is the delay
+// line's history length.
+// ---------------------------------------------------------------------------
+
+static inline double chorus_read(const double* ext, long n_ext, double pos) {
+    // 4-point Hermite at fractional pos; out-of-range points read 0
+    const long i0 = (long)std::floor(pos);
+    const double t = pos - (double)i0;
+    double p[4];
+    for (int k = -1; k <= 2; ++k) {
+        const long j = i0 + k;
+        p[k + 1] = (j >= 0 && j < n_ext) ? ext[j] : 0.0;
+    }
+    const double c0 = p[1];
+    const double c1 = 0.5 * (p[2] - p[0]);
+    const double c2 = p[0] - 2.5 * p[1] + 2.0 * p[2] - 0.5 * p[3];
+    const double c3 = 0.5 * (p[3] - p[0]) + 1.5 * (p[1] - p[2]);
+    return ((c3 * t + c2) * t + c1) * t + c0;
+}
+
+void chorus_process(int stages, int hist_len, double sample_rate,
+                    double speed_hz, double depth_s, double base_delay_s,
+                    double mix, double* state, const double* in,
+                    double* out, long n) {
+    const double two_pi = 2.0 * M_PI;
+    const double inc = two_pi * speed_hz / sample_rate;
+    const double base = base_delay_s * sample_rate;
+    const double depth = depth_s * sample_rate;
+    const int H = hist_len;
+    double phase0 = state[H];
+    const long n_ext = H + n;
+    double* ext = new (std::nothrow) double[n_ext];
+    if (!ext) return;
+    for (int i = 0; i < H; ++i) ext[i] = state[i];
+    for (long i = 0; i < n; ++i) ext[H + i] = in[i];
+    for (long s = 0; s < n; ++s) {
+        const double phase = phase0 + (double)s * inc;
+        double wet = 0.0;
+        for (int v = 0; v < stages; ++v) {
+            const double off = two_pi * (double)v / (double)stages;
+            const double mod = 0.5 * (1.0 + std::sin(phase + off));
+            const double delay = base + depth * mod;
+            wet += chorus_read(ext, n_ext, (double)(H + s) - delay);
+        }
+        wet /= (double)stages;
+        out[s] = in[s] * (1.0 - mix) + wet * mix;
+    }
+    // new history = last H samples of the extended timeline
+    for (int i = 0; i < H; ++i) ext[i] = ext[n_ext - H + i];
+    for (int i = 0; i < H; ++i) state[i] = ext[i];
+    state[H] = std::fmod(phase0 + (double)n * inc, two_pi);
+    delete[] ext;
+}
+
+// ---------------------------------------------------------------------------
 // SPSC ring buffer for real-time block streaming (float32 frames)
 // ---------------------------------------------------------------------------
 

@@ -481,3 +481,21 @@ def test_native_expansion_matches_jax(kind):
     _, y_gold, g_gold = native.dynamics_expansion(proc, x)
     assert snr_db(g_gold, np.asarray(g_jax)) > 120
     assert snr_db(y_gold + 1e-30, np.asarray(y_jax) + 1e-30) > 100
+
+
+def test_native_chorus_matches_jax():
+    """Per-sample Hermite-interp voice loop vs the walking-slice
+    chorus engine, incl. LFO phase continuity over two calls."""
+    from algodsp_tpu.effects.modulation import Chorus
+    ch = Chorus(48000.0, speed_hz=1.1, depth_seconds=0.003,
+                base_delay_seconds=0.015, mix=0.6, stages=3)
+    rng = np.random.default_rng(95)
+    x = rng.standard_normal(4096) * 0.5
+    st = ch.init_state((), jnp.float64)
+    st, y1_jax = ch.process(st, jnp.asarray(x[:2048]))
+    st, y2_jax = ch.process(st, jnp.asarray(x[2048:]))
+    y_jax = np.concatenate([np.asarray(y1_jax), np.asarray(y2_jax)])
+    g, y1 = native.chorus(ch, x[:2048])
+    g, y2 = native.chorus(ch, x[2048:], state=g)
+    y_gold = np.concatenate([y1, y2])
+    assert snr_db(y_gold, y_jax) > 120
