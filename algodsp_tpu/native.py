@@ -86,6 +86,8 @@ def _load():
     lib.chorus_process.argtypes = ([ctypes.c_int, ctypes.c_int]
                                    + [ctypes.c_double] * 5
                                    + [dp, dp, dp, ctypes.c_long])
+    lib.autowah_process.argtypes = ([ctypes.c_double] * 8
+                                    + [dp, dp, dp, ctypes.c_long])
     lib.freeverb_process.restype = ctypes.c_long
     lib.freeverb_process.argtypes = (
         [ip, ctypes.c_int, ip, ctypes.c_int] + [ctypes.c_double] * 6
@@ -514,6 +516,34 @@ def chorus(ch, x, state=None):
                        ctypes.c_double(ch.base_delay),
                        ctypes.c_double(ch.mix), _dptr(st), _dptr(xin),
                        _dptr(out), xin.size)
+    return st, out
+
+
+def autowah(aw, x, state=None):
+    """Golden per-sample auto-wah (oracle for
+    `effects.modulation.AutoWah`'s time-varying affine-scan
+    formulation; semantics parity with
+    `auto_wah.go:315-334,455-482`). One channel. `state` =
+    [env, z1, z2] (None = zeros). Returns (new_state, y)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    if state is None:
+        state = np.zeros(3)
+    st = np.ascontiguousarray(state, dtype=np.float64).copy()
+    if st.size != 3:
+        raise ValueError("autowah state must have 3 entries")
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(xin)
+    lib.autowah_process(ctypes.c_double(aw.sample_rate),
+                        ctypes.c_double(aw.min_freq),
+                        ctypes.c_double(aw.max_freq),
+                        ctypes.c_double(aw.q),
+                        ctypes.c_double(aw.sensitivity),
+                        ctypes.c_double(aw.attack_coeff),
+                        ctypes.c_double(aw.release_coeff),
+                        ctypes.c_double(aw.mix), _dptr(st), _dptr(xin),
+                        _dptr(out), xin.size)
     return st, out
 
 

@@ -959,6 +959,52 @@ void chorus_process(int stages, int hist_len, double sample_rate,
 }
 
 // ---------------------------------------------------------------------------
+// Auto-wah golden kernel — per-sample oracle for the time-varying
+// affine-scan formulation in modulation.py:AutoWah (capability parity
+// with dsp/effects/auto_wah.go:315-334,455-482): branching envelope
+// drives an RBJ constant-skirt bandpass (b1 = 0) evaluated in DF2T
+// with per-sample coefficients. state: [env, z1, z2], in place.
+// ---------------------------------------------------------------------------
+
+void autowah_process(double sample_rate, double min_freq, double max_freq,
+                     double q, double sensitivity, double attack,
+                     double release, double mix, double* state,
+                     const double* in, double* out, long n) {
+    double env = state[0];
+    double z1 = state[1];
+    double z2 = state[2];
+    for (long i = 0; i < n; ++i) {
+        const double xv = in[i];
+        const double tgt = std::fabs(xv);
+        const double coeff = (tgt > env) ? attack : release;
+        env += coeff * (tgt - env);
+        double en = env * sensitivity;
+        if (en > 1.0) en = 1.0;
+        double freq = min_freq + en * (max_freq - min_freq);
+        if (freq < 1.0) freq = 1.0;
+        const double fmax = 0.49 * sample_rate;
+        if (freq > fmax) freq = fmax;
+        const double w0 = 2.0 * M_PI * freq / sample_rate;
+        const double sw = std::sin(w0), cw = std::cos(w0);
+        const double alpha = sw / (2.0 * q);
+        const double inv_a0 = 1.0 / (1.0 + alpha);
+        const double b0 = alpha * inv_a0;
+        const double b2 = -alpha * inv_a0;
+        const double a1 = -2.0 * cw * inv_a0;
+        const double a2 = (1.0 - alpha) * inv_a0;
+        const double wet = b0 * xv + z1;        // b1 = 0
+        const double z1n = -a1 * wet + z2;      // DF2T updates
+        const double z2n = b2 * xv - a2 * wet;
+        z1 = z1n;
+        z2 = z2n;
+        out[i] = xv * (1.0 - mix) + wet * mix;
+    }
+    state[0] = env;
+    state[1] = z1;
+    state[2] = z2;
+}
+
+// ---------------------------------------------------------------------------
 // SPSC ring buffer for real-time block streaming (float32 frames)
 // ---------------------------------------------------------------------------
 

@@ -499,3 +499,21 @@ def test_native_chorus_matches_jax():
     g, y2 = native.chorus(ch, x[2048:], state=g)
     y_gold = np.concatenate([y1, y2])
     assert snr_db(y_gold, y_jax) > 120
+
+
+def test_native_autowah_matches_jax():
+    """Per-sample envelope + DF2T time-varying bandpass vs the
+    affine2_scan engine, streamed over two calls."""
+    from algodsp_tpu.effects.modulation import AutoWah
+    aw = AutoWah(48000.0, sensitivity=8.0, q=3.0, mix=0.9)
+    rng = np.random.default_rng(96)
+    x = rng.standard_normal(4096) * np.concatenate(
+        [np.full(2048, 0.6), np.full(2048, 0.05)])
+    st = aw.init_state((), jnp.float64)
+    st, y1_jax = aw.process(st, jnp.asarray(x[:2048]))
+    st, y2_jax = aw.process(st, jnp.asarray(x[2048:]))
+    y_jax = np.concatenate([np.asarray(y1_jax), np.asarray(y2_jax)])
+    g, y1 = native.autowah(aw, x[:2048])
+    g, y2 = native.autowah(aw, x[2048:], state=g)
+    y_gold = np.concatenate([y1, y2])
+    assert snr_db(y_gold, y_jax) > 120
