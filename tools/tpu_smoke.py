@@ -188,6 +188,12 @@ def main():
     _, yfl = jax.jit(fl.process)(st, jnp.asarray(xp))
     _, gfl = native.flanger(fl, xp)
     check("flanger blocked slices", snr_db(gfl, np.asarray(yfl)), 80)
+    from algodsp_tpu.effects.modulation import Chorus
+    chs = Chorus(sr)
+    st = chs.init_state(())
+    _, ych = jax.jit(chs.process)(st, jnp.asarray(xp))
+    _, gch = native.chorus(chs, xp)
+    check("chorus walking-read", snr_db(gch, np.asarray(ych)), 70)
 
     ws = WSOLAPitchShifter(sr, pitch_ratio=2 ** (3 / 12))
     xw = np.convolve(rng.standard_normal(1 << 15), np.ones(8) / 8,
