@@ -10,12 +10,20 @@ from algodsp_tpu.parallel.sharded import (
     compressor_time_sharded,
     reduce_metrics,
 )
+from algodsp_tpu.parallel.streamed import (
+    channel_state_specs,
+    scan_blocks_channel_sharded,
+    compressor_stream_time_sharded,
+    StreamingConvTimeSharded,
+)
 
 __all__ = [
     "biquad_time_sharded",
     "biquad_pipeline",
     "box_rms_time_sharded",
     "channel_sharding",
+    "channel_state_specs",
+    "compressor_stream_time_sharded",
     "compressor_time_sharded",
     "conv_time_sharded",
     "envelope_time_sharded",
@@ -23,4 +31,6 @@ __all__ = [
     "make_mesh",
     "onepole_time_sharded",
     "reduce_metrics",
+    "scan_blocks_channel_sharded",
+    "StreamingConvTimeSharded",
 ]
