@@ -83,6 +83,7 @@ def _load():
                                    + [dp, dp, dp, ctypes.c_long])
     lib.flanger_process.argtypes = ([ctypes.c_int] + [ctypes.c_double] * 6
                                     + [dp, dp, dp, ctypes.c_long])
+    lib.chorus_process.restype = ctypes.c_int
     lib.chorus_process.argtypes = ([ctypes.c_int, ctypes.c_int]
                                    + [ctypes.c_double] * 5
                                    + [dp, dp, dp, ctypes.c_long])
@@ -95,6 +96,53 @@ def _load():
     lib.fdn_process.restype = ctypes.c_long
     lib.fdn_process.argtypes = [dp, dp, dp, dp, dp, ctypes.c_long, dp, dp,
                                 ctypes.c_long]
+    lib.tremolo_process.argtypes = ([ctypes.c_double] * 5
+                                    + [dp, dp, dp, ctypes.c_long])
+    lib.ringmod_process.argtypes = ([ctypes.c_double] * 3
+                                    + [dp, dp, dp, ctypes.c_long])
+    lib.bitcrusher_process.argtypes = ([ctypes.c_double, ctypes.c_int,
+                                        ctypes.c_double]
+                                       + [dp, dp, dp, ctypes.c_long])
+    lib.transient_process.argtypes = ([ctypes.c_double] * 4
+                                      + [dp, dp, dp, ctypes.c_long])
+    lib.lookahead_process.argtypes = ([dp, dp, dp, ctypes.c_long,
+                                       ctypes.c_int]
+                                      + [ctypes.c_double] * 7 + [dp])
+    lib.deesser_process.argtypes = ([dp, dp, ctypes.c_int, dp, ctypes.c_int]
+                                    + [ctypes.c_double] * 8
+                                    + [ctypes.c_int, ctypes.c_int,
+                                       dp, dp, ctypes.c_long, dp])
+    lib.multiband_process.argtypes = ([dp, ctypes.c_int, ctypes.c_int]
+                                      + [dp] * 8
+                                      + [dp, dp, ctypes.c_long, dp, dp])
+    lib.dither_fir_process.argtypes = [dp, dp, dp, ctypes.c_long, dp,
+                                       ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_double, ctypes.c_double, dp]
+    lib.dither_iir_process.argtypes = [dp, dp, dp, ctypes.c_long, dp,
+                                       ctypes.c_int, ctypes.c_double,
+                                       ctypes.c_double, dp]
+    lib.widener_process.argtypes = [dp, ctypes.c_int, dp, ctypes.c_int,
+                                    ctypes.c_double, dp, dp, dp, dp,
+                                    ctypes.c_long, dp]
+    lib.crosstalk_cancel_process.argtypes = [ctypes.c_int, ip, dp, dp,
+                                             dp, dp, dp, dp,
+                                             ctypes.c_long, dp]
+    lib.crosstalk_sim_process.argtypes = [ctypes.c_int, dp,
+                                          ctypes.c_double, ctypes.c_int,
+                                          dp, dp, dp, dp,
+                                          ctypes.c_long, dp]
+    lib.crosstalk_hrtf_process.argtypes = [dp, ctypes.c_int, dp,
+                                           ctypes.c_int, dp, ctypes.c_int,
+                                           dp, ctypes.c_int, ctypes.c_int,
+                                           dp, dp, dp, dp, ctypes.c_long]
+    lib.transformer_process.argtypes = ([ctypes.c_int, ctypes.c_int,
+                                         dp, dp, ctypes.c_int, dp]
+                                        + [ctypes.c_double] * 3
+                                        + [dp, dp, ctypes.c_long, dp])
+    lib.freqshift_process.restype = ctypes.c_int
+    lib.freqshift_process.argtypes = [dp, ctypes.c_int, ctypes.c_double,
+                                      ctypes.c_double, dp, dp, dp, dp,
+                                      ctypes.c_long]
     lib.ring_create.restype = ctypes.c_void_p
     lib.ring_create.argtypes = [ctypes.c_long]
     lib.ring_destroy.argtypes = [ctypes.c_void_p]
@@ -382,6 +430,10 @@ def wsola(ws, x):
     if r == 1.0:
         return x2.copy()
     seq, ov, seek = ws.sequence, ws.overlap, ws.seek
+    if n < seq + seek:
+        raise ValueError(
+            f"wsola golden needs at least seq+seek = {seq + seek} samples, "
+            f"got {n}")
     flat = seq - ov
     S = max(int((n - seq - seek) / (flat * r)), 1)
     out_len = (S - 1) * flat + seq
@@ -510,12 +562,14 @@ def chorus(ch, x, state=None):
         raise ValueError(f"chorus state must have {H + 1} entries")
     xin = np.ascontiguousarray(x, dtype=np.float64)
     out = np.empty_like(xin)
-    lib.chorus_process(ch.stages, H, ctypes.c_double(ch.sample_rate),
-                       ctypes.c_double(ch.speed_hz),
-                       ctypes.c_double(ch.depth),
-                       ctypes.c_double(ch.base_delay),
-                       ctypes.c_double(ch.mix), _dptr(st), _dptr(xin),
-                       _dptr(out), xin.size)
+    rc = lib.chorus_process(ch.stages, H, ctypes.c_double(ch.sample_rate),
+                            ctypes.c_double(ch.speed_hz),
+                            ctypes.c_double(ch.depth),
+                            ctypes.c_double(ch.base_delay),
+                            ctypes.c_double(ch.mix), _dptr(st), _dptr(xin),
+                            _dptr(out), xin.size)
+    if rc != 0:
+        raise MemoryError("chorus_process: allocation failed")
     return st, out
 
 
@@ -637,6 +691,431 @@ def fdn(rv, x, state=None, step: int = 0):
                                _dptr(filt), _dptr(lfo), int(step),
                                _dptr(xin), _dptr(out), xin.size)
     return (lines, pre, filt, float(lfo[0])), int(new_step), out
+
+
+def tremolo(tr, x, state=None):
+    """Golden per-sample tremolo (oracle for
+    `effects.modulation.Tremolo`; semantics parity with
+    `tremolo.go:201-294`): LFO amplitude modulation with one-pole
+    smoothing. One channel. `state` = [phase, mod] (None = zeros).
+    Returns (new_state, y)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    if state is None:
+        state = np.zeros(2)
+    st = np.ascontiguousarray(state, dtype=np.float64).copy()
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(xin)
+    lib.tremolo_process(ctypes.c_double(tr.sample_rate),
+                        ctypes.c_double(tr.rate_hz),
+                        ctypes.c_double(tr.depth), ctypes.c_double(tr.mix),
+                        ctypes.c_double(tr.smoothing_coeff), _dptr(st),
+                        _dptr(xin), _dptr(out), xin.size)
+    return st, out
+
+
+def ringmod(rm, x, state=None):
+    """Golden per-sample ring modulator (oracle for
+    `effects.modulation.RingModulator`; semantics parity with
+    `ring_modulator.go:143-153`). `state` = [phase]. Returns
+    (new_state, y)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    if state is None:
+        state = np.zeros(1)
+    st = np.ascontiguousarray(state, dtype=np.float64).copy()
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(xin)
+    lib.ringmod_process(ctypes.c_double(rm.sample_rate),
+                        ctypes.c_double(rm.carrier_hz),
+                        ctypes.c_double(rm.mix), _dptr(st), _dptr(xin),
+                        _dptr(out), xin.size)
+    return st, out
+
+
+def bitcrusher(bc, x, state=None):
+    """Golden per-sample bit crusher (oracle for
+    `effects.waveshape.BitCrusher`; semantics parity with
+    `bit_crusher.go:191-230`): quantize + sample-hold downsample.
+    `state` = [hold, counter] (None = zeros). Returns (new_state, y)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    if state is None:
+        state = np.zeros(2)
+    st = np.ascontiguousarray(state, dtype=np.float64).copy()
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(xin)
+    lib.bitcrusher_process(ctypes.c_double(bc.quant_levels),
+                           int(bc.downsample), ctypes.c_double(bc.mix),
+                           _dptr(st), _dptr(xin), _dptr(out), xin.size)
+    return st, out
+
+
+def transient(ts, x, state=None):
+    """Golden per-sample transient shaper (oracle for
+    `effects.dynamics.TransientShaper`; semantics parity with
+    `transient_shaper.go:139-188`). `state` = [env]. Returns
+    (new_state, y)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    if state is None:
+        state = np.zeros(1)
+    st = np.ascontiguousarray(state, dtype=np.float64).copy()
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(xin)
+    lib.transient_process(ctypes.c_double(ts.attack_coeff),
+                          ctypes.c_double(ts.release_coeff),
+                          ctypes.c_double(ts.attack_amount),
+                          ctypes.c_double(ts.sustain_amount), _dptr(st),
+                          _dptr(xin), _dptr(out), xin.size)
+    return st, out
+
+
+def lookahead(ll, x, sidechain=None, state=None):
+    """Golden per-sample lookahead limiter (oracle for
+    `effects.dynamics.LookaheadLimiter`; semantics parity with
+    `lookahead_limiter.go:23-36,185-210`): early limiter-core detector,
+    program path delayed by the lookahead. `state` = flat
+    [env, delay buffer (delay,)] (None = zeros). Returns
+    (new_state, y)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    core = ll.comp.core
+    d = ll.delay
+    if state is None:
+        state = np.zeros(1 + d)
+    st = np.ascontiguousarray(state, dtype=np.float64).copy()
+    if st.size != 1 + d:
+        raise ValueError(f"lookahead state must have {1 + d} entries")
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    sc = (xin if sidechain is None
+          else np.ascontiguousarray(sidechain, dtype=np.float64))
+    out = np.empty_like(xin)
+    cf = 1.0 - 1.0 / core.cfg.ratio
+    lib.lookahead_process(
+        _dptr(xin), _dptr(sc), _dptr(out), xin.size, int(d),
+        ctypes.c_double(core.attack_coeff),
+        ctypes.c_double(core.release_coeff),
+        ctypes.c_double(core.threshold_log2),
+        ctypes.c_double(core.cfg.knee_db),
+        ctypes.c_double(core.knee_width_log2),
+        ctypes.c_double(core.inv_knee_width_log2), ctypes.c_double(cf),
+        _dptr(st))
+    return st, out
+
+
+def deesser(de, x, state=None):
+    """Golden per-sample de-esser (oracle for
+    `effects.dynamics.DeEsser`; semantics parity with `deesser.go`):
+    band-limited detector -> envelope -> range-floored compressor gain
+    applied to the crossover high band (split) or wideband. `state` =
+    flat [det(2), lo(2*n_lo), hi(2*n_hi), env] (None = zeros). Returns
+    (new_state, y)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    core = de.core
+    det_sos = np.ascontiguousarray(de.detector_filter.sos, np.float64)
+    if de.crossover is not None:
+        lo = np.ascontiguousarray(de.crossover.lp.sos, np.float64)
+        hi = np.ascontiguousarray(de.crossover.hp.sos, np.float64)
+    else:
+        lo = np.zeros((0, 5))
+        hi = np.zeros((0, 5))
+    n_lo, n_hi = lo.shape[0], hi.shape[0]
+    n_state = 2 + 2 * n_lo + 2 * n_hi + 1
+    if state is None:
+        state = np.zeros(n_state)
+    st = np.ascontiguousarray(state, dtype=np.float64).copy()
+    if st.size != n_state:
+        raise ValueError(f"deesser state must have {n_state} entries")
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(xin)
+    cf = 1.0 - 1.0 / core.cfg.ratio
+    lib.deesser_process(
+        _dptr(det_sos), _dptr(lo), n_lo, _dptr(hi), n_hi,
+        ctypes.c_double(core.attack_coeff),
+        ctypes.c_double(core.release_coeff),
+        ctypes.c_double(core.threshold_log2),
+        ctypes.c_double(core.cfg.knee_db),
+        ctypes.c_double(core.knee_width_log2),
+        ctypes.c_double(core.inv_knee_width_log2), ctypes.c_double(cf),
+        ctypes.c_double(de.range_lin),
+        int(de.crossover is not None), int(de.listen),
+        _dptr(xin), _dptr(out), xin.size, _dptr(st))
+    return st, out
+
+
+def multiband(mb, x, state=None):
+    """Golden per-sample multiband compressor (oracle for
+    `effects.dynamics.MultibandCompressor`; semantics parity with
+    `multiband.go:27-160`): LR crossover tree + per-band feedforward
+    cores summed. `state` = flat [per-stage lp/hp regs, band envs]
+    (None = zeros). Returns (new_state, y)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    stages = mb.multiband.stages
+    n_stages = len(stages)
+    n_sec = stages[0].lp.sos.shape[0]
+    xo = np.ascontiguousarray(np.concatenate(
+        [np.concatenate([st.lp.sos, st.hp.sos]) for st in stages]),
+        np.float64)
+    cores = [b.core for b in mb.bands]
+    arr = lambda vals: np.ascontiguousarray(vals, np.float64)
+    attack = arr([c.attack_coeff for c in cores])
+    release = arr([c.release_coeff for c in cores])
+    thr = arr([c.threshold_log2 for c in cores])
+    knee = arr([c.cfg.knee_db for c in cores])
+    kw = arr([c.knee_width_log2 for c in cores])
+    ikw = arr([c.inv_knee_width_log2 for c in cores])
+    cf = arr([1.0 - 1.0 / c.cfg.ratio for c in cores])
+    mk = arr([c.makeup_gain_lin for c in cores])
+    n_bands = n_stages + 1
+    n_state = 4 * n_sec * n_stages + n_bands
+    if state is None:
+        state = np.zeros(n_state)
+    st = np.ascontiguousarray(state, dtype=np.float64).copy()
+    if st.size != n_state:
+        raise ValueError(f"multiband state must have {n_state} entries")
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(xin)
+    bands = np.empty(n_bands)
+    lib.multiband_process(_dptr(xo), n_stages, n_sec, _dptr(attack),
+                          _dptr(release), _dptr(thr), _dptr(knee),
+                          _dptr(kw), _dptr(ikw), _dptr(cf), _dptr(mk),
+                          _dptr(xin), _dptr(out), xin.size, _dptr(st),
+                          _dptr(bands))
+    return st, out
+
+
+def quantize(qz, x, noise, state=None):
+    """Golden per-sample dither quantizer (oracle for
+    `dither.Quantizer._process_codes`; semantics parity with
+    `quantizer.go:87-120` + `shaper_fir.go:5-59` / `shaper_iir.go:20-57`):
+    FIR or IIR-shelf error-feedback shaping with floor quantization and
+    limiting. The dither noise (drawn by the JAX PRNG in the engine) is
+    passed in explicitly so the shaping loop is compared on identical
+    noise. `state` = err history (order,) for FIR, [d0, d1, last_err]
+    for IIR. Returns (new_state, integer codes as f64)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    nz = np.ascontiguousarray(noise, dtype=np.float64)
+    if nz.shape != xin.shape:
+        raise ValueError("noise must match the signal shape")
+    scaled = qz.bit_mul * xin
+    out = np.empty_like(xin)
+    if qz.iir_shelf_sos is not None:
+        if state is None:
+            state = np.zeros(3)
+        st = np.ascontiguousarray(state, np.float64).copy()
+        if st.size != 3:
+            raise ValueError("IIR dither state must have 3 entries")
+        sos = np.ascontiguousarray(qz.iir_shelf_sos, np.float64)
+        lib.dither_iir_process(_dptr(scaled), _dptr(nz), _dptr(out),
+                               xin.size, _dptr(sos), int(qz.limit),
+                               ctypes.c_double(qz.limit_lo),
+                               ctypes.c_double(qz.limit_hi), _dptr(st))
+        return st, out
+    coeffs = np.ascontiguousarray(qz.shaper_coeffs, np.float64)
+    order = coeffs.size
+    if state is None:
+        state = np.zeros(max(order, 1))
+    st = np.ascontiguousarray(state, np.float64).copy()
+    lib.dither_fir_process(_dptr(scaled), _dptr(nz), _dptr(out), xin.size,
+                           _dptr(coeffs), order, int(qz.limit),
+                           ctypes.c_double(qz.limit_lo),
+                           ctypes.c_double(qz.limit_hi), _dptr(st))
+    return st, out
+
+
+def widener(w, x, state=None):
+    """Golden per-sample stereo widener (oracle for
+    `effects.spatial.StereoWidener`; semantics parity with
+    `stereo_widener.go:142-178`). x: (2, N). `state` = flat
+    [lpL, lpR, hpL, hpR] biquad regs (None = zeros). Returns
+    (new_state, y (2, N))."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    if w.lp is not None:
+        lp = np.ascontiguousarray(w.lp.sos, np.float64)
+        hp = np.ascontiguousarray(w.hp.sos, np.float64)
+    else:
+        lp = np.zeros((0, 5))
+        hp = np.zeros((0, 5))
+    n_lp, n_hp = lp.shape[0], hp.shape[0]
+    n_state = 4 * n_lp + 4 * n_hp
+    if state is None:
+        state = np.zeros(max(n_state, 1))
+    st = np.ascontiguousarray(state, np.float64).copy()
+    x2 = np.ascontiguousarray(x, dtype=np.float64)
+    if x2.ndim != 2 or x2.shape[0] != 2:
+        raise ValueError("widener golden takes (2, N) stereo")
+    out = np.empty_like(x2)
+    lib.widener_process(_dptr(lp), n_lp, _dptr(hp), n_hp,
+                        ctypes.c_double(w.width),
+                        _dptr(np.ascontiguousarray(x2[0])),
+                        _dptr(np.ascontiguousarray(x2[1])),
+                        _dptr(out[0]), _dptr(out[1]), x2.shape[-1],
+                        _dptr(st))
+    return st, out
+
+
+def crosstalk_cancel(cc, x, state=None):
+    """Golden per-sample crosstalk canceller (oracle for
+    `effects.spatial.CrosstalkCanceller`; semantics parity with
+    `crosstalk_canceller.go:204-218`): staged delayed + shelved
+    crossfeed subtraction. x: (2, N). `state` = flat per-stage
+    [dbufL(d), dbufR(d), shelfL(2), shelfR(2)] (None = zeros). Returns
+    (new_state, y (2, N))."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    delays = np.ascontiguousarray(cc.stage_delays, np.int32)
+    gains = np.ascontiguousarray(cc.stage_gains, np.float64)
+    shelf = np.ascontiguousarray(
+        np.concatenate([s.sos for s in cc.shelves]), np.float64)
+    n_state = int(sum(2 * d + 4 for d in cc.stage_delays))
+    if state is None:
+        state = np.zeros(n_state)
+    st = np.ascontiguousarray(state, np.float64).copy()
+    if st.size != n_state:
+        raise ValueError(f"canceller state must have {n_state} entries")
+    x2 = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(x2)
+    iptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+    lib.crosstalk_cancel_process(
+        cc.stages, iptr(delays), _dptr(gains), _dptr(shelf),
+        _dptr(np.ascontiguousarray(x2[0])),
+        _dptr(np.ascontiguousarray(x2[1])),
+        _dptr(out[0]), _dptr(out[1]), x2.shape[-1], _dptr(st))
+    return st, out
+
+
+def crosstalk_sim(cs, x, state=None):
+    """Golden per-sample crosstalk simulator, parametric mode (oracle
+    for `effects.spatial.CrosstalkSimulator`; semantics parity with
+    `crosstalk_simulator.go:171-185`). x: (2, N). `state` = flat
+    [dbufL(d), dbufR(d), shelfL(2), shelfR(2)] (None = zeros). Returns
+    (new_state, y (2, N))."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    if cs.hrtf is not None or cs.hrtf_set is not None:
+        raise ValueError("parametric golden; use crosstalk_hrtf for IR modes")
+    d = cs.delay
+    shelf = np.ascontiguousarray(cs.shelf.sos, np.float64)
+    n_state = 2 * d + 4
+    if state is None:
+        state = np.zeros(n_state)
+    st = np.ascontiguousarray(state, np.float64).copy()
+    x2 = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(x2)
+    lib.crosstalk_sim_process(
+        int(d), _dptr(shelf), ctypes.c_double(cs.mix), int(cs.invert),
+        _dptr(np.ascontiguousarray(x2[0])),
+        _dptr(np.ascontiguousarray(x2[1])),
+        _dptr(out[0]), _dptr(out[1]), x2.shape[-1], _dptr(st))
+    return st, out
+
+
+def crosstalk_hrtf(cs, x):
+    """Golden crosstalk simulator, HRTF-set mode (oracle for
+    `CrosstalkSimulator._process_hrtf_set`; semantics parity with
+    `crosstalk_simulator_hrtf.go:121-137`): per-sample 4-path FIR
+    routing, whole-signal/zero-state like the engine. x: (2, N).
+    Returns y (2, N)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    if cs.hrtf_set is None:
+        raise ValueError("crosstalk_hrtf needs an HRTF IR set")
+    irs = {k: np.ascontiguousarray(v, np.float64)
+           for k, v in cs.hrtf_set.items()}
+    x2 = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(x2)
+    lib.crosstalk_hrtf_process(
+        _dptr(irs["left_direct"]), irs["left_direct"].size,
+        _dptr(irs["left_cross"]), irs["left_cross"].size,
+        _dptr(irs["right_direct"]), irs["right_direct"].size,
+        _dptr(irs["right_cross"]), irs["right_cross"].size,
+        int(cs.hrtf_mode == "complete"),
+        _dptr(np.ascontiguousarray(x2[0])),
+        _dptr(np.ascontiguousarray(x2[1])),
+        _dptr(out[0]), _dptr(out[1]), x2.shape[-1])
+    return out
+
+
+def transformer(tf, x, state=None):
+    """Golden per-sample transformer simulation (oracle for
+    `effects.waveshape.TransformerSimulation`; semantics parity with
+    `transformer_simulation.go:333-430`): HP pre-emphasis, 4x
+    oversampled exact tanh (high) or odd-poly saturation (lightweight),
+    damping, mix. `state` = flat [hp(2), up_aa(2*n_aa), damp_os(2),
+    down_aa(2*n_aa)] (high) or [hp(2), damp(2)] (lightweight).
+    Returns (new_state, y)."""
+    from algodsp_tpu.effects.waveshape import TransformerQuality
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    high = tf.quality == TransformerQuality.HIGH
+    hp = np.ascontiguousarray(tf.pre_hp.sos, np.float64)
+    if high:
+        aa = np.ascontiguousarray(tf.up_aa.sos, np.float64)
+        damp = np.ascontiguousarray(tf.damp_os.sos, np.float64)
+        n_aa = aa.shape[0]
+        n_state = 2 + 4 * n_aa + 2
+    else:
+        aa = np.zeros((0, 5))
+        damp = np.ascontiguousarray(tf.damp.sos, np.float64)
+        n_aa = 0
+        n_state = 4
+    if state is None:
+        state = np.zeros(n_state)
+    st = np.ascontiguousarray(state, np.float64).copy()
+    if st.size != n_state:
+        raise ValueError(f"transformer state must have {n_state} entries")
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(xin)
+    lib.transformer_process(int(high), int(tf.oversampling), _dptr(hp),
+                            _dptr(aa), n_aa, _dptr(damp),
+                            ctypes.c_double(tf.drive),
+                            ctypes.c_double(tf.mix),
+                            ctypes.c_double(tf.output_level),
+                            _dptr(xin), _dptr(out), xin.size, _dptr(st))
+    return st, out
+
+
+def freqshift(fs, x, phase: float = 0.0):
+    """Golden per-sample frequency shifter (oracle for
+    `effects.modulation.FrequencyShifter`; semantics parity with
+    `frequency_shifter.go:78-210`): full-rate Hilbert analytic pair
+    (zero-state, matching the engine's one-shot) x quadrature carrier.
+    One channel. Returns (new_phase, up, down)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    coeffs = np.ascontiguousarray(fs.hilbert.coeffs, np.float64)
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    up = np.empty_like(xin)
+    down = np.empty_like(xin)
+    ph = np.asarray([float(phase)], np.float64)
+    rc = lib.freqshift_process(_dptr(coeffs), coeffs.size,
+                               ctypes.c_double(fs.sample_rate),
+                               ctypes.c_double(fs.shift_hz), _dptr(ph),
+                               _dptr(xin), _dptr(up), _dptr(down),
+                               xin.size)
+    if rc != 0:
+        raise MemoryError("freqshift_process: allocation failed")
+    return float(ph[0]), up, down
 
 
 class RingBuffer:

@@ -662,6 +662,9 @@ void hilbert_process(const double* coeffs, int n_coeffs, double* state,
 long wsola_stretch(const double* x, long n, int seq, int ov, int seek,
                    double rate, double* out) {
     const int flat = seq - ov;
+    // inputs shorter than one segment + search window would drive the
+    // nominal grid negative and read out of bounds — refuse instead
+    if (n < (long)seq + (long)seek) return -1;
     long S = (long)((double)(n - seq - seek) / ((double)flat * rate));
     if (S < 1) S = 1;
     // f32 prefix energies (see note above)
@@ -924,10 +927,11 @@ static inline double chorus_read(const double* ext, long n_ext, double pos) {
     return ((c3 * t + c2) * t + c1) * t + c0;
 }
 
-void chorus_process(int stages, int hist_len, double sample_rate,
-                    double speed_hz, double depth_s, double base_delay_s,
-                    double mix, double* state, const double* in,
-                    double* out, long n) {
+// Returns 0 on success, -1 on allocation failure (out untouched).
+int chorus_process(int stages, int hist_len, double sample_rate,
+                   double speed_hz, double depth_s, double base_delay_s,
+                   double mix, double* state, const double* in,
+                   double* out, long n) {
     const double two_pi = 2.0 * M_PI;
     const double inc = two_pi * speed_hz / sample_rate;
     const double base = base_delay_s * sample_rate;
@@ -936,7 +940,7 @@ void chorus_process(int stages, int hist_len, double sample_rate,
     double phase0 = state[H];
     const long n_ext = H + n;
     double* ext = new (std::nothrow) double[n_ext];
-    if (!ext) return;
+    if (!ext) return -1;
     for (int i = 0; i < H; ++i) ext[i] = state[i];
     for (long i = 0; i < n; ++i) ext[H + i] = in[i];
     for (long s = 0; s < n; ++s) {
@@ -956,6 +960,7 @@ void chorus_process(int stages, int hist_len, double sample_rate,
     for (int i = 0; i < H; ++i) state[i] = ext[i];
     state[H] = std::fmod(phase0 + (double)n * inc, two_pi);
     delete[] ext;
+    return 0;
 }
 
 // ---------------------------------------------------------------------------
@@ -1002,6 +1007,521 @@ void autowah_process(double sample_rate, double min_freq, double max_freq,
     state[0] = env;
     state[1] = z1;
     state[2] = z2;
+}
+
+// ---------------------------------------------------------------------------
+// Shared per-sample biquad tick (DF2T, a0-normalized) for the composite
+// oracles below. sos_row = [b0,b1,b2,a1,a2]; st2 = [d0,d1].
+// ---------------------------------------------------------------------------
+
+static inline double bq_tick(const double* sos_row, double* st2, double x) {
+    const double y = sos_row[0] * x + st2[0];
+    st2[0] = sos_row[1] * x - sos_row[3] * y + st2[1];
+    st2[1] = sos_row[2] * x - sos_row[4] * y;
+    return y;
+}
+
+static inline double bq_cascade_tick(const double* sos, int n_sec,
+                                     double* st, double x) {
+    for (int s = 0; s < n_sec; ++s)
+        x = bq_tick(sos + 5 * s, st + 2 * s, x);
+    return x;
+}
+
+// ---------------------------------------------------------------------------
+// Tremolo golden kernel — per-sample oracle for the vectorized LFO +
+// one-pole smoothing in modulation.py:Tremolo (capability parity with
+// dsp/effects/modulation/tremolo.go:201-294). state: [phase, mod].
+// ---------------------------------------------------------------------------
+
+void tremolo_process(double sample_rate, double rate_hz, double depth,
+                     double mix, double smoothing_coeff, double* state,
+                     const double* in, double* out, long n) {
+    const double two_pi = 2.0 * M_PI;
+    const double inc = two_pi * rate_hz / sample_rate;
+    const double phase0 = state[0];
+    double mod = state[1];
+    for (long i = 0; i < n; ++i) {
+        const double phase = phase0 + (double)i * inc;
+        const double lfo = 0.5 * (1.0 + std::sin(phase));
+        const double target = (1.0 - depth) + depth * lfo;
+        if (smoothing_coeff >= 1.0) mod = target;
+        else mod += smoothing_coeff * (target - mod);
+        const double wet = in[i] * mod;
+        out[i] = in[i] * (1.0 - mix) + wet * mix;
+    }
+    state[0] = std::fmod(phase0 + (double)n * inc, two_pi);
+    state[1] = mod;
+}
+
+// ---------------------------------------------------------------------------
+// Ring modulator golden kernel (modulation.py:RingModulator, capability
+// parity with ring_modulator.go:143-153). state: [phase].
+// ---------------------------------------------------------------------------
+
+void ringmod_process(double sample_rate, double carrier_hz, double mix,
+                     double* state, const double* in, double* out, long n) {
+    const double two_pi = 2.0 * M_PI;
+    const double inc = two_pi * carrier_hz / sample_rate;
+    const double phase0 = state[0];
+    for (long i = 0; i < n; ++i) {
+        const double wet = in[i] * std::sin(phase0 + (double)i * inc);
+        out[i] = in[i] * (1.0 - mix) + wet * mix;
+    }
+    state[0] = std::fmod(phase0 + (double)n * inc, two_pi);
+}
+
+// ---------------------------------------------------------------------------
+// Bit crusher golden kernel — per-sample quantize + sample-hold
+// downsampler (waveshape.py:BitCrusher, capability parity with
+// bit_crusher.go:191-230). state: [hold, counter].
+// ---------------------------------------------------------------------------
+
+void bitcrusher_process(double quant_levels, int downsample, double mix,
+                        double* state, const double* in, double* out,
+                        long n) {
+    double hold = state[0];
+    long counter = (long)state[1];
+    for (long i = 0; i < n; ++i) {
+        counter = (counter + 1) % downsample;
+        if (downsample == 1 || counter == 0)
+            hold = std::round(in[i] * quant_levels) / quant_levels;
+        out[i] = in[i] * (1.0 - mix) + hold * mix;
+    }
+    state[0] = hold;
+    state[1] = (double)counter;
+}
+
+// ---------------------------------------------------------------------------
+// Transient shaper golden kernel — per-sample attack/sustain gain
+// (processors.py:TransientShaper, capability parity with
+// transient_shaper.go:139-188). state: [env].
+// ---------------------------------------------------------------------------
+
+void transient_process(double attack_coeff, double release_coeff,
+                       double attack_amount, double sustain_amount,
+                       double* state, const double* in, double* out,
+                       long n) {
+    double env = state[0];
+    for (long i = 0; i < n; ++i) {
+        const double s = std::fabs(in[i]);
+        const double coeff = (s > env) ? attack_coeff : release_coeff;
+        const double new_env = env + coeff * (s - env);
+        const double delta = new_env - env;
+        double norm = std::fabs(delta) / (env + 1e-9);
+        if (norm > 1.0) norm = 1.0;
+        double gain = 1.0 + ((delta >= 0.0) ? attack_amount * norm
+                                            : sustain_amount * norm);
+        if (gain < 0.0) gain = 0.0;
+        env = new_env;
+        out[i] = in[i] * gain;
+    }
+    state[0] = env;
+}
+
+// ---------------------------------------------------------------------------
+// Lookahead limiter golden kernel — the delayed program path driven by
+// an EARLY detector (processors.py:LookaheadLimiter, capability parity
+// with lookahead_limiter.go:23-36,185-210). The detector is the
+// limiter-preset feedforward core (peak detector, hard knee 100:1);
+// the program signal is delayed by `delay` samples. state: [env] then
+// delay buffer of `delay` samples (oldest first), updated in place.
+// ---------------------------------------------------------------------------
+
+void lookahead_process(const double* in, const double* sc, double* out,
+                       long n, int delay, double attack, double release,
+                       double threshold_log2, double knee_db,
+                       double knee_width_log2, double inv_knee_width_log2,
+                       double comp_factor, double* state) {
+    double env = state[0];
+    double* dbuf = state + 1;
+    for (long i = 0; i < n; ++i) {
+        const double src = std::fabs(sc[i]);
+        if (src > env) env += (src - env) * attack;
+        else           env = src + (env - src) * release;
+        const double g = dyn_gain_log2(env, threshold_log2, knee_db,
+                                       knee_width_log2, inv_knee_width_log2,
+                                       comp_factor);
+        const long j = i - delay;
+        const double delayed = (j >= 0) ? in[j] : dbuf[delay + j];
+        out[i] = delayed * g;
+    }
+    for (int k = 0; k < delay; ++k) {
+        const long j = n - delay + k;
+        dbuf[k] = (j >= 0) ? in[j] : dbuf[k + (int)n];
+    }
+    state[0] = env;
+}
+
+// ---------------------------------------------------------------------------
+// De-esser golden kernel — band-limited detector driving a compressor
+// whose gain is applied to the high band (split) or whole signal
+// (processors.py:DeEsser, capability parity with deesser.go:100,155).
+// det_sos: 1 section; lo/hi_sos: the LR crossover cascades. state:
+// [det(2), lo(2*n_lo), hi(2*n_hi), env], updated in place.
+// ---------------------------------------------------------------------------
+
+void deesser_process(const double* det_sos, const double* lo_sos, int n_lo,
+                     const double* hi_sos, int n_hi, double attack,
+                     double release, double threshold_log2, double knee_db,
+                     double knee_width_log2, double inv_knee_width_log2,
+                     double comp_factor, double range_lin, int split_band,
+                     int listen, const double* in, double* out, long n,
+                     double* state) {
+    double* det_st = state;
+    double* lo_st = state + 2;
+    double* hi_st = lo_st + 2 * n_lo;
+    double* env_p = hi_st + 2 * n_hi;
+    double env = *env_p;
+    for (long i = 0; i < n; ++i) {
+        const double xv = in[i];
+        const double det = bq_tick(det_sos, det_st, xv);
+        const double src = std::fabs(det);
+        if (src > env) env += (src - env) * attack;
+        else           env = src + (env - src) * release;
+        double g = dyn_gain_log2(env, threshold_log2, knee_db,
+                                 knee_width_log2, inv_knee_width_log2,
+                                 comp_factor);
+        if (g < range_lin) g = range_lin;
+        if (split_band) {
+            const double lo = bq_cascade_tick(lo_sos, n_lo, lo_st, xv);
+            const double hi = bq_cascade_tick(hi_sos, n_hi, hi_st, xv);
+            out[i] = listen ? hi * g : lo + hi * g;
+        } else {
+            out[i] = xv * g;
+        }
+    }
+    *env_p = env;
+}
+
+// ---------------------------------------------------------------------------
+// Multiband compressor golden kernel — crossover tree + per-band
+// feedforward cores (processors.py:MultibandCompressor, capability
+// parity with multiband.go:27-160). xo_sos: n_stages blocks of
+// [lp (n_sec x 5) | hp (n_sec x 5)]; band params arrays are length
+// n_stages+1. state: per stage [lp(2*n_sec), hp(2*n_sec)] then
+// env[n_bands], updated in place. Scratch `bands` must hold n_bands.
+// ---------------------------------------------------------------------------
+
+void multiband_process(const double* xo_sos, int n_stages, int n_sec,
+                       const double* attack, const double* release,
+                       const double* threshold_log2, const double* knee_db,
+                       const double* knee_width_log2,
+                       const double* inv_knee_width_log2,
+                       const double* comp_factor, const double* makeup,
+                       const double* in, double* out, long n,
+                       double* state, double* bands) {
+    const int n_bands = n_stages + 1;
+    double* env = state + 4 * n_sec * n_stages;
+    for (long i = 0; i < n; ++i) {
+        double rest = in[i];
+        for (int st = 0; st < n_stages; ++st) {
+            const double* lp = xo_sos + st * 10 * n_sec;
+            const double* hp = lp + 5 * n_sec;
+            double* lp_st = state + st * 4 * n_sec;
+            double* hp_st = lp_st + 2 * n_sec;
+            bands[st] = bq_cascade_tick(lp, n_sec, lp_st, rest);
+            rest = bq_cascade_tick(hp, n_sec, hp_st, rest);
+        }
+        bands[n_stages] = rest;
+        double acc = 0.0;
+        for (int b = 0; b < n_bands; ++b) {
+            const double src = std::fabs(bands[b]);
+            if (src > env[b]) env[b] += (src - env[b]) * attack[b];
+            else              env[b] = src + (env[b] - src) * release[b];
+            const double g = dyn_gain_log2(
+                env[b], threshold_log2[b], knee_db[b], knee_width_log2[b],
+                inv_knee_width_log2[b], comp_factor[b]);
+            acc += bands[b] * g * makeup[b];
+        }
+        out[i] = acc;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Dither quantizer golden kernels — the FIR error-feedback shaper loop
+// (dither/quantizer.py:_process_codes, capability parity with
+// quantizer.go:87-120 + shaper_fir.go:5-59) and the IIR shelf shaper
+// (shaper_iir.go:20-57). Dither noise is drawn by the JAX PRNG and
+// passed in, so the oracle checks the shaping/quantization loop with
+// identical noise. Outputs are the integer codes as doubles.
+// ---------------------------------------------------------------------------
+
+// state: err history (order doubles, newest first). order == 0 -> plain
+// floor quantization.
+void dither_fir_process(const double* scaled, const double* noise,
+                        double* out_q, long n, const double* coeffs,
+                        int order, int limit, double limit_lo,
+                        double limit_hi, double* state) {
+    for (long i = 0; i < n; ++i) {
+        double shaped = scaled[i];
+        for (int k = 0; k < order; ++k) shaped -= coeffs[k] * state[k];
+        double q = std::floor(shaped + noise[i]);
+        if (limit) {
+            if (q < limit_lo) q = limit_lo;
+            if (q > limit_hi) q = limit_hi;
+        }
+        if (order > 0) {
+            for (int k = order - 1; k > 0; --k) state[k] = state[k - 1];
+            state[0] = q - shaped;
+        }
+        out_q[i] = q;
+    }
+}
+
+// state: [d0, d1, last_err] of the DF2T shelf on the previous error.
+void dither_iir_process(const double* scaled, const double* noise,
+                        double* out_q, long n, const double* shelf_sos,
+                        int limit, double limit_lo, double limit_hi,
+                        double* state) {
+    double d0 = state[0], d1 = state[1], lerr = state[2];
+    const double b0 = shelf_sos[0], b1 = shelf_sos[1], b2 = shelf_sos[2];
+    const double a1 = shelf_sos[3], a2 = shelf_sos[4];
+    for (long i = 0; i < n; ++i) {
+        const double fo = b0 * lerr + d0;
+        const double d0n = b1 * lerr - a1 * fo + d1;
+        const double d1n = b2 * lerr - a2 * fo;
+        const double shaped = scaled[i] - fo;
+        double q = std::floor(shaped + noise[i]);
+        if (limit) {
+            if (q < limit_lo) q = limit_lo;
+            if (q > limit_hi) q = limit_hi;
+        }
+        d0 = d0n; d1 = d1n; lerr = q - shaped;
+        out_q[i] = q;
+    }
+    state[0] = d0; state[1] = d1; state[2] = lerr;
+}
+
+// ---------------------------------------------------------------------------
+// Stereo widener golden kernel — mid/side width with optional bass-mono
+// crossover (spatial.py:StereoWidener, capability parity with
+// stereo_widener.go:142-178). n_lp == 0 -> pure mid/side. state:
+// [lpL(2*n_lp), lpR, hpL(2*n_hp), hpR], updated in place.
+// ---------------------------------------------------------------------------
+
+void widener_process(const double* lp_sos, int n_lp, const double* hp_sos,
+                     int n_hp, double width, const double* inL,
+                     const double* inR, double* outL, double* outR,
+                     long n, double* state) {
+    double* lpL = state;
+    double* lpR = lpL + 2 * n_lp;
+    double* hpL = lpR + 2 * n_lp;
+    double* hpR = hpL + 2 * n_hp;
+    for (long i = 0; i < n; ++i) {
+        const double l = inL[i], r = inR[i];
+        if (n_lp == 0) {
+            const double mid = (l + r) * 0.5;
+            const double side = (l - r) * 0.5;
+            outL[i] = mid + side * width;
+            outR[i] = mid - side * width;
+            continue;
+        }
+        const double bl = bq_cascade_tick(lp_sos, n_lp, lpL, l);
+        const double br = bq_cascade_tick(lp_sos, n_lp, lpR, r);
+        const double hl = bq_cascade_tick(hp_sos, n_hp, hpL, l);
+        const double hr = bq_cascade_tick(hp_sos, n_hp, hpR, r);
+        const double bass_mono = (bl + br) * 0.5;
+        const double mid_h = (hl + hr) * 0.5;
+        const double side_h = (hl - hr) * 0.5;
+        outL[i] = bass_mono + mid_h + side_h * width;
+        outR[i] = bass_mono + mid_h - side_h * width;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Crosstalk canceller golden kernel — staged delayed + high-shelf
+// crossfeed subtraction (spatial.py:CrosstalkCanceller, capability
+// parity with crosstalk_canceller.go:204-218). Each stage reads the
+// OPPOSITE channel delayed by delays[s] and shelved; out = x - sum.
+// state: per stage [dbufL(delays[s]) from R-feed, dbufR(delays[s])
+// from L-feed, shelfL(2), shelfR(2)] — i.e. dbufL carries the history
+// of the signal feeding LEFT's crossfeed (the right channel).
+// ---------------------------------------------------------------------------
+
+void crosstalk_cancel_process(int stages, const int* delays,
+                              const double* gains, const double* shelf_sos,
+                              const double* inL, const double* inR,
+                              double* outL, double* outR, long n,
+                              double* state) {
+    // per-sample would force one pass per stage anyway; loop stages
+    // outer and accumulate into the outputs (linear, order-free)
+    for (long i = 0; i < n; ++i) { outL[i] = inL[i]; outR[i] = inR[i]; }
+    double* sp = state;
+    for (int s = 0; s < stages; ++s) {
+        const int d = delays[s];
+        double* dbufL = sp;            // history of R (feeds L)
+        double* dbufR = sp + d;        // history of L (feeds R)
+        double* shL = sp + 2 * d;
+        double* shR = sp + 2 * d + 2;
+        sp += 2 * d + 4;
+        const double* row = shelf_sos + 5 * s;
+        const double g = gains[s];
+        for (long i = 0; i < n; ++i) {
+            const long j = i - d;
+            const double delL = (j >= 0) ? inR[j] : dbufL[d + j];
+            const double delR = (j >= 0) ? inL[j] : dbufR[d + j];
+            outL[i] -= bq_tick(row, shL, delL) * g;
+            outR[i] -= bq_tick(row, shR, delR) * g;
+        }
+        for (int k = 0; k < d; ++k) {
+            const long j = n - d + k;
+            dbufL[k] = (j >= 0) ? inR[j] : dbufL[k + (int)n];
+            dbufR[k] = (j >= 0) ? inL[j] : dbufR[k + (int)n];
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Crosstalk simulator golden kernels (spatial.py:CrosstalkSimulator).
+// Parametric mode: single delayed, shelved crossfeed with mix
+// (capability parity with crosstalk_simulator.go:171-185). state:
+// [dbufL(d) (R-feed), dbufR(d) (L-feed), shelfL(2), shelfR(2)].
+// ---------------------------------------------------------------------------
+
+void crosstalk_sim_process(int delay, const double* shelf_sos, double mix,
+                           int invert, const double* inL, const double* inR,
+                           double* outL, double* outR, long n,
+                           double* state) {
+    double* dbufL = state;
+    double* dbufR = state + delay;
+    double* shL = state + 2 * delay;
+    double* shR = state + 2 * delay + 2;
+    const double sgn = invert ? -1.0 : 1.0;
+    for (long i = 0; i < n; ++i) {
+        const long j = i - delay;
+        const double delL = (j >= 0) ? inR[j] : dbufL[delay + j];
+        const double delR = (j >= 0) ? inL[j] : dbufR[delay + j];
+        const double crL = bq_tick(shelf_sos, shL, delL) * sgn;
+        const double crR = bq_tick(shelf_sos, shR, delR) * sgn;
+        outL[i] = inL[i] * (1.0 - mix) + crL * mix;
+        outR[i] = inR[i] * (1.0 - mix) + crR * mix;
+    }
+    for (int k = 0; k < delay; ++k) {
+        const long j = n - delay + k;
+        dbufL[k] = (j >= 0) ? inR[j] : dbufL[k + (int)n];
+        dbufR[k] = (j >= 0) ? inL[j] : dbufR[k + (int)n];
+    }
+}
+
+// HRTF-set mode: full 4-path FIR routing (capability parity with
+// crosstalk_simulator_hrtf.go:121-137; whole-signal, zero-state like
+// the Python path). complete=0 -> crossfeed_only.
+void crosstalk_hrtf_process(const double* ld, int n_ld, const double* lc,
+                            int n_lc, const double* rd, int n_rd,
+                            const double* rc, int n_rc, int complete,
+                            const double* inL, const double* inR,
+                            double* outL, double* outR, long n) {
+    for (long i = 0; i < n; ++i) {
+        double cl = 0.0, cr = 0.0;
+        for (int k = 0; k < n_lc && k <= i; ++k) cl += lc[k] * inR[i - k];
+        for (int k = 0; k < n_rc && k <= i; ++k) cr += rc[k] * inL[i - k];
+        if (complete) {
+            double dl = 0.0, dr = 0.0;
+            for (int k = 0; k < n_ld && k <= i; ++k) dl += ld[k] * inL[i - k];
+            for (int k = 0; k < n_rd && k <= i; ++k) dr += rd[k] * inR[i - k];
+            outL[i] = dl + cl;
+            outR[i] = dr + cr;
+        } else {
+            outL[i] = inL[i] + cl;
+            outR[i] = inR[i] + cr;
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Transformer simulation golden kernel — pre-emphasis HP -> saturate
+// (4x oversampled exact tanh in high quality, odd polynomial in
+// lightweight) -> damping LP -> mix (waveshape.py:TransformerSimulation,
+// capability parity with transformer_simulation.go:333-430). High
+// quality: zero-stuff upsample scaled by os, AA cascade, tanh, damped,
+// AA down, take sample (os-1) of each group. state layout: hp(2),
+// then HIGH: up_aa(2*n_aa), damp_os(2), down_aa(2*n_aa);
+// LIGHTWEIGHT: damp(2).
+// ---------------------------------------------------------------------------
+
+void transformer_process(int high_quality, int oversampling,
+                         const double* hp_sos, const double* aa_sos,
+                         int n_aa, const double* damp_sos, double drive,
+                         double mix, double output_level, const double* in,
+                         double* out, long n, double* state) {
+    double* hp_st = state;
+    if (high_quality) {
+        double* up_st = state + 2;
+        double* dos_st = up_st + 2 * n_aa;
+        double* dn_st = dos_st + 2;
+        const int os = oversampling;
+        for (long i = 0; i < n; ++i) {
+            const double pre = bq_tick(hp_sos, hp_st, in[i]);
+            double wet = 0.0;
+            for (int k = 0; k < os; ++k) {
+                double u = (k == 0) ? pre * (double)os : 0.0;
+                u = bq_cascade_tick(aa_sos, n_aa, up_st, u);
+                u = std::tanh(u * drive);
+                u = bq_tick(damp_sos, dos_st, u);
+                u = bq_cascade_tick(aa_sos, n_aa, dn_st, u);
+                if (k == os - 1) wet = u;
+            }
+            wet *= output_level;
+            if (!std::isfinite(wet)) wet = 0.0;
+            out[i] = in[i] * (1.0 - mix) + wet * mix;
+        }
+    } else {
+        double* damp_st = state + 2;
+        for (long i = 0; i < n; ++i) {
+            const double pre = bq_tick(hp_sos, hp_st, in[i]);
+            const double x = pre * drive;
+            double wet;
+            if (x > 3.0) wet = 1.0;
+            else if (x < -3.0) wet = -1.0;
+            else {
+                wet = x * (27.0 + x * x) / (27.0 + 9.0 * x * x);
+                if (wet > 1.0) wet = 1.0;
+                if (wet < -1.0) wet = -1.0;
+            }
+            wet = bq_tick(damp_sos, damp_st, wet);
+            wet *= output_level;
+            if (!std::isfinite(wet)) wet = 0.0;
+            out[i] = in[i] * (1.0 - mix) + wet * mix;
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Frequency shifter golden kernel — analytic signal (full-rate Hilbert
+// allpass pair, as hilbert_process) x quadrature carrier
+// (modulation.py:FrequencyShifter, capability parity with
+// frequency_shifter.go:78-210). Zero-state Hilbert per call, matching
+// the Python one-shot. Returns 0, or -1 on allocation failure.
+// ---------------------------------------------------------------------------
+
+int freqshift_process(const double* coeffs, int n_coeffs,
+                      double sample_rate, double shift_hz, double* phase,
+                      const double* in, double* out_up, double* out_down,
+                      long n) {
+    const int n_state = 1 + 4 * n_coeffs;
+    double* hstate = new (std::nothrow) double[n_state]();
+    double* a = new (std::nothrow) double[n];
+    double* b = new (std::nothrow) double[n];
+    if (!hstate || !a || !b) {
+        delete[] hstate; delete[] a; delete[] b;
+        return -1;
+    }
+    hilbert_process(coeffs, n_coeffs, hstate, in, a, b, n);
+    const double two_pi = 2.0 * M_PI;
+    const double inc = two_pi * std::fabs(shift_hz) / sample_rate;
+    const double phase0 = *phase;
+    for (long i = 0; i < n; ++i) {
+        const double ph = phase0 + (double)i * inc;
+        const double c = std::cos(ph), s = std::sin(ph);
+        const double up = a[i] * c - b[i] * s;
+        const double down = a[i] * c + b[i] * s;
+        if (shift_hz < 0.0) { out_up[i] = down; out_down[i] = up; }
+        else                { out_up[i] = up;   out_down[i] = down; }
+    }
+    *phase = std::fmod(phase0 + (double)n * inc, two_pi);
+    delete[] hstate; delete[] a; delete[] b;
+    return 0;
 }
 
 // ---------------------------------------------------------------------------

@@ -517,3 +517,254 @@ def test_native_autowah_matches_jax():
     g, y2 = native.autowah(aw, x[2048:], state=g)
     y_gold = np.concatenate([y1, y2])
     assert snr_db(y_gold, y_jax) > 120
+
+
+# ---------------------------------------------------------------------------
+# Round-5 oracle families: composite dynamics, dither shapers,
+# remaining modulation, spatial trio, transformer, bitcrusher.
+# ---------------------------------------------------------------------------
+
+
+def test_native_tremolo_matches_jax():
+    from algodsp_tpu.effects.modulation import Tremolo
+    tr = Tremolo(48000.0, rate_hz=6.5, depth=0.8, mix=0.9, smoothing_ms=3.0)
+    rng = np.random.default_rng(101)
+    x = rng.standard_normal(4096)
+    st = tr.init_state((), jnp.float64)
+    st, y1 = tr.process(st, jnp.asarray(x[:2048]))
+    st, y2 = tr.process(st, jnp.asarray(x[2048:]))
+    y_jax = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    g, z1 = native.tremolo(tr, x[:2048])
+    g, z2 = native.tremolo(tr, x[2048:], state=g)
+    assert snr_db(np.concatenate([z1, z2]), y_jax) > 120
+
+
+def test_native_ringmod_matches_jax():
+    from algodsp_tpu.effects.modulation import RingModulator
+    rm = RingModulator(48000.0, carrier_hz=317.0, mix=0.7)
+    rng = np.random.default_rng(102)
+    x = rng.standard_normal(3000)
+    st = rm.init_state((), jnp.float64)
+    st, y1 = rm.process(st, jnp.asarray(x[:1500]))
+    st, y2 = rm.process(st, jnp.asarray(x[1500:]))
+    y_jax = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    g, z1 = native.ringmod(rm, x[:1500])
+    g, z2 = native.ringmod(rm, x[1500:], state=g)
+    assert snr_db(np.concatenate([z1, z2]), y_jax) > 120
+
+
+def test_native_bitcrusher_matches_jax():
+    from algodsp_tpu.effects.waveshape import BitCrusher
+    bc = BitCrusher(48000.0, bit_depth=8.3, downsample=5, mix=0.75)
+    rng = np.random.default_rng(103)
+    x = rng.standard_normal(2051) * 0.8
+    st = bc.init_state((), jnp.float64)
+    st, y1 = bc.process(st, jnp.asarray(x[:1024]))
+    st, y2 = bc.process(st, jnp.asarray(x[1024:]))
+    y_jax = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    g, z1 = native.bitcrusher(bc, x[:1024])
+    g, z2 = native.bitcrusher(bc, x[1024:], state=g)
+    np.testing.assert_allclose(np.concatenate([z1, z2]), y_jax, atol=1e-12)
+
+
+def test_native_transient_matches_jax():
+    from algodsp_tpu.effects.dynamics import TransientShaper
+    ts = TransientShaper(48000.0, attack_amount=0.6, sustain_amount=-0.4,
+                         attack_ms=1.0, release_ms=80.0)
+    rng = np.random.default_rng(104)
+    x = rng.standard_normal(4096) * np.concatenate(
+        [np.full(1024, 0.05), np.full(1024, 0.9),
+         np.full(1024, 0.1), np.full(1024, 0.6)])
+    st = ts.init_state((), jnp.float64)
+    st, y1 = ts.process(st, jnp.asarray(x[:2048]))
+    st, y2 = ts.process(st, jnp.asarray(x[2048:]))
+    y_jax = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    g, z1 = native.transient(ts, x[:2048])
+    g, z2 = native.transient(ts, x[2048:], state=g)
+    assert snr_db(np.concatenate([z1, z2]), y_jax) > 120
+
+
+def test_native_lookahead_matches_jax():
+    """Delayed program path + early detector
+    (`lookahead_limiter.go:23-36`)."""
+    from algodsp_tpu.effects.dynamics import LookaheadLimiter
+    ll = LookaheadLimiter(48000.0, lookahead_ms=3.0, threshold_db=-6.0,
+                          release_ms=30.0)
+    rng = np.random.default_rng(105)
+    x = rng.standard_normal(4096) * np.concatenate(
+        [np.full(2048, 1.5), np.full(2048, 0.1)])
+    st = ll.init_state((), jnp.float64)
+    st, y1 = ll.process(st, jnp.asarray(x[:2048]))
+    st, y2 = ll.process(st, jnp.asarray(x[2048:]))
+    y_jax = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    g, z1 = native.lookahead(ll, x[:2048])
+    g, z2 = native.lookahead(ll, x[2048:], state=g)
+    assert snr_db(np.concatenate([z1, z2]) + 1e-30, y_jax + 1e-30) > 120
+
+
+@pytest.mark.parametrize("split,listen", [(True, False), (True, True),
+                                          (False, False)])
+def test_native_deesser_matches_jax(split, listen):
+    from algodsp_tpu.effects.dynamics import DeEsser
+    de = DeEsser(48000.0, freq_hz=6000.0, q=1.5, threshold_db=-30.0,
+                 ratio=4.0, knee_db=3.0, attack_ms=0.5, release_ms=20.0,
+                 range_db=-24.0, split_band=split, listen=listen)
+    rng = np.random.default_rng(106)
+    t = np.arange(4096) / 48000.0
+    x = (0.3 * np.sin(2 * np.pi * 400.0 * t)
+         + 0.4 * np.sin(2 * np.pi * 7200.0 * t)
+         + 0.05 * rng.standard_normal(4096))
+    st = de.init_state((), jnp.float64)
+    st, y1 = de.process(st, jnp.asarray(x[:2048]))
+    st, y2 = de.process(st, jnp.asarray(x[2048:]))
+    y_jax = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    g, z1 = native.deesser(de, x[:2048])
+    g, z2 = native.deesser(de, x[2048:], state=g)
+    assert snr_db(np.concatenate([z1, z2]), y_jax) > 120
+
+
+def test_native_multiband_matches_jax():
+    from algodsp_tpu.effects.dynamics import MultibandCompressor, BandConfig
+    mb = MultibandCompressor([250.0, 3000.0], 4, 48000.0, configs=[
+        BandConfig(threshold_db=-25.0, ratio=3.0, attack_ms=15.0),
+        BandConfig(threshold_db=-18.0, ratio=5.0, knee_db=2.0),
+        BandConfig(threshold_db=-30.0, ratio=2.0, makeup_gain_db=1.5),
+    ])
+    rng = np.random.default_rng(107)
+    x = rng.standard_normal(4096) * np.concatenate(
+        [np.full(2048, 0.6), np.full(2048, 0.05)])
+    st = mb.init_state((), jnp.float64)
+    st, y1 = mb.process(st, jnp.asarray(x[:2048]))
+    st, y2 = mb.process(st, jnp.asarray(x[2048:]))
+    y_jax = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    g, z1 = native.multiband(mb, x[:2048])
+    g, z2 = native.multiband(mb, x[2048:], state=g)
+    assert snr_db(np.concatenate([z1, z2]), y_jax) > 120
+
+
+def _engine_noise(qz, x):
+    """Replicate the engine's per-call noise draw so the oracle shapes
+    identical dither (the PRNG itself is JAX-side)."""
+    import jax
+    st = qz.init_state((), jnp.float64)
+    key, sub = jax.random.split(st["key"])
+    return st, np.asarray(qz._noise(sub, jnp.asarray(x).shape, jnp.float64))
+
+
+@pytest.mark.parametrize("preset_kind", ["none", "fir", "iir"])
+def test_native_dither_quantizer_matches_jax(preset_kind):
+    """Error-feedback shaping loop on identical noise: codes must agree
+    exactly (`quantizer.go:87-120`, `shaper_fir.go`, `shaper_iir.go`)."""
+    from algodsp_tpu.dither.quantizer import Quantizer, Preset, DitherType
+    kw = dict(bit_depth=12, dither_type=DitherType.TRIANGULAR, seed=7)
+    if preset_kind == "none":
+        qz = Quantizer(48000.0, preset=Preset.NONE, **kw)
+    elif preset_kind == "fir":
+        qz = Quantizer(48000.0, preset=Preset.FC9, **kw)
+    else:
+        qz = Quantizer(48000.0, iir_shelf_freq=8000.0, **kw)
+    rng = np.random.default_rng(108)
+    x = np.clip(rng.standard_normal(4096) * 0.3, -1.0, 1.0)
+    st, noise = _engine_noise(qz, x)
+    _, q_jax = qz.process_integer(st, jnp.asarray(x))
+    _, q_gold = native.quantize(qz, x, noise)
+    np.testing.assert_array_equal(q_gold, np.asarray(q_jax, np.float64))
+
+
+@pytest.mark.parametrize("bass_mono", [0.0, 200.0])
+def test_native_widener_matches_jax(bass_mono):
+    from algodsp_tpu.effects.spatial import StereoWidener
+    w = StereoWidener(48000.0, width=1.8, bass_mono_hz=bass_mono)
+    rng = np.random.default_rng(109)
+    x = rng.standard_normal((2, 4096))
+    st = w.init_state((), jnp.float64)
+    st, y1 = w.process(st, jnp.asarray(x[:, :2048]))
+    st, y2 = w.process(st, jnp.asarray(x[:, 2048:]))
+    y_jax = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
+    g, z1 = native.widener(w, x[:, :2048])
+    g, z2 = native.widener(w, x[:, 2048:], state=g)
+    assert snr_db(np.concatenate([z1, z2], axis=-1), y_jax) > 120
+
+
+def test_native_crosstalk_canceller_matches_jax():
+    from algodsp_tpu.effects.spatial import CrosstalkCanceller
+    cc = CrosstalkCanceller(48000.0, stages=3, attenuation=0.5)
+    rng = np.random.default_rng(110)
+    x = rng.standard_normal((2, 4096))
+    st = cc.init_state((), jnp.float64)
+    st, y1 = cc.process(st, jnp.asarray(x[:, :2048]))
+    st, y2 = cc.process(st, jnp.asarray(x[:, 2048:]))
+    y_jax = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
+    g, z1 = native.crosstalk_cancel(cc, x[:, :2048])
+    g, z2 = native.crosstalk_cancel(cc, x[:, 2048:], state=g)
+    assert snr_db(np.concatenate([z1, z2], axis=-1), y_jax) > 120
+
+
+def test_native_crosstalk_sim_parametric_matches_jax():
+    from algodsp_tpu.effects.spatial import CrosstalkSimulator
+    cs = CrosstalkSimulator(48000.0, crossfeed_mix=0.4,
+                            invert_polarity=True)
+    rng = np.random.default_rng(111)
+    x = rng.standard_normal((2, 4096))
+    st = cs.init_state((), jnp.float64)
+    st, y1 = cs.process(st, jnp.asarray(x[:, :2048]))
+    st, y2 = cs.process(st, jnp.asarray(x[:, 2048:]))
+    y_jax = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
+    g, z1 = native.crosstalk_sim(cs, x[:, :2048])
+    g, z2 = native.crosstalk_sim(cs, x[:, 2048:], state=g)
+    assert snr_db(np.concatenate([z1, z2], axis=-1), y_jax) > 120
+
+
+@pytest.mark.parametrize("mode", ["crossfeed_only", "complete"])
+def test_native_crosstalk_hrtf_matches_jax(mode):
+    """4-path HRTF routing (`crosstalk_simulator_hrtf.go:121-137`):
+    per-sample direct convolution vs the engine's FFT path."""
+    from algodsp_tpu.effects.spatial import CrosstalkSimulator
+    from algodsp_tpu.utils.irlib import hrtf_ir_set
+    irs = hrtf_ir_set(48000.0)
+    cs = CrosstalkSimulator(48000.0, hrtf_irs=irs, hrtf_mode=mode)
+    rng = np.random.default_rng(112)
+    x = rng.standard_normal((2, 2048))
+    _, y_jax = cs.process({}, jnp.asarray(x))
+    y_gold = native.crosstalk_hrtf(cs, x)
+    assert snr_db(y_gold, np.asarray(y_jax)) > 120
+
+
+@pytest.mark.parametrize("quality", ["high", "lightweight"])
+def test_native_transformer_matches_jax(quality):
+    from algodsp_tpu.effects.waveshape import (TransformerSimulation,
+                                               TransformerQuality)
+    q = (TransformerQuality.HIGH if quality == "high"
+         else TransformerQuality.LIGHTWEIGHT)
+    tf = TransformerSimulation(48000.0, quality=q, drive=2.0, mix=0.8)
+    rng = np.random.default_rng(113)
+    x = rng.standard_normal(4096) * 0.7
+    st = tf.init_state((), jnp.float64)
+    st, y1 = tf.process(st, jnp.asarray(x[:2048]))
+    st, y2 = tf.process(st, jnp.asarray(x[2048:]))
+    y_jax = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    g, z1 = native.transformer(tf, x[:2048])
+    g, z2 = native.transformer(tf, x[2048:], state=g)
+    assert snr_db(np.concatenate([z1, z2]), y_jax) > 120
+
+
+@pytest.mark.parametrize("shift_hz", [150.0, -90.0])
+def test_native_freqshift_matches_jax(shift_hz):
+    from algodsp_tpu.effects.modulation import FrequencyShifter
+    fs = FrequencyShifter(48000.0, shift_hz=shift_hz)
+    rng = np.random.default_rng(114)
+    x = rng.standard_normal(4096)
+    st = fs.init_state((), jnp.float64)
+    _, (up_jax, down_jax) = fs.process(st, jnp.asarray(x))
+    _, up, down = native.freqshift(fs, x)
+    assert snr_db(up, np.asarray(up_jax)) > 120
+    assert snr_db(down, np.asarray(down_jax)) > 120
+
+
+def test_native_wsola_short_input_guard():
+    """ADVICE fix: inputs shorter than seq+seek must raise, not read
+    out of bounds."""
+    from algodsp_tpu.effects.pitch import WSOLAPitchShifter
+    ws = WSOLAPitchShifter(48000.0, pitch_ratio=1.2)
+    with pytest.raises(ValueError, match="seq\\+seek"):
+        native.wsola(ws, np.zeros(64))
