@@ -174,27 +174,65 @@ class CrosstalkSimulator:
         elif hrtf_irs is not None:
             self.hrtf = np.asarray(hrtf_irs, dtype=np.float64)
 
+    def _hrtf_tail_len(self) -> int:
+        """Longest IR tail the 4-path routing can produce."""
+        irs = [self.hrtf_set["left_cross"], self.hrtf_set["right_cross"]]
+        if self.hrtf_mode == "complete":
+            irs += [self.hrtf_set["left_direct"],
+                    self.hrtf_set["right_direct"]]
+        return max(ir.size for ir in irs) - 1
+
     def init_state(self, batch_shape=(), dtype=jnp.float32):
-        if self.hrtf is not None or self.hrtf_set is not None:
+        if self.hrtf_set is not None:
+            # streaming overlap tail per output channel — the stateful
+            # analog of the reference's firPath history, so block-by-
+            # block processing is exact (no dropped convolution tails)
+            t = self._hrtf_tail_len()
+            return ({"tail": jnp.zeros(batch_shape + (2, t), dtype)}
+                    if t else {})
+        if self.hrtf is not None:
             return {}
         return {"delay": jnp.zeros(batch_shape + (2, self.delay), dtype),
                 "shelf": self.shelf.init_state(batch_shape + (2,), dtype)}
 
     def _process_hrtf_set(self, state, x):
-        """4-path FIR routing (`crosstalk_simulator_hrtf.go:121-137`)."""
+        """4-path FIR routing (`crosstalk_simulator_hrtf.go:121-137`)
+        with carried overlap tails (ProcessStereo's stateful firPath):
+        feeding the signal block-by-block gives the same output as one
+        whole-signal call."""
         n = x.shape[-1]
+        t = self._hrtf_tail_len()
         left, right = x[..., 0, :], x[..., 1, :]
-        conv = lambda sig, ir: fftconvolve(
-            sig, jnp.asarray(ir, x.dtype))[..., :n]
-        cross_l = conv(right, self.hrtf_set["left_cross"])
-        cross_r = conv(left, self.hrtf_set["right_cross"])
+
+        def conv_full(sig, ir):
+            full = fftconvolve(sig, jnp.asarray(ir, x.dtype))
+            pad = n + t - full.shape[-1]
+            if pad > 0:
+                full = jnp.concatenate(
+                    [full, jnp.zeros(full.shape[:-1] + (pad,), x.dtype)],
+                    axis=-1)
+            return full
+
+        full_l = conv_full(right, self.hrtf_set["left_cross"])
+        full_r = conv_full(left, self.hrtf_set["right_cross"])
         if self.hrtf_mode == "complete":
-            out_l = conv(left, self.hrtf_set["left_direct"]) + cross_l
-            out_r = conv(right, self.hrtf_set["right_direct"]) + cross_r
+            full_l = full_l + conv_full(left, self.hrtf_set["left_direct"])
+            full_r = full_r + conv_full(right, self.hrtf_set["right_direct"])
+        full = jnp.stack([full_l, full_r], axis=-2)  # (..., 2, n + t)
+        if t == 0:
+            out = full
+            new_state = state
         else:
-            out_l = left + cross_l
-            out_r = right + cross_r
-        return state, jnp.stack([out_l, out_r], axis=-2)
+            tail_in = state["tail"].astype(x.dtype)
+            ext = jnp.concatenate(
+                [tail_in, jnp.zeros(tail_in.shape[:-1] + (n,), x.dtype)],
+                axis=-1)
+            full = full + ext
+            out = full[..., :n]
+            new_state = {"tail": full[..., n:]}
+        if self.hrtf_mode != "complete":
+            out = out + x
+        return new_state, out
 
     def process(self, state, x):
         x = jnp.asarray(x)

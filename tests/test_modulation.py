@@ -165,6 +165,32 @@ def test_delay_effect_oracle():
     assert snr_db(expected, np.asarray(y)) > 140
 
 
+def test_delay_effect_oracle_tier1_ring():
+    """Tier-1 aligned-ring path (N a multiple of 128, cursor aligned)
+    vs the NumPy per-sample recurrence — CI coverage for the path that
+    test_delay_effect_oracle's N=1000 (tier 2) misses."""
+    rng = np.random.default_rng(61)
+    x = rng.standard_normal(512)
+    dl = Delay(SR, delay_seconds=0.005, feedback=0.5, mix=0.5, smooth_ms=0.0)
+    state = dl.init_state(dtype=jnp.float64)
+    _, y = dl.process(state, jnp.asarray(x))
+
+    L = dl.buf_len
+    buf = np.zeros(L)
+    w = 0
+    d = round(0.005 * SR)
+    expected = np.empty_like(x)
+    for i, v in enumerate(x):
+        pos = (w - d) % L
+        i0 = math.floor(pos)
+        frac = pos - i0
+        delayed = buf[i0 % L] * (1 - frac) + buf[(i0 + 1) % L] * frac
+        buf[w % L] = v + delayed * 0.5
+        w += 1
+        expected[i] = v * 0.5 + delayed * 0.5
+    assert snr_db(expected, np.asarray(y)) > 140
+
+
 def test_delay_validation():
     with pytest.raises(ValueError):
         Delay(SR, feedback=1.5)

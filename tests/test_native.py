@@ -725,7 +725,7 @@ def test_native_crosstalk_hrtf_matches_jax(mode):
     cs = CrosstalkSimulator(48000.0, hrtf_irs=irs, hrtf_mode=mode)
     rng = np.random.default_rng(112)
     x = rng.standard_normal((2, 2048))
-    _, y_jax = cs.process({}, jnp.asarray(x))
+    _, y_jax = cs.process(cs.init_state((), jnp.float64), jnp.asarray(x))
     y_gold = native.crosstalk_hrtf(cs, x)
     assert snr_db(y_gold, np.asarray(y_jax)) > 120
 
