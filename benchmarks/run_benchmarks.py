@@ -174,6 +174,19 @@ def main():
     xa = jnp.asarray(rng.standard_normal((64, 16384)), jnp.float32)
     row("1/3-octave analyzer (multirate groups), 64ch x 16384",
         bench(f_a, sa, xa), 64 * 16384)
+    # streamed: the dispatch-floor-amortized form (scan over 32 blocks
+    # inside one jit; exactness vs block-at-a-time in
+    # tests/test_bank_multirate.py). Round 5: batching the decimated
+    # groups into one padded banded call was MEASURED SLOWER (padding
+    # to a common length 3.3x the band-sample count); the floor, not
+    # the group serialization, dominated the round-4 row.
+    import functools as _ft
+    from algodsp_tpu.streaming import scan_blocks as _scan
+    nb_a = 32
+    xs_a = jnp.asarray(rng.standard_normal((64, 16384 * nb_a)), jnp.float32)
+    f_as = jax.jit(_ft.partial(_scan, ana.process, block_size=16384))
+    row(f"1/3-octave analyzer streamed, 64ch x 16384 x {nb_a} blocks",
+        bench(f_as, sa, xs_a), 64 * 16384 * nb_a)
     from algodsp_tpu.effects.vocoder import Vocoder
     voc = Vocoder(sr)
     f_v = jax.jit(voc.process)

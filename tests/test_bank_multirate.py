@@ -119,3 +119,30 @@ def test_validation():
     an = MultirateOctaveAnalyzer(3, SR)
     with pytest.raises(ValueError):
         an.process(an.init_state(), jnp.zeros(an.max_ds + 1))
+
+
+def test_analyzer_streamed_matches_block_at_a_time(rng):
+    """`scan_blocks` over the analyzer (the dispatch-floor-amortized
+    bench form) carries all group states exactly: same floats as
+    sequential process calls."""
+    import functools
+    import jax
+    from algodsp_tpu.streaming import scan_blocks
+    an = MultirateOctaveAnalyzer(3, SR, max_downsample=8)
+    n = 1024
+    x = np.asarray(rng.standard_normal((2, n * 4)), np.float64)
+    st = an.init_state((2,), dtype=jnp.float64)
+    f = jax.jit(functools.partial(scan_blocks, an.process, block_size=n))
+    st_s, peaks_s = f(st, jnp.asarray(x))
+    st_b = an.init_state((2,), dtype=jnp.float64)
+    rows = []
+    for b in range(4):
+        st_b, p = an.process(st_b, jnp.asarray(x[:, b * n:(b + 1) * n]))
+        rows.append(np.asarray(p))
+    # scan stacks the per-block peaks on the block axis then merges on
+    # the last axis: (2, 4*B) with block-major order
+    want = np.concatenate(rows, axis=-1)
+    np.testing.assert_array_equal(np.asarray(peaks_s), want)
+    for a, b in zip(jax.tree_util.tree_leaves(st_s),
+                    jax.tree_util.tree_leaves(st_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
