@@ -175,7 +175,19 @@ class BiquadChain:
             f //= 2
         return f
 
-    def process(self, x, *, mode: str = "auto"):
+    @property
+    def has_slow_poles(self) -> bool:
+        """True when a section's poles are slow enough (complex pair
+        whose within-block all-pole response peaks above 4 — in
+        practice HP/shelf/peak corners below ~150 Hz at 48 kHz) that
+        the blocked engines carry them in the modal basis. These are
+        exactly the configs whose f32 accuracy sits at 86-115 dB
+        instead of the reference's >=120 dB bar (BENCHMARKS.md
+        Accuracy table); pass `exact=True` to `process` for the opt-in
+        >=120 dB path."""
+        return self._has_slow_poles
+
+    def process(self, x, *, mode: str = "auto", exact: bool = False):
         """One-shot filtering from zero state (`chain.go:74-85`).
 
         mode: "auto" picks, on TPU for 2-D (C, N) inputs, either the
@@ -186,9 +198,39 @@ class BiquadChain:
         blocked XLA engine elsewhere; "blocked", "scan", "pallas",
         "folded", and "cascade" force a specific backend — the dispatch
         analog of the reference's arch registry (`section.go:56-81`).
+
+        exact: opt-in >=120 dB escape hatch for slow-pole filters
+        (`has_slow_poles`): the selected engine evaluates internally in
+        float64 and the result is cast back to x.dtype (>=148 dB vs the
+        f64 oracle on the 60-120 Hz HP/shelf/peak class; measured in
+        tests/test_precision.py). Carry-only widening was measured
+        insufficient — the loss lives in the f32 Toeplitz term's
+        peak(h)-sized cancellation, so the whole evaluation widens.
+        Requires jax_enable_x64; f64 matmuls are emulated on TPU
+        (~10x runtime, and the emulated-f64 codegen compiles slowly —
+        ~100 s first call on a v5e), which is the documented price of
+        the last ~30 dB. Measured on-device: hp60_o4 90.0 -> 148.5 dB.
+        The default path is unchanged.
         """
         import jax
         x = jnp.asarray(x)
+        if exact:
+            if jnp.dtype(x.dtype) == jnp.float64:
+                return self.process(x, mode=mode)
+            if not jax.config.jax_enable_x64:
+                raise ValueError(
+                    "process(exact=True) needs jax.config.update("
+                    "'jax_enable_x64', True) — without it JAX silently "
+                    "truncates the f64 evaluation back to f32")
+            if mode in ("pallas", "folded"):
+                raise ValueError(
+                    "exact=True runs on the XLA engines; use mode "
+                    "'auto', 'blocked', 'cascade', or 'scan'")
+            if mode == "auto":
+                mode = "cascade" if x.shape[-1] % self.block_size == 0 \
+                    else "blocked"
+            y = self.process(x.astype(jnp.float64), mode=mode)
+            return y.astype(x.dtype)
         if mode == "auto":
             if jax.default_backend() == "tpu" and x.ndim == 2 \
                     and self.block_size == 128:

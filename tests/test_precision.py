@@ -74,3 +74,36 @@ def test_cascade_streaming_matches_oneshot_on_slow_poles():
     stitched = np.concatenate([np.asarray(y1, np.float64),
                                np.asarray(y2, np.float64)])
     assert snr_db(y_once, stitched) > 110.0
+
+
+@pytest.mark.parametrize("name,sos", [
+    pytest.param(c[0], c[1], id=c[0]) for c in _cases()
+    if c[0] in ("hp120_o2", "hp60_o4", "lowshelf100", "peak80")])
+@pytest.mark.parametrize("mode", ["blocked", "cascade"])
+def test_exact_optin_reaches_120db_on_slow_poles(name, sos, mode):
+    """The opt-in f64-internal path (`process(exact=True)`) restores
+    the reference's >=120 dB bar (BASELINE.json) on exactly the
+    slow-pole class where the default f32 engines sit at 86-115 dB.
+    The default path's assertions above are unchanged."""
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(_N)
+    xj = jnp.asarray(x, jnp.float32)
+    ch = BiquadChain(np.atleast_2d(np.asarray(sos, np.float64)))
+    assert ch.has_slow_poles, "case should be in the documented class"
+    ref = np.convolve(x, chain_impulse_response(ch, _N))[:_N]
+    y = np.asarray(ch.process(xj, mode=mode, exact=True), np.float64)
+    got = snr_db(ref, y)
+    assert got > 140.0, f"{name} {mode} exact: {got:.1f} dB"
+
+
+def test_exact_optin_auto_and_validation():
+    ch = BiquadChain(design.butterworth_hp(60.0, 4, 48000.0))
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(4096),
+                    jnp.float32)
+    y = ch.process(x, exact=True)          # auto mode resolves
+    assert y.dtype == jnp.float32
+    with pytest.raises(ValueError, match="XLA engines"):
+        ch.process(x, mode="pallas", exact=True)
+    # fast-pole chains are NOT in the class — property says so
+    assert not BiquadChain(
+        design.butterworth_lp(2000.0, 10, 48000.0)).has_slow_poles
