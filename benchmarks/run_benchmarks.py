@@ -213,8 +213,15 @@ def main():
     xs = jnp.asarray(rng.standard_normal((64, 2048 * nb)), jnp.float32)
     for name, eff in (("Freeverb", fv), ("FDN reverb", fdn),
                       ("feedback delay 250ms", dl)):
-        f_s = jax.jit(functools.partial(scan_blocks, eff.process,
-                                        block_size=2048))
+        # effects with their own multi-block driver (FDN: single
+        # layout conversion + scalar-sweep damping) use it; the rest
+        # the generic scan_blocks
+        if hasattr(eff, "process_blocks"):
+            f_s = jax.jit(functools.partial(eff.process_blocks,
+                                            block_size=2048))
+        else:
+            f_s = jax.jit(functools.partial(scan_blocks, eff.process,
+                                            block_size=2048))
         row(f"{name} streamed, 64ch x 2048 x {nb} blocks (one dispatch)",
             bench(f_s, eff.init_state((64,)), xs), 64 * 2048 * nb)
     from algodsp_tpu.chain import Chain

@@ -158,3 +158,34 @@ def test_fdn_blocked_matches_scan_streaming():
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-12)
         np.testing.assert_allclose(np.asarray(s1["lines"]),
                                    np.asarray(s2["lines"]), atol=1e-12)
+
+
+def test_fdn_process_blocks_matches_scan_blocks(rng):
+    """The FDN's single-scan streamed driver (one ring<->linear
+    conversion for the whole run) matches generic scan_blocks over
+    `process` — same per-block algebra."""
+    import functools
+    import jax
+    from algodsp_tpu.streaming import scan_blocks
+    rv = FDNReverb(48000.0)
+    B = rv._block
+    x = jnp.asarray(rng.standard_normal((2, B * 6)) * 0.5, jnp.float64)
+    st = rv.init_state((2,), jnp.float64)
+    _, y_ref = jax.jit(functools.partial(
+        scan_blocks, rv.process, block_size=2 * B))(st, x)
+    st_b, y_b = jax.jit(functools.partial(
+        rv.process_blocks, block_size=2 * B))(st, x)
+    assert snr_db(np.asarray(y_ref), np.asarray(y_b)) > 200.0
+    # streamed driver in two calls == one call (state carry exact)
+    st1, y1 = jax.jit(rv.process_blocks)(st, x[:, :3 * B])
+    st2, y2 = jax.jit(rv.process_blocks)(st1, x[:, 3 * B:])
+    stitched = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
+    assert snr_db(np.asarray(y_b), stitched) > 200.0
+
+
+def test_fdn_process_blocks_validation(rng):
+    rv = FDNReverb(48000.0)
+    st = rv.init_state((1,), jnp.float64)
+    with pytest.raises(ValueError, match="multiple of the internal"):
+        rv.process_blocks(st, jnp.zeros((1, rv._block * 2)),
+                          block_size=rv._block + 1)
