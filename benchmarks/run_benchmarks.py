@@ -252,6 +252,15 @@ def main():
     cvs = jnp.asarray(rng.standard_normal((8, 2048 * nb)), jnp.float32)
     row(f"vocoder streamed, 8ch x 2048 x {nb} blocks (one dispatch)",
         bench(f_vs, voc.init_state((8,)), xvs, cvs), 8 * 2048 * nb)
+    # width row (round 5). Documented wall: the two banded cascades'
+    # zero-IC Toeplitz passes alone cost 2 x 32 bands x 2*128
+    # FLOP/sample-channel (~8.4 ms of pure MXU at this shape, a ~1.0 G
+    # ceiling); measured-and-rejected: combined analysis+synthesis
+    # 64-band call (259 M), banded block sizes 64/256/512 (183/274/208).
+    xv64 = jnp.asarray(rng.standard_normal((64, 2048 * nb)), jnp.float32)
+    cv64 = jnp.asarray(rng.standard_normal((64, 2048 * nb)), jnp.float32)
+    row(f"vocoder streamed, 64ch x 2048 x {nb} blocks (one dispatch)",
+        bench(f_vs, voc.init_state((64,)), xv64, cv64), 64 * 2048 * nb)
 
     print(f"\nBackend: {jax.default_backend()}, devices: {jax.devices()}\n")
     print("| Benchmark | ms/call | Msamples/s | Notes |")
