@@ -33,8 +33,23 @@ class Chain:
         self.graph: CompiledGraph = parse_graph("")
         self.runtimes: dict[str, NodeRuntime] = {}
 
-    def load_graph(self, raw: str):
-        """Parse the graph and instantiate runtimes (`chain.go:60-99`)."""
+    def load_graph(self, raw: str, *, auto_fuse: bool = True,
+                   fuse_tol_db: float = 150.0):
+        """Parse the graph and instantiate runtimes (`chain.go:60-99`).
+
+        auto_fuse (default True): after instantiation, run the LTI
+        fusion pass (`fuse_lti`) so maximal straight-line runs of
+        adjacent LTI nodes (EQ stacks, filter cascades — no sidechain
+        or fan-in/out edges, tolerance-gated) compile to one FIR
+        convolution, the headline formulation. Output is identical to
+        the unfused graph within >= ~120 dB in f32 (asserted in
+        tests/test_chain_fuse.py); per-node metering identity inside a
+        fused run is lost. Pass `auto_fuse=False` to keep every node a
+        separate runtime (the reference's always-sequential execution,
+        `chain_process.go:24-30`); `fuse_lti` can still be called
+        manually. Returns the fusion report ([(member_ids, kernel_len)]
+        per fused run; [] when nothing fused or disabled).
+        """
         graph = parse_graph(raw)
         runtimes = {}
         for nid in graph.order:
@@ -43,6 +58,9 @@ class Chain:
             runtimes[nid] = factory(self.ctx, node.params)
         self.graph = graph
         self.runtimes = runtimes
+        if auto_fuse:
+            return self.fuse_lti(tol_db=fuse_tol_db)
+        return []
 
     def init_state(self, batch_shape=(), dtype=jnp.float32):
         return {nid: rt.init_state(batch_shape, dtype)

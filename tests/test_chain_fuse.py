@@ -41,9 +41,9 @@ def test_fuse_filters_and_conv_reverb_matches_unfused():
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.standard_normal((2, 4096)), jnp.float32)
     plain = Chain(48000.0)
-    plain.load_graph(_filters_and_reverb())
+    plain.load_graph(_filters_and_reverb(), auto_fuse=False)
     fused = Chain(48000.0)
-    fused.load_graph(_filters_and_reverb())
+    fused.load_graph(_filters_and_reverb(), auto_fuse=False)
     report = fused.fuse_lti()
     assert len(report) == 1
     members, klen = report[0]
@@ -56,7 +56,7 @@ def test_fused_streaming_continuity():
     rng = np.random.default_rng(11)
     x = jnp.asarray(rng.standard_normal((3, 2048)), jnp.float32)
     fused = Chain(48000.0)
-    fused.load_graph(_filters_and_reverb())
+    fused.load_graph(_filters_and_reverb(), auto_fuse=False)
     fused.fuse_lti()
     st = fused.init_state(x.shape[:-1], x.dtype)
     _, y_once = fused.process(st, x)
@@ -77,8 +77,8 @@ def test_non_lti_node_breaks_run():
         [{"from": "_input", "to": "lp"}, {"from": "lp", "to": "comp"},
          {"from": "comp", "to": "hp"}, {"from": "hp", "to": "_output"}])
     c = Chain(48000.0)
-    c.load_graph(g)
-    assert c.fuse_lti() == []  # single-node runs are left alone
+    assert c.load_graph(g) == []  # auto-fuse: single-node runs left alone
+    assert c.fuse_lti() == []
 
 
 def test_sidechain_tap_prevents_fusion():
@@ -92,7 +92,7 @@ def test_sidechain_tap_prevents_fusion():
          {"from": "lp", "to": "comp", "toPortIndex": 1},
          {"from": "comp", "to": "_output"}])
     c = Chain(48000.0)
-    c.load_graph(g)
+    assert c.load_graph(g) == []  # auto-fuse finds nothing either
     assert c.fuse_lti() == []
 
 
@@ -110,9 +110,9 @@ def test_bypassed_node_joins_run():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((1, 4096)), jnp.float32)
     plain = Chain(48000.0)
-    plain.load_graph(graph())
+    plain.load_graph(graph(), auto_fuse=False)
     fused = Chain(48000.0)
-    fused.load_graph(graph())
+    fused.load_graph(graph(), auto_fuse=False)
     report = fused.fuse_lti()
     assert len(report) == 1 and report[0][0] == ["lp", "hp"]
     assert snr_db(_run(plain, x), _run(fused, x)) > 100.0
@@ -129,9 +129,9 @@ def test_delay_nodes_fold():
     rng = np.random.default_rng(9)
     x = jnp.asarray(rng.standard_normal((2, 8192)), jnp.float32)
     plain = Chain(48000.0)
-    plain.load_graph(graph())
+    plain.load_graph(graph(), auto_fuse=False)
     fused = Chain(48000.0)
-    fused.load_graph(graph())
+    fused.load_graph(graph(), auto_fuse=False)
     report = fused.fuse_lti()
     assert len(report) == 1
     assert snr_db(_run(plain, x), _run(fused, x)) > 100.0
@@ -145,5 +145,19 @@ def test_max_kernel_len_leaves_run_unfused():
          {"id": "e2", "type": "delay",
           "params": {"time": 0.5, "feedback": 0.9, "mix": 0.5}}],
         [{"from": "_input", "to": "e1"}, {"from": "e1", "to": "e2"},
-         {"from": "e2", "to": "_output"}]))
+         {"from": "e2", "to": "_output"}], ), auto_fuse=False)
     assert c.fuse_lti(max_kernel_len=4096) == []
+
+
+def test_load_graph_auto_fuses_by_default():
+    """Round 5: JSON graphs get the fused formulation by default; the
+    opt-out keeps the reference's node-by-node execution and matches
+    within f32 roundoff."""
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((2, 4096)), jnp.float32)
+    auto = Chain(48000.0)
+    report = auto.load_graph(_filters_and_reverb())
+    assert len(report) == 1 and report[0][0] == ["lp", "pk", "verb"]
+    manual = Chain(48000.0)
+    assert manual.load_graph(_filters_and_reverb(), auto_fuse=False) == []
+    assert snr_db(_run(manual, x), _run(auto, x)) > 100.0
