@@ -14,7 +14,15 @@ Checks (each prints measured SNR vs an independent oracle):
   * compressor ballistics vs C++ golden
   * resampler, Freeverb, FDN, Hilbert, WSOLA, vocoder vs C++ goldens
   * feedback delay ring tier vs C++-free per-sample recurrence
-  * IIR-shelf dither noise shaping sanity
+  * IIR-shelf dither noise shaping sanity + exact code match on device
+  * streamed scan_blocks drivers (Freeverb / FDN process_blocks /
+    delay / config-4 chain) vs block-at-a-time state carry
+  * ALGODSP_FDL_PRECISION=fast bf16x3 SNR floor (>= 100 dB)
+  * sharded-wrapper lowerings on a 1-chip mesh (conv / compressor /
+    streaming-conv time-SP, channel-DP scan_blocks)
+  * round-5 oracle families: lookahead, de-esser, multiband, transient,
+    tremolo, ring-mod, frequency shifter, widener, bitcrusher,
+    transformer
 
 Exit code 0 iff every check clears its threshold. Thresholds are f32
 expectations (90-150 dB depending on the path), far above audibility
@@ -226,6 +234,209 @@ def main():
           f"suppression: {10 * np.log10(p1 / p0):.1f} dB vs flat")
     if not ok:
         FAILURES.append("iir-shelf dither")
+
+    # ------------------------------------------------------------------
+    # round-5 surfaces: streamed scan_blocks drivers, FDL fast mode,
+    # sharded-wrapper lowerings, new oracle families
+    # ------------------------------------------------------------------
+    import functools
+    from algodsp_tpu.streaming import scan_blocks
+
+    # streamed drivers: many blocks per dispatch must carry state
+    # bit-compatibly with block-at-a-time on THIS device (the scan
+    # carry is where a device-only lowering bug would hide)
+    def blockwise(process, state, *sigs, bs):
+        outs = []
+        f = jax.jit(process)
+        for b in range(sigs[0].shape[-1] // bs):
+            state, yb = f(state, *[s[..., b * bs:(b + 1) * bs]
+                                   for s in sigs])
+            outs.append(np.asarray(yb))
+        return np.concatenate(outs, axis=-1)
+
+    xs8 = (rng.standard_normal((8, 2048 * 8)) * 0.3).astype(np.float32)
+    fv2 = Freeverb()
+    y_st = np.asarray(jax.jit(functools.partial(
+        scan_blocks, fv2.process, block_size=2048))(
+            fv2.init_state((8,)), jnp.asarray(xs8))[1])
+    y_bw = blockwise(fv2.process, fv2.init_state((8,)), jnp.asarray(xs8),
+                     bs=2048)
+    check("streamed Freeverb scan_blocks", snr_db(y_bw, y_st), 120)
+
+    rv2 = FDNReverb(sr)
+    y_st = np.asarray(jax.jit(functools.partial(
+        rv2.process_blocks, block_size=2048))(
+            rv2.init_state((8,)), jnp.asarray(xs8))[1])
+    y_bw = blockwise(rv2.process, rv2.init_state((8,)), jnp.asarray(xs8),
+                     bs=2048)
+    check("streamed FDN process_blocks", snr_db(y_bw, y_st), 100)
+
+    dl2 = Delay(sr, delay_seconds=0.05, feedback=0.4, mix=0.4)
+    y_st = np.asarray(jax.jit(functools.partial(
+        scan_blocks, dl2.process, block_size=2048))(
+            dl2.init_state((8,)), jnp.asarray(xs8))[1])
+    y_bw = blockwise(dl2.process, dl2.init_state((8,)), jnp.asarray(xs8),
+                     bs=2048)
+    check("streamed delay scan_blocks", snr_db(y_bw, y_st), 120)
+
+    import json as _json
+    from algodsp_tpu.chain import Chain
+    c4 = Chain(sr, block_size=2048)
+    c4.load_graph(_json.dumps({
+        "nodes": [
+            {"id": "comp", "type": "dyn-compressor",
+             "params": {"thresholdDB": -20.0, "ratio": 4.0}},
+            {"id": "rev", "type": "reverb-freeverb",
+             "params": {"wet": 0.2, "dry": 1.0}},
+            {"id": "del", "type": "delay",
+             "params": {"time": 0.05, "feedback": 0.3, "mix": 0.25}},
+        ],
+        "connections": [
+            {"from": "_input", "to": "comp"}, {"from": "comp", "to": "rev"},
+            {"from": "rev", "to": "del"}, {"from": "del", "to": "_output"},
+        ]}))
+    y_st = np.asarray(jax.jit(c4.process_blocks)(
+        c4.init_state((8,)), jnp.asarray(xs8))[1])
+    y_bw = blockwise(c4.process, c4.init_state((8,)), jnp.asarray(xs8),
+                     bs=2048)
+    check("streamed config-4 chain", snr_db(y_bw, y_st), 120)
+
+    # IIR-shelf dither scan vs the C++ golden on identical noise —
+    # integer codes must agree exactly on device
+    qz = Quantizer(sr, bit_depth=12, iir_shelf_freq=8000.0, seed=7)
+    xq2 = np.clip(rng.standard_normal(1 << 14) * 0.3, -1, 1).astype(np.float32)
+    stq = qz.init_state((), jnp.float32)
+    key, sub = jax.random.split(stq["key"])
+    noise = np.asarray(qz._noise(sub, (1 << 14,), jnp.float32))
+    _, codes = jax.jit(qz.process_integer)(stq, jnp.asarray(xq2))
+    _, gq = native.quantize(qz, xq2.astype(np.float64), noise)
+    diff = np.asarray(codes, np.float64) - gq
+    exact = int(np.sum(diff != 0))
+    # f32 engine vs f64 oracle: floor() decisions within one ulp of an
+    # integer may flip (~0.03% observed); a lowering bug shows up as
+    # mass mismatches or multi-code jumps, not isolated +-1 flips
+    okq = exact <= (1 << 14) // 200 and np.max(np.abs(diff)) <= 1.0
+    print(f"{'PASS' if okq else 'FAIL'}  IIR-shelf dither codes on device: "
+          f"{exact} / {1 << 14} knife-edge flips (all +-1: "
+          f"{np.max(np.abs(diff)) <= 1.0})")
+    if not okq:
+        FAILURES.append("iir-shelf dither codes")
+
+    # ALGODSP_FDL_PRECISION=fast (bf16x3) SNR floor
+    prev = os.environ.get("ALGODSP_FDL_PRECISION")
+    os.environ["ALGODSP_FDL_PRECISION"] = "fast"
+    try:
+        pcf = PartitionedConvolver(ir, min_block_order=10)
+        yfast = np.asarray(jax.jit(pcf.process)(jnp.asarray(xc)))
+    finally:
+        if prev is None:
+            os.environ.pop("ALGODSP_FDL_PRECISION", None)
+        else:
+            os.environ["ALGODSP_FDL_PRECISION"] = prev
+    check("FDL fast (bf16x3) SNR floor", snr_db(ref, yfast[:2]), 100)
+
+    # sharded-wrapper lowerings on a 1-chip mesh (the shard_map code
+    # path itself; width is carried by the CPU-mesh pytest suite)
+    from algodsp_tpu.parallel import (
+        make_mesh, conv_time_sharded, compressor_time_sharded,
+        scan_blocks_channel_sharded, StreamingConvTimeSharded)
+    from algodsp_tpu.effects.dynamics import Compressor
+    mesh1 = make_mesh({"channel": 1, "time": 1})
+    kern = (rng.standard_normal(700)
+            * np.exp(-np.arange(700) / 150.0)).astype(np.float32)
+    xsh = rng.standard_normal((4, 8192)).astype(np.float32)
+    ysh = np.asarray(jax.jit(functools.partial(
+        conv_time_sharded, kernel=kern, mesh=mesh1))(jnp.asarray(xsh)))
+    refc = np.stack([np.convolve(xsh[c].astype(np.float64),
+                                 kern.astype(np.float64))[:8192]
+                     for c in range(4)])
+    check("conv_time_sharded lowering", snr_db(refc, ysh), 110)
+
+    comp = Compressor(sr, threshold_db=-18.0, ratio=3.0)
+    stc = comp.init_state((4,))
+    _, ycs = jax.jit(functools.partial(
+        compressor_time_sharded, comp, mesh=mesh1))(stc, jnp.asarray(xsh))
+    _, ycr = jax.jit(comp.process)(comp.init_state((4,)), jnp.asarray(xsh))
+    check("compressor_time_sharded lowering",
+          snr_db(np.asarray(ycr), np.asarray(ycs)), 120)
+
+    sconv = StreamingConvTimeSharded(kern, mesh1)
+    _, ysc = jax.jit(functools.partial(sconv.stream, block_size=2048))(
+        sconv.init_state((4,)), jnp.asarray(xsh))
+    check("StreamingConvTimeSharded lowering", snr_db(refc, np.asarray(ysc)),
+          110)
+
+    mesh_c1 = make_mesh({"channel": 1})
+    _, ysb = jax.jit(functools.partial(
+        scan_blocks_channel_sharded, fv2.process, mesh=mesh_c1,
+        block_size=2048))(fv2.init_state((8,)), jnp.asarray(xs8))
+    y_ref_sb = np.asarray(jax.jit(functools.partial(
+        scan_blocks, fv2.process, block_size=2048))(
+            fv2.init_state((8,)), jnp.asarray(xs8))[1])
+    check("scan_blocks_channel_sharded lowering",
+          snr_db(y_ref_sb, np.asarray(ysb)), 120)
+
+    # round-5 oracle families on device
+    from algodsp_tpu.effects.dynamics import (DeEsser, LookaheadLimiter,
+                                              MultibandCompressor,
+                                              TransientShaper)
+    from algodsp_tpu.effects.modulation import (FrequencyShifter,
+                                                RingModulator, Tremolo)
+    from algodsp_tpu.effects.spatial import StereoWidener
+    from algodsp_tpu.effects.waveshape import (BitCrusher,
+                                               TransformerSimulation)
+
+    xg = (rng.standard_normal(8192) * 0.5).astype(np.float32)
+    ll = LookaheadLimiter(sr, lookahead_ms=3.0, threshold_db=-6.0)
+    _, yg = jax.jit(ll.process)(ll.init_state(()), jnp.asarray(xg * 3))
+    _, gg = native.lookahead(ll, (xg * 3).astype(np.float64))
+    check("lookahead limiter", snr_db(gg, np.asarray(yg)), 90)
+
+    de = DeEsser(sr, threshold_db=-30.0)
+    _, yg = jax.jit(de.process)(de.init_state(()), jnp.asarray(xg))
+    _, gg = native.deesser(de, xg.astype(np.float64))
+    check("de-esser", snr_db(gg, np.asarray(yg)), 90)
+
+    mb = MultibandCompressor([250.0, 3000.0], 4, sr)
+    _, yg = jax.jit(mb.process)(mb.init_state(()), jnp.asarray(xg))
+    _, gg = native.multiband(mb, xg.astype(np.float64))
+    check("multiband compressor", snr_db(gg, np.asarray(yg)), 90)
+
+    ts = TransientShaper(sr, attack_amount=0.6, sustain_amount=-0.4)
+    _, yg = jax.jit(ts.process)(ts.init_state(()), jnp.asarray(xg))
+    _, gg = native.transient(ts, xg.astype(np.float64))
+    check("transient shaper", snr_db(gg, np.asarray(yg)), 100)
+
+    tr = Tremolo(sr, rate_hz=6.5, depth=0.8, smoothing_ms=3.0)
+    _, yg = jax.jit(tr.process)(tr.init_state(()), jnp.asarray(xg))
+    _, gg = native.tremolo(tr, xg.astype(np.float64))
+    check("tremolo", snr_db(gg, np.asarray(yg)), 100)
+
+    rm = RingModulator(sr, carrier_hz=317.0)
+    _, yg = jax.jit(rm.process)(rm.init_state(()), jnp.asarray(xg))
+    _, gg = native.ringmod(rm, xg.astype(np.float64))
+    check("ring modulator", snr_db(gg, np.asarray(yg)), 100)
+
+    fs = FrequencyShifter(sr, shift_hz=150.0)
+    _, (up, down) = jax.jit(fs.process)(fs.init_state(()), jnp.asarray(xg))
+    _, gup, gdn = native.freqshift(fs, xg.astype(np.float64))
+    check("frequency shifter (up)", snr_db(gup, np.asarray(up)), 90)
+
+    wd = StereoWidener(sr, width=1.8, bass_mono_hz=200.0)
+    x2w = rng.standard_normal((2, 8192)).astype(np.float32)
+    _, yg = jax.jit(wd.process)(wd.init_state(()), jnp.asarray(x2w))
+    _, gg = native.widener(wd, x2w.astype(np.float64))
+    check("stereo widener", snr_db(gg, np.asarray(yg)), 100)
+
+    bc = BitCrusher(sr, bit_depth=8.3, downsample=5, mix=0.75)
+    _, yg = jax.jit(bc.process)(bc.init_state(()), jnp.asarray(xg))
+    _, gg = native.bitcrusher(bc, xg.astype(np.float64))
+    check("bit crusher", snr_db(gg, np.asarray(yg)), 100)
+
+    tf = TransformerSimulation(sr, drive=2.0, mix=0.8)
+    _, yg = jax.jit(tf.process)(tf.init_state(()), jnp.asarray(xg))
+    _, gg = native.transformer(tf, xg.astype(np.float64))
+    check("transformer simulation (4x OS)", snr_db(gg, np.asarray(yg)), 80)
 
     print()
     if FAILURES:
