@@ -16,6 +16,7 @@ Format (little-endian):
 from __future__ import annotations
 
 import io
+import os
 import struct
 
 import numpy as np
@@ -26,7 +27,7 @@ MAGIC = b"IRL1"
 def write_irlib(path_or_file, irs: dict[str, tuple[float, np.ndarray]]) -> None:
     """irs: name -> (sample_rate, samples)."""
     close = False
-    if isinstance(path_or_file, (str, bytes)):
+    if isinstance(path_or_file, (str, bytes, os.PathLike)):
         f = open(path_or_file, "wb")
         close = True
     else:
@@ -48,7 +49,7 @@ def write_irlib(path_or_file, irs: dict[str, tuple[float, np.ndarray]]) -> None:
 
 def read_irlib(path_or_file) -> dict[str, tuple[float, np.ndarray]]:
     close = False
-    if isinstance(path_or_file, (str, bytes)):
+    if isinstance(path_or_file, (str, bytes, os.PathLike)):
         f = open(path_or_file, "rb")
         close = True
     else:
@@ -114,10 +115,15 @@ def hrtf_ir_set(sample_rate: float = 48000.0, *,
                 head_radius_m: float = 0.0875,
                 n_taps: int = 256) -> dict[str, np.ndarray]:
     """Deterministic spherical-head HRTF IR set for stereo-speaker
-    crosstalk simulation — the analog of the reference's embedded
-    measured set (`crosstalk_simulator_hrtf.go:20-85` ships IRs via a
-    provider; this repo has no redistributable measured data, so it
-    ships a DOCUMENTED physical model instead).
+    crosstalk simulation — a default implementation of the reference's
+    `HRTFProvider` interface (`crosstalk_simulator_hrtf.go:20-30`).
+    Note the reference ships NO measured HRTF data: its provider is an
+    interface the caller must implement, and its own tests feed tiny
+    synthetic sets (`crosstalk_simulator_hrtf_test.go:9-39`
+    fixedHRTFProvider). This physical model therefore EXCEEDS reference
+    parity; users with measured data (e.g. MIT KEMAR, which cannot be
+    bundled in this zero-egress build) load it through the `.irlib`
+    container via `hrtf_ir_set_from_irlib`.
 
     Model (Brown & Duda 1998 structural HRTF, public formulation):
 
@@ -173,3 +179,51 @@ def hrtf_ir_set(sample_rate: float = 48000.0, *,
     cross = path_ir(abs(90.0 + speaker_angle_deg))
     return {"left_direct": direct.copy(), "left_cross": cross.copy(),
             "right_direct": direct, "right_cross": cross}
+
+
+HRTF_PATH_KEYS = ("left_direct", "left_cross", "right_direct",
+                  "right_cross")
+
+
+def write_hrtf_irlib(path_or_file, irs: dict[str, np.ndarray],
+                     sample_rate: float, *, prefix: str = "hrtf") -> None:
+    """Store a 4-path HRTF set (measured or synthetic) in an `.irlib`
+    container under `<prefix>-<path>` names — the bring-your-own-data
+    side of the reference's `HRTFProvider` contract. `irs` must carry
+    the `HRTFImpulseResponseSet` keys (`crosstalk_simulator_hrtf.go:
+    20-24`)."""
+    missing = [k for k in HRTF_PATH_KEYS if k not in irs]
+    if missing:
+        raise ValueError(f"hrtf irlib: missing paths {missing}")
+    write_irlib(path_or_file,
+                {f"{prefix}-{k}": (sample_rate,
+                                   np.asarray(irs[k], np.float32))
+                 for k in HRTF_PATH_KEYS})
+
+
+def hrtf_ir_set_from_irlib(path_or_file, *, prefix: str = "hrtf",
+                           expect_sample_rate: float | None = None
+                           ) -> dict[str, np.ndarray]:
+    """Load a 4-path HRTF set from an `.irlib` container (inverse of
+    `write_hrtf_irlib`): returns the dict `CrosstalkSimulator(
+    hrtf_irs=...)` accepts. Raises if any path is absent or the stored
+    sample rates disagree (or mismatch `expect_sample_rate`)."""
+    lib = read_irlib(path_or_file)
+    out = {}
+    rates = set()
+    for k in HRTF_PATH_KEYS:
+        name = f"{prefix}-{k}"
+        if name not in lib:
+            raise ValueError(
+                f"hrtf irlib: entry {name!r} not found (have "
+                f"{sorted(lib)})")
+        rate, ir = lib[name]
+        rates.add(float(rate))
+        out[k] = np.asarray(ir, np.float64)
+    if len(rates) != 1:
+        raise ValueError(f"hrtf irlib: inconsistent sample rates {rates}")
+    if expect_sample_rate is not None and rates != {float(expect_sample_rate)}:
+        raise ValueError(
+            f"hrtf irlib: stored rate {rates.pop()} != expected "
+            f"{expect_sample_rate}")
+    return out

@@ -471,3 +471,33 @@ def test_quantizer_iir_shelf_rejects_nyquist():
         Quantizer(SR, iir_shelf_freq=SR / 2)
     with pytest.raises(ValueError):
         Quantizer(SR, iir_shelf_freq=SR)
+
+
+def test_hrtf_irlib_roundtrip_through_simulator(tmp_path):
+    """The bring-your-own-measured-data path (reference HRTFProvider
+    contract): a 4-path set stored in an .irlib container loads back
+    and drives CrosstalkSimulator hrtf_mode='complete' identically to
+    the in-memory set. (The reference ships NO measured data — its
+    tests use synthetic fixedHRTFProvider sets; see
+    crosstalk_simulator_hrtf_test.go:9-39.)"""
+    from algodsp_tpu.effects.spatial import CrosstalkSimulator
+    from algodsp_tpu.utils.irlib import (hrtf_ir_set, write_hrtf_irlib,
+                                         hrtf_ir_set_from_irlib)
+    irs = hrtf_ir_set(SR)
+    p = tmp_path / "kemar_like.irlib"
+    write_hrtf_irlib(p, irs, SR)
+    loaded = hrtf_ir_set_from_irlib(p, expect_sample_rate=SR)
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.standard_normal((2, 1024)), jnp.float64)
+    sim_mem = CrosstalkSimulator(SR, hrtf_irs=irs, hrtf_mode="complete")
+    sim_lib = CrosstalkSimulator(SR, hrtf_irs=loaded, hrtf_mode="complete")
+    _, y_mem = sim_mem.process(sim_mem.init_state((), jnp.float64), x)
+    _, y_lib = sim_lib.process(sim_lib.init_state((), jnp.float64), x)
+    # container stores f32; parity is at f32 resolution
+    assert snr_db(np.asarray(y_mem), np.asarray(y_lib)) > 120.0
+    with pytest.raises(ValueError, match="not found"):
+        hrtf_ir_set_from_irlib(p, prefix="other")
+    with pytest.raises(ValueError, match="missing paths"):
+        write_hrtf_irlib(p, {"left_direct": irs["left_direct"]}, SR)
+    with pytest.raises(ValueError, match="expected"):
+        hrtf_ir_set_from_irlib(p, expect_sample_rate=44100.0)
