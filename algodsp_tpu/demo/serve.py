@@ -20,6 +20,9 @@ Endpoints (stdlib http.server only — no extra deps):
   POST /reset
   GET  /node_curve?id=X   per-node EQ magnitude response (dB)
   GET  /dyn_curve?id=X    dynamics-node static transfer curve (dB)
+  GET  /waveform?points=N master-bus oscilloscope min/max buckets
+  GET  /ir_data?name=X    one library IR's decimated envelope (dB)
+  (/state also reports master-bus peak/RMS meters)
 
 Run: `python -m algodsp_tpu.demo.serve [--port 8765]`.
 """
@@ -182,6 +185,7 @@ class DemoServer:
             "has_chain": e.chain is not None,
             "ring_readable": self.ring.readable,
             "spectrum": dict(e.spectrum.params),
+            "meters": e.spectrum.meters(),
         }
 
     def ir_list(self) -> list:
@@ -193,6 +197,26 @@ class DemoServer:
         return [{"index": i, "name": name,
                  "seconds": len(irs[name][1]) / irs[name][0]}
                 for i, name in enumerate(sorted(irs))]
+
+    def ir_data(self, q: dict) -> dict:
+        """Decimated envelope of one library IR for the IR-browser
+        panel (the reference app's IR plots): max-|.| per bucket in dB,
+        plus metadata."""
+        from algodsp_tpu.utils.irlib import builtin_irs
+        irs = builtin_irs(self.engine.sample_rate)
+        name = q.get("name", [""])[0]
+        if name not in irs:
+            raise ValueError(f"unknown IR {name!r}")
+        points = max(2, min(int(q.get("points", ["256"])[0]), 4096))
+        sr, ir = irs[name]
+        usable = ir.size - (ir.size % points)
+        seg = np.abs(ir[:usable].reshape(points, -1)).max(axis=1) \
+            if usable >= points else np.abs(ir)[:points]
+        db = 20.0 * np.log10(np.maximum(seg.astype(np.float64), 1e-12))
+        return {"name": name, "sample_rate": float(sr),
+                "seconds": ir.size / float(sr),
+                "env_db": [round(float(v), 2) for v in
+                           np.maximum(db, -130.0)]}
 
     def curve(self, path: str, q: dict) -> dict:
         """Analyzer / EQ curve for the canvas (`SpectrumCurveDB`,
@@ -259,6 +283,20 @@ class DemoServer:
                                "application/octet-stream")
                 elif url.path == "/state":
                     self._send(200, json.dumps(server.state()).encode())
+                elif url.path == "/waveform":
+                    q = parse_qs(url.query)
+                    points = int(q.get("points", ["256"])[0])
+                    with server._engine_lock:
+                        wf = server.engine.spectrum.waveform(points)
+                    self._send(200, json.dumps(wf).encode())
+                elif url.path == "/ir_data":
+                    try:
+                        body = server.ir_data(parse_qs(url.query))
+                    except (ValueError, KeyError) as exc:
+                        self._send(400, json.dumps(
+                            {"error": str(exc)}).encode())
+                        return
+                    self._send(200, json.dumps(body).encode())
                 elif url.path == "/irs":
                     self._send(200, json.dumps(server.ir_list()).encode())
                 elif url.path in ("/spectrum", "/eq_curve", "/node_curve"):
@@ -365,15 +403,24 @@ web demo's render-pull contract).</p>
  step="0.05" style="width:4.5rem"></label>
 <label><input id="running" type="checkbox" checked> sequencer run</label>
 </div>
-<h3>spectrum (blue) &amp; EQ curve (orange)</h3>
+<h3>spectrum (blue) &amp; EQ curve (orange) — drag the band handles</h3>
 <canvas id="scope" width="740" height="160"></canvas>
+<h3>waveform &amp; meters</h3>
+<canvas id="wave_cv" width="740" height="90"></canvas>
+<div class="row">peak <meter id="m_peak" min="-60" max="0" value="-60"
+ style="width:200px"></meter> <span id="m_peak_t"></span>
+ &nbsp; rms <meter id="m_rms" min="-60" max="0" value="-60"
+ style="width:200px"></meter> <span id="m_rms_t"></span></div>
 <h3>steps (Hz, 0 = rest)</h3><div id="steps"></div>
 <h3>5-band EQ</h3>
 <table id="eq"><tr><th>band</th><th>family</th><th>freq</th><th>gain dB</th>
 <th>Q</th></tr></table>
+<h3>IR library browser</h3>
+<div class="row">IR: <select id="irs"></select>
+<button id="irverb">use as conv reverb</button>
+<span id="irmeta"></span></div>
+<canvas id="ircv" width="740" height="90"></canvas>
 <h3>effect chain graph JSON</h3>
-<div class="row">IR library: <select id="irs"></select>
-<button id="irverb">use as conv reverb</button></div>
 <textarea id="graph">{"nodes":[{"id":"verb","type":"reverb-freeverb",
 "params":{"roomSize":0.7,"damping":0.4,"wet":0.25,"dry":0.9}}],
 "connections":[{"from":"_input","to":"verb"},
@@ -432,10 +479,12 @@ async function getState() {
     tr.querySelectorAll('select,input').forEach(el => el.onchange = sendEQ);
     eq.appendChild(tr);
   });
+  eqBands = s.eq.map(b => ({freq: b.freq, gain_db: b.gain_db}));
   const irs = await (await fetch('/irs')).json();
   $('irs').innerHTML = irs.map(r =>
     `<option value="${r.name}">${r.name} (${r.seconds.toFixed(2)}s)</option>`
   ).join('');
+  drawIR();
 }
 async function sendEQ() {
   const bands = [...$('eq').querySelectorAll('tr.band')].map(tr => {
@@ -443,7 +492,9 @@ async function sendEQ() {
     const [f, g, q] = tr.querySelectorAll('input');
     return {family: fam.value, freq: +f.value, gain_db: +g.value, q: +q.value};
   });
+  eqBands = bands.map(b => ({freq: b.freq, gain_db: b.gain_db}));
   await post('/eq', bands);
+  if (!playing) drawScope();
 }
 function sendConfig() {
   post('/config', {bpm: +$('bpm').value, waveform: $('wave').value,
@@ -478,6 +529,60 @@ function plotInto(cv, d, color, lo, hi) {
   });
   g.stroke();
 }
+let eqBands = [];       // mirror of the EQ table for canvas handles
+const FMIN = 20, NYQ = () => sr / 2;
+const fx = (cv, f) => cv.width * Math.log(f / FMIN) / Math.log(NYQ() / FMIN);
+const xf = (cv, x) => FMIN * Math.pow(NYQ() / FMIN, x / cv.width);
+function drawHandles(cv) {
+  const g = cv.getContext('2d');
+  eqBands.forEach((b, i) => {
+    const x = fx(cv, b.freq);
+    const y = cv.height * (1 - (b.gain_db - (-130)) / (24 - (-130)));
+    g.fillStyle = i === dragBand ? '#c00' : '#c63';
+    g.beginPath(); g.arc(x, y, 6, 0, 7); g.fill();
+    g.fillStyle = '#333'; g.font = '10px sans-serif';
+    g.fillText(String(i + 1), x - 3, y + 3.5);
+  });
+}
+let dragBand = -1;
+function bandAt(cv, ev) {
+  const r = cv.getBoundingClientRect();
+  const mx = (ev.clientX - r.left) * cv.width / r.width;
+  const my = (ev.clientY - r.top) * cv.height / r.height;
+  let best = -1, bd = 14;
+  eqBands.forEach((b, i) => {
+    const x = fx(cv, b.freq);
+    const y = cv.height * (1 - (b.gain_db - (-130)) / (24 - (-130)));
+    const d = Math.hypot(mx - x, my - y);
+    if (d < bd) { bd = d; best = i; }
+  });
+  return best;
+}
+function wireScopeDrag() {
+  const cv = $('scope');
+  cv.onpointerdown = ev => {
+    dragBand = bandAt(cv, ev);
+    if (dragBand >= 0) cv.setPointerCapture(ev.pointerId);
+  };
+  cv.onpointermove = ev => {
+    if (dragBand < 0) return;
+    const r = cv.getBoundingClientRect();
+    const mx = (ev.clientX - r.left) * cv.width / r.width;
+    const my = (ev.clientY - r.top) * cv.height / r.height;
+    const b = eqBands[dragBand];
+    b.freq = Math.min(Math.max(Math.round(xf(cv, mx)), 20), NYQ() - 100);
+    b.gain_db = Math.round(2 * Math.min(Math.max(
+      24 - my / cv.height * (24 - (-130)), -24), 24)) / 2;
+    const tr = $('eq').querySelectorAll('tr.band')[dragBand];
+    const [f, g2] = tr.querySelectorAll('input');
+    f.value = b.freq; g2.value = b.gain_db;
+  };
+  cv.onpointerup = async ev => {
+    if (dragBand < 0) return;
+    dragBand = -1;
+    await sendEQ();
+  };
+}
 async function drawScope() {
   const cv = $('scope');
   const [spec, eq] = await Promise.all([
@@ -486,7 +591,40 @@ async function drawScope() {
   cv.getContext('2d').clearRect(0, 0, cv.width, cv.height);
   plotInto(cv, spec.db, '#36c', -130, 24);
   plotInto(cv, eq.db, '#c63', -130, 24);
+  drawHandles(cv);
+  drawWave();
   if (playing) setTimeout(drawScope, 120);
+}
+async function drawWave() {
+  const cv = $('wave_cv');
+  const wf = await (await fetch('/waveform?points=370')).json();
+  const g = cv.getContext('2d');
+  g.clearRect(0, 0, cv.width, cv.height);
+  g.fillStyle = '#36c';
+  const mid = cv.height / 2, sc = cv.height / 2.2;
+  wf.max.forEach((hi, i) => {
+    const lo = wf.min[i];
+    const x = cv.width * i / wf.max.length;
+    g.fillRect(x, mid - hi * sc, cv.width / wf.max.length,
+               Math.max((hi - lo) * sc, 1));
+  });
+  const st = await (await fetch('/state')).json();
+  const set = (m, t, v) => {
+    $(m).value = Math.max(v, -60); $(t).textContent = v.toFixed(1) + ' dB';
+  };
+  set('m_peak', 'm_peak_t', st.meters.peak_db);
+  set('m_rms', 'm_rms_t', st.meters.rms_db);
+}
+async function drawIR() {
+  const name = $('irs').value;
+  if (!name) return;
+  const d = await (await fetch('/ir_data?name=' +
+                               encodeURIComponent(name))).json();
+  $('irmeta').textContent =
+    `${d.seconds.toFixed(2)} s @ ${d.sample_rate} Hz`;
+  const cv = $('ircv');
+  cv.getContext('2d').clearRect(0, 0, cv.width, cv.height);
+  plotInto(cv, d.env_db, '#384', -90, 0);
 }
 async function drawNodeCurve() {
   const id = $('nodesel').value;
@@ -510,6 +648,8 @@ async function drawNodeCurve() {
   } else $('nodemsg').textContent = 'no curve for this node type';
 }
 $('nodesel').onchange = drawNodeCurve;
+$('irs').onchange = drawIR;
+wireScopeDrag();
 $('play').onclick = async () => {
   if (!ctx) ctx = new AudioContext({sampleRate: sr});
   await ctx.resume(); playing = true; nextT = 0; pump(); drawScope();

@@ -130,5 +130,34 @@ class SpectrumAnalyzer:
         frac = b - base
         return self.db[base] * (1.0 - frac) + self.db[base + 1] * frac
 
+    def waveform(self, points: int = 256) -> dict:
+        """Peak-preserving min/max decimation of the most recent
+        master-bus samples — the oscilloscope panel's data source (the
+        reference app's waveform canvas, `web/app.js` scope). Returns
+        {"min": [...], "max": [...]} of `points` buckets spanning the
+        last fft_size-1 samples."""
+        points = max(2, min(int(points), 4096))
+        y = self._tail
+        usable = y.size - (y.size % points)
+        if usable < points:
+            z = [0.0] * points
+            return {"min": z, "max": z}
+        seg = y[-usable:].reshape(points, -1)
+        return {"min": [round(float(v), 5) for v in seg.min(axis=1)],
+                "max": [round(float(v), 5) for v in seg.max(axis=1)]}
+
+    def meters(self) -> dict:
+        """Output peak / RMS of the recent master-bus tail in dBFS —
+        the level-meter row (`CompressorMetrics`-style observability
+        for the demo bus)."""
+        y = self._tail
+        if y.size == 0:
+            return {"peak_db": MIN_DB, "rms_db": MIN_DB}
+        peak = float(np.max(np.abs(y)))
+        rms = float(np.sqrt(np.mean(y.astype(np.float64) ** 2)))
+        to_db = lambda v: round(max(20.0 * np.log10(max(v, 1e-12)),
+                                    MIN_DB), 2)
+        return {"peak_db": to_db(peak), "rms_db": to_db(rms)}
+
     def reset(self):
         self.configure(**self.params)

@@ -185,3 +185,25 @@ def test_fallback_ring_wraparound():
     out = np.empty(10, np.float32)
     assert ring2.read_into(out) == 4
     np.testing.assert_array_equal(out[:4], src[:4])
+
+
+def test_waveform_meters_and_ir_data_endpoints(server):
+    """Round-5 UI depth endpoints: oscilloscope buckets, master-bus
+    meters, IR-browser envelopes."""
+    # render something so the bus tail is non-trivial
+    urllib.request.urlopen(_url(server, "/render?n=8192")).read()
+    wf = json.load(urllib.request.urlopen(
+        _url(server, "/waveform?points=128")))
+    assert len(wf["min"]) == 128 and len(wf["max"]) == 128
+    assert all(a <= b for a, b in zip(wf["min"], wf["max"]))
+    st = json.load(urllib.request.urlopen(_url(server, "/state")))
+    assert {"peak_db", "rms_db"} <= set(st["meters"])
+    assert st["meters"]["peak_db"] >= st["meters"]["rms_db"]
+    irs = json.load(urllib.request.urlopen(_url(server, "/irs")))
+    d = json.load(urllib.request.urlopen(
+        _url(server, "/ir_data?name=" + irs[0]["name"])))
+    assert d["name"] == irs[0]["name"]
+    assert len(d["env_db"]) == 256 and d["seconds"] > 0
+    from urllib.error import HTTPError
+    with pytest.raises(HTTPError):
+        urllib.request.urlopen(_url(server, "/ir_data?name=nope"))
