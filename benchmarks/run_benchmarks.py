@@ -246,6 +246,18 @@ def main():
     f_c4 = jax.jit(c4.process_blocks)
     row(f"config-4 chain streamed, 64ch x 2048 x {nb} blocks (one dispatch)",
         bench(f_c4, c4.init_state((64,)), xs), 64 * 2048 * nb)
+    # streamed x sharded (round 5): the same chain under a channel-DP
+    # mesh — 1 real chip = mesh of 1 (the shard_map lowering cost on
+    # device); width exactness is carried by the 8-device CPU-mesh
+    # tests (tests/test_parallel_streamed.py)
+    from algodsp_tpu.parallel import make_mesh, scan_blocks_channel_sharded
+    mesh_dp1 = make_mesh({"channel": 1})
+    f_c4s = jax.jit(functools.partial(
+        scan_blocks_channel_sharded, c4.process, mesh=mesh_dp1,
+        block_size=2048))
+    row(f"config-4 chain streamed + channel-DP shard_map (1-chip mesh), "
+        f"64ch x 2048 x {nb}",
+        bench(f_c4s, c4.init_state((64,)), xs), 64 * 2048 * nb)
     f_vs = jax.jit(functools.partial(scan_blocks, voc.process,
                                      block_size=2048))
     xvs = jnp.asarray(rng.standard_normal((8, 2048 * nb)), jnp.float32)
