@@ -143,6 +143,17 @@ def _load():
     lib.freqshift_process.argtypes = [dp, ctypes.c_int, ctypes.c_double,
                                       ctypes.c_double, dp, dp, dp, dp,
                                       ctypes.c_long]
+    lib.distortion_process.argtypes = ([ctypes.c_int]
+                                       + [ctypes.c_double] * 6
+                                       + [ctypes.c_int, dp, ctypes.c_double,
+                                          ctypes.c_int, ctypes.c_int,
+                                          dp, dp, dp, ctypes.c_long])
+    lib.harmonic_bass_process.argtypes = ([dp, dp, ctypes.c_int, dp]
+                                          + [ctypes.c_double] * 9
+                                          + [dp, dp, ctypes.c_long, dp])
+    lib.delay_effect_process.argtypes = ([ctypes.c_int]
+                                         + [ctypes.c_double] * 4
+                                         + [dp, dp, dp, ctypes.c_long])
     lib.ring_create.restype = ctypes.c_void_p
     lib.ring_create.argtypes = [ctypes.c_long]
     lib.ring_destroy.argtypes = [ctypes.c_void_p]
@@ -1116,6 +1127,104 @@ def freqshift(fs, x, phase: float = 0.0):
     if rc != 0:
         raise MemoryError("freqshift_process: allocation failed")
     return float(ph[0]), up, down
+
+
+_DIST_MODE_CODES = {
+    "soft_clip": 0, "hard_clip": 1, "tanh": 2, "waveshaper1": 3,
+    "waveshaper2": 4, "waveshaper3": 5, "waveshaper4": 6,
+    "waveshaper5": 7, "waveshaper6": 8, "waveshaper7": 9,
+    "waveshaper8": 10, "saturate": 11, "saturate2": 12, "soft_sat": 13,
+    "chebyshev": 14,
+}
+
+
+def distortion(ds, x, state=None):
+    """Golden per-sample distortion (oracle for
+    `effects.waveshape.Distortion`; semantics parity with
+    `distortion.go:537-744`): all 15 waveshaper modes incl. Chebyshev
+    harmonic shaping with its DC-bypass one-pole. `state` =
+    [dc_in, dc_out]. Returns (new_state, y)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    if state is None:
+        state = np.zeros(2)
+    st = np.ascontiguousarray(state, dtype=np.float64).copy()
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(xin)
+    w = np.ascontiguousarray(ds.chebyshev_weights, np.float64)
+    lib.distortion_process(
+        _DIST_MODE_CODES[ds.mode.value], ctypes.c_double(ds.drive),
+        ctypes.c_double(ds.shape), ctypes.c_double(ds.bias),
+        ctypes.c_double(ds.clip_level), ctypes.c_double(ds.output_level),
+        ctypes.c_double(ds.mix), int(ds.chebyshev_order), _dptr(w),
+        ctypes.c_double(ds.chebyshev_gain), int(ds.chebyshev_invert),
+        int(ds.chebyshev_dc_bypass), _dptr(st), _dptr(xin), _dptr(out),
+        xin.size)
+    return st, out
+
+
+def harmonic_bass(hb, x, state=None):
+    """Golden per-sample harmonic bass exciter (oracle for
+    `effects.waveshape.HarmonicBass`; semantics parity with
+    `harmonic_bass.go:262-300`): crossover split, quadratic shaper,
+    harmonics HP + limiter-core gain, recombination. `state` = flat
+    [lp regs, hp regs, hhp(2), env] (None = zeros). Returns
+    (new_state, y)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    lp = np.ascontiguousarray(hb.lp.sos, np.float64)
+    hp = np.ascontiguousarray(hb.hp.sos, np.float64)
+    hhp = np.ascontiguousarray(hb.harm_hp.sos, np.float64)
+    n_sec = lp.shape[0]
+    n_state = 4 * n_sec + 3
+    if state is None:
+        state = np.zeros(n_state)
+    st = np.ascontiguousarray(state, np.float64).copy()
+    if st.size != n_state:
+        raise ValueError(f"harmonic bass state must have {n_state} entries")
+    core = hb.limiter.core
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(xin)
+    lib.harmonic_bass_process(
+        _dptr(lp), _dptr(hp), n_sec, _dptr(hhp),
+        ctypes.c_double(hb.input_level), ctypes.c_double(hb.decay),
+        ctypes.c_double(hb.high_frequency_gain),
+        ctypes.c_double(hb.original_bass_gain),
+        ctypes.c_double(hb.harmonic_bass_gain),
+        ctypes.c_double(core.attack_coeff),
+        ctypes.c_double(core.release_coeff),
+        ctypes.c_double(core.threshold_log2),
+        ctypes.c_double(1.0 - 1.0 / core.cfg.ratio),
+        _dptr(xin), _dptr(out), xin.size, _dptr(st))
+    return st, out
+
+
+def delay_effect(dl, x, state=None, target=None):
+    """Golden per-sample feedback delay (oracle for
+    `effects.delay_effect.Delay`; semantics parity with
+    `delay.go:140-206`): smoothed-lag fractional read, feedback write,
+    wet/dry mix. `state` = flat [buf (buf_len,), write, current]
+    (None = fresh). Returns (new_state, y)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    L = dl.buf_len
+    if state is None:
+        state = np.concatenate([np.zeros(L),
+                                [0.0, float(dl.delay_samples)]])
+    st = np.ascontiguousarray(state, np.float64).copy()
+    if st.size != L + 2:
+        raise ValueError(f"delay state must have {L + 2} entries")
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(xin)
+    tgt = float(dl.delay_samples if target is None else target)
+    lib.delay_effect_process(int(L), ctypes.c_double(dl.feedback),
+                             ctypes.c_double(dl.mix), ctypes.c_double(tgt),
+                             ctypes.c_double(dl.smooth_coeff), _dptr(st),
+                             _dptr(xin), _dptr(out), xin.size)
+    return st, out
 
 
 class RingBuffer:

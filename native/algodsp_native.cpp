@@ -1525,6 +1525,179 @@ int freqshift_process(const double* coeffs, int n_coeffs,
 }
 
 // ---------------------------------------------------------------------------
+// Distortion golden kernel — per-sample oracle for all 15 waveshaper
+// modes of waveshape.py:Distortion (capability parity with
+// distortion.go:537-744), incl. Chebyshev harmonic shaping with its
+// DC-bypass one-pole. mode codes follow the Python enum order:
+// 0 soft_clip, 1 hard_clip, 2 tanh, 3-10 waveshaper1-8, 11 saturate,
+// 12 saturate2, 13 soft_sat, 14 chebyshev. state: [dc_in, dc_out].
+// ---------------------------------------------------------------------------
+
+static inline double dist_clamp1(double v) {
+    if (v > 1.0) return 1.0;
+    if (v < -1.0) return -1.0;
+    return v;
+}
+
+static inline double dist_sign(double v) {
+    return (v > 0.0) - (v < 0.0);
+}
+
+void distortion_process(int mode, double drive, double shape, double bias,
+                        double clip_level, double output_level, double mix,
+                        int cheb_order, const double* cheb_weights,
+                        double cheb_gain, int cheb_invert,
+                        int cheb_dc_bypass, double* state,
+                        const double* in, double* out, long n) {
+    double dc_in = state[0];
+    double dc_out = state[1];
+    int has_w = 0;
+    for (int k = 0; k < cheb_order; ++k)
+        if (cheb_weights[k] != 0.0) has_w = 1;
+    for (long i = 0; i < n; ++i) {
+        const double x = (in[i] + bias) * drive;
+        double w;
+        switch (mode) {
+        case 0: w = std::fabs(x) < 1.0 ? 1.5 * (x - x * x * x / 3.0)
+                                       : dist_sign(x); break;
+        case 1: {
+            double c = x;
+            if (c > clip_level) c = clip_level;
+            if (c < -clip_level) c = -clip_level;
+            w = c / clip_level; break;
+        }
+        case 2: w = std::tanh(x); break;
+        case 3: w = dist_clamp1(x / (1.0 + shape * std::fabs(x))); break;
+        case 4: w = dist_clamp1((1.0 + shape) * x
+                                / (1.0 + shape * std::fabs(x))); break;
+        case 5: w = dist_clamp1(x - shape * x * x * x / 3.0); break;
+        case 6: w = dist_clamp1(3.0 * x / (2.0 + std::fabs(2.0 * x))); break;
+        case 7: {
+            const double sc = 1.0 + 4.0 * shape;
+            w = dist_clamp1(std::atan(x * sc) / std::atan(sc)); break;
+        }
+        case 8: w = dist_clamp1((1.0 + shape) * x
+                                / (1.0 + shape * x * x)); break;
+        case 9: w = std::tanh(x * (1.0 + 6.0 * shape)); break;
+        case 10: {
+            const double a = 1.0 + 6.0 * shape;
+            w = dist_clamp1(dist_sign(x)
+                            * (1.0 - std::exp(-std::fabs(x) * a))); break;
+        }
+        case 11: w = dist_clamp1(x / (1.0 + std::fabs(x))); break;
+        case 12: {
+            const double x2 = x * (1.0 + 2.0 * shape);
+            w = std::fabs(x2) < 1.0 ? 1.5 * (x2 - x2 * x2 * x2 / 3.0)
+                                    : dist_sign(x2); break;
+        }
+        case 13: w = dist_clamp1((2.0 / M_PI)
+                                 * std::atan((M_PI / 2.0) * x)); break;
+        default: {                                    // 14 chebyshev
+            const double xc = dist_clamp1(x);
+            double t0 = 1.0, t1 = xc, tn = t1;
+            double acc = has_w ? cheb_weights[0] * t1 : 0.0;
+            for (int k = 2; k <= cheb_order; ++k) {
+                tn = 2.0 * xc * t1 - t0;
+                if (has_w) acc += cheb_weights[k - 1] * tn;
+                t0 = t1; t1 = tn;
+            }
+            w = dist_clamp1((has_w ? acc : tn) * cheb_gain
+                            * (cheb_invert ? -1.0 : 1.0));
+        }
+        }
+        w *= output_level;
+        if (mode == 14 && cheb_dc_bypass) {
+            // y_n = x_n - x_{n-1} + pole * y_{n-1}
+            const double y = w - dc_in + 0.995 * dc_out;
+            dc_in = w;
+            dc_out = y;
+            w = y;
+        }
+        if (!std::isfinite(w)) w = 0.0;
+        out[i] = in[i] * (1.0 - mix) + w * mix;
+    }
+    state[0] = dc_in;
+    state[1] = dc_out;
+}
+
+// ---------------------------------------------------------------------------
+// Harmonic bass golden kernel — crossover split, quadratic shaper,
+// harmonics HP + limiter-core gain, recombination (waveshape.py:
+// HarmonicBass, capability parity with harmonic_bass.go:262-300).
+// lp/hp: Butterworth-4 cascades (n_sec sections); hhp: 1 RBJ section.
+// Limiter core: peak detector, ratio 100, knee 0, makeup 1. state:
+// [lp(2*n_sec), hp(2*n_sec), hhp(2), env], updated in place.
+// ---------------------------------------------------------------------------
+
+void harmonic_bass_process(const double* lp_sos, const double* hp_sos,
+                           int n_sec, const double* hhp_sos,
+                           double input_level, double decay,
+                           double hf_gain, double orig_gain,
+                           double harm_gain, double lim_attack,
+                           double lim_release, double lim_threshold_log2,
+                           double lim_comp_factor, const double* in,
+                           double* out, long n, double* state) {
+    double* lp_st = state;
+    double* hp_st = state + 2 * n_sec;
+    double* hhp_st = state + 4 * n_sec;
+    double env = state[4 * n_sec + 2];
+    for (long i = 0; i < n; ++i) {
+        const double x = in[i] * input_level;
+        const double low = bq_cascade_tick(lp_sos, n_sec, lp_st, x);
+        const double high = bq_cascade_tick(hp_sos, n_sec, hp_st, x);
+        double shaped = decay + low * (1.0 + low * (-2.0 * decay));
+        shaped = bq_tick(hhp_sos, hhp_st, shaped);
+        const double lim_in = 4.0 * shaped;
+        const double src = std::fabs(lim_in);
+        if (src > env) env += (src - env) * lim_attack;
+        else           env = src + (env - src) * lim_release;
+        const double g = dyn_gain_log2(env, lim_threshold_log2, 0.0, 0.0,
+                                       0.0, lim_comp_factor);
+        shaped = 0.5 * lim_in * g;
+        if (shaped > 1.0) shaped = 1.0;
+        if (shaped < -1.0) shaped = -1.0;
+        out[i] = orig_gain * low + harm_gain * shaped + hf_gain * high;
+    }
+    state[4 * n_sec + 2] = env;
+}
+
+// ---------------------------------------------------------------------------
+// Feedback delay golden kernel — the smoothed-lag fractional delay of
+// effects/delay_effect.py (capability parity with delay.go:140-206):
+// closed-form smoothing trajectory cur[n] = target +
+// (cur0 - target)*(1-sc)^(n+1) clamped to [1, L-2], linear-interp ring
+// read, feedback write, wet/dry mix. state: [buf (L,), write, current].
+// ---------------------------------------------------------------------------
+
+void delay_effect_process(int buf_len, double feedback, double mix,
+                          double target, double smooth_coeff,
+                          double* state, const double* in, double* out,
+                          long n) {
+    double* buf = state;
+    long w = (long)state[buf_len];
+    double cur0 = state[buf_len + 1];
+    const double L = (double)buf_len;
+    double c = cur0;
+    for (long i = 0; i < n; ++i) {
+        c = target + (cur0 - target)
+            * std::pow(1.0 - smooth_coeff, (double)(i + 1));
+        if (c < 1.0) c = 1.0;
+        if (c > L - 2.0) c = L - 2.0;
+        double pos = std::fmod((double)w - c, L);
+        if (pos < 0.0) pos += L;
+        const long i0 = (long)std::floor(pos);
+        const double frac = pos - (double)i0;
+        const double delayed = buf[i0 % buf_len] * (1.0 - frac)
+                               + buf[(i0 + 1) % buf_len] * frac;
+        buf[w % buf_len] = in[i] + delayed * feedback;
+        ++w;
+        out[i] = in[i] * (1.0 - mix) + delayed * mix;
+    }
+    state[buf_len] = (double)(w % buf_len);
+    state[buf_len + 1] = c;   // the clamped smoothed lag, like the engine
+}
+
+// ---------------------------------------------------------------------------
 // SPSC ring buffer for real-time block streaming (float32 frames)
 // ---------------------------------------------------------------------------
 

@@ -768,3 +768,73 @@ def test_native_wsola_short_input_guard():
     ws = WSOLAPitchShifter(48000.0, pitch_ratio=1.2)
     with pytest.raises(ValueError, match="seq\\+seek"):
         native.wsola(ws, np.zeros(64))
+
+
+@pytest.mark.parametrize("mode", ["soft_clip", "hard_clip", "tanh",
+                                  "waveshaper1", "waveshaper5",
+                                  "waveshaper8", "saturate2", "soft_sat"])
+def test_native_distortion_modes_match_jax(mode):
+    from algodsp_tpu.effects.waveshape import Distortion, DistortionMode
+    ds = Distortion(mode=DistortionMode(mode), drive=3.0, shape=0.6,
+                    bias=0.1, mix=0.8, output_level=0.9)
+    rng = np.random.default_rng(120)
+    x = rng.standard_normal(4096) * 0.7
+    st = ds.init_state((), jnp.float64)
+    _, y = ds.process(st, jnp.asarray(x))
+    _, g = native.distortion(ds, x)
+    assert snr_db(g, np.asarray(y)) > 140
+
+
+def test_native_distortion_chebyshev_matches_jax():
+    from algodsp_tpu.effects.waveshape import (Distortion, DistortionMode,
+                                               ChebyshevHarmonicMode)
+    ds = Distortion(mode=DistortionMode.CHEBYSHEV, drive=1.2,
+                    chebyshev_order=5,
+                    chebyshev_weights=[0.5, 0.0, 0.3, 0.0, 0.2],
+                    chebyshev_gain=0.8, mix=1.0)
+    rng = np.random.default_rng(121)
+    x = rng.standard_normal(4096) * 0.6
+    st = ds.init_state((), jnp.float64)
+    st, y1 = ds.process(st, jnp.asarray(x[:2048]))
+    st, y2 = ds.process(st, jnp.asarray(x[2048:]))
+    y_jax = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    g, z1 = native.distortion(ds, x[:2048])
+    g, z2 = native.distortion(ds, x[2048:], state=g)
+    assert snr_db(np.concatenate([z1, z2]), y_jax) > 120
+
+
+def test_native_harmonic_bass_matches_jax():
+    from algodsp_tpu.effects.waveshape import HarmonicBass
+    hb = HarmonicBass(48000.0, frequency=120.0, harmonic_bass_gain=0.8,
+                      original_bass_gain=0.9, high_frequency_gain=1.0)
+    rng = np.random.default_rng(122)
+    t = np.arange(8192) / 48000.0
+    x = (0.6 * np.sin(2 * np.pi * 60.0 * t)
+         + 0.2 * rng.standard_normal(8192))
+    st = hb.init_state((), jnp.float64)
+    st, y1 = hb.process(st, jnp.asarray(x[:4096]))
+    st, y2 = hb.process(st, jnp.asarray(x[4096:]))
+    y_jax = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    g, z1 = native.harmonic_bass(hb, x[:4096])
+    g, z2 = native.harmonic_bass(hb, x[4096:], state=g)
+    assert snr_db(np.concatenate([z1, z2]), y_jax) > 110
+
+
+def test_native_delay_effect_matches_jax():
+    """Feedback delay incl. smoothed lag retarget
+    (`delay.go:140-166`)."""
+    from algodsp_tpu.effects.delay_effect import Delay
+    dl = Delay(48000.0, delay_seconds=0.02, feedback=0.5, mix=0.5,
+               smooth_ms=5.0)
+    rng = np.random.default_rng(123)
+    x = rng.standard_normal(4096)
+    st = dl.init_state((), jnp.float64)
+    st, y1 = dl.process(st, jnp.asarray(x[:2048]))
+    # retarget mid-stream: the smoothing trajectory must match
+    tgt = 0.03 * 48000.0
+    st, y2 = dl.process(st, jnp.asarray(x[2048:]),
+                        target_delay_samples=tgt)
+    y_jax = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    g, z1 = native.delay_effect(dl, x[:2048])
+    g, z2 = native.delay_effect(dl, x[2048:], state=g, target=tgt)
+    assert snr_db(np.concatenate([z1, z2]), y_jax) > 120
