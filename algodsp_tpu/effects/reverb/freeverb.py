@@ -186,6 +186,38 @@ class Freeverb:
         y = ys[0] if len(ys) == 1 else jnp.concatenate(ys, axis=-1)
         return new_state, y
 
+    def process_blocks(self, state, x, *, block_size: int | None = None):
+        """Streamed multi-block processing in ONE scan — Freeverb's
+        `scan_blocks` specialization (same pattern as
+        `FDNReverb.process_blocks`): the twelve ring<->linear layout
+        conversions happen once per RUN instead of once per outer
+        block. Same per-block algebra, same floats (asserted in
+        tests/test_reverb.py). N must be a multiple of the internal
+        128-sample block; `block_size` is validated against that."""
+        x = jnp.asarray(x)
+        n = x.shape[-1]
+        if block_size is not None and block_size % _BLOCK:
+            raise ValueError(
+                f"freeverb process_blocks: block_size {block_size} must "
+                f"be a multiple of the internal block {_BLOCK}")
+        if n % _BLOCK:
+            from algodsp_tpu.streaming import scan_blocks
+            return scan_blocks(self.process, state, x,
+                               block_size=block_size or n)
+        nb = n // _BLOCK
+        step0 = state["step"]
+        combs = [ring.ring_to_linear(c, step0) for c in state["combs"]]
+        allp = [ring.ring_to_linear(a, step0) for a in state["allpasses"]]
+        carry = (combs, state["filter_store"], allp, step0)
+        xb = jnp.moveaxis(x.reshape(x.shape[:-1] + (nb, _BLOCK)), -2, 0)
+        carry, yb = jax.lax.scan(self._block_step, carry, xb)
+        combs, fstore, allp, step1 = carry
+        return ({"combs": [ring.linear_to_ring(c, step1) for c in combs],
+                 "filter_store": fstore,
+                 "allpasses": [ring.linear_to_ring(a, step1) for a in allp],
+                 "step": step1},
+                jnp.moveaxis(yb, 0, -2).reshape(x.shape[:-1] + (n,)))
+
     def process_scan(self, state, x):
         """Per-sample reference implementation (kept for parity tests)."""
         x = jnp.asarray(x)

@@ -189,3 +189,26 @@ def test_fdn_process_blocks_validation(rng):
     with pytest.raises(ValueError, match="multiple of the internal"):
         rv.process_blocks(st, jnp.zeros((1, rv._block * 2)),
                           block_size=rv._block + 1)
+
+
+def test_freeverb_process_blocks_matches_scan_blocks(rng):
+    """Freeverb's single-scan streamed driver (layout conversions once
+    per run) matches generic scan_blocks over `process`."""
+    import functools
+    import jax
+    from algodsp_tpu.streaming import scan_blocks
+    fv = Freeverb()
+    x = jnp.asarray(rng.standard_normal((2, 128 * 12)) * 0.5, jnp.float64)
+    st = fv.init_state((2,), jnp.float64)
+    _, y_ref = jax.jit(functools.partial(
+        scan_blocks, fv.process, block_size=256))(st, x)
+    st_b, y_b = jax.jit(functools.partial(
+        fv.process_blocks, block_size=256))(st, x)
+    np.testing.assert_array_equal(np.asarray(y_b), np.asarray(y_ref))
+    st1, y1 = jax.jit(fv.process_blocks)(st, x[:, :128 * 6])
+    _, y2 = jax.jit(fv.process_blocks)(st1, x[:, 128 * 6:])
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1),
+        np.asarray(y_b))
+    with pytest.raises(ValueError, match="multiple of the internal"):
+        fv.process_blocks(st, x, block_size=100)
