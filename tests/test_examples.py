@@ -20,7 +20,7 @@ EXAMPLES = ["spectrum_analysis", "mastering_chain", "room_measurement",
             "biquad_runtime", "filter_designers", "signal_stats",
             "modulation_zoo", "reverb_comparison", "streaming_convolution",
             "spectrogram_mfcc", "lti_fusion", "precision_engineering",
-            "gradient_eq_fit", "streaming_realtime"]
+            "gradient_eq_fit", "streaming_realtime", "streamed_sharded"]
 
 
 @pytest.mark.parametrize("name", EXAMPLES)
