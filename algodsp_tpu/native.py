@@ -143,6 +143,10 @@ def _load():
     lib.freqshift_process.argtypes = [dp, ctypes.c_int, ctypes.c_double,
                                       ctypes.c_double, dp, dp, dp, dp,
                                       ctypes.c_long]
+    lib.gate_hold_process.argtypes = (
+        [dp, dp, dp, dp, ctypes.c_long]
+        + [ctypes.c_double] * 2 + [ctypes.c_int]
+        + [ctypes.c_double] * 8 + [ctypes.c_long, dp])
     lib.distortion_process.argtypes = ([ctypes.c_int]
                                        + [ctypes.c_double] * 6
                                        + [ctypes.c_int, dp, ctypes.c_double,
@@ -1127,6 +1131,45 @@ def freqshift(fs, x, phase: float = 0.0):
     if rc != 0:
         raise MemoryError("freqshift_process: allocation failed")
     return float(ph[0]), up, down
+
+
+def gate_hold(gate, x, state=None, sidechain=None):
+    """Golden per-sample Gate with hold timer (oracle for
+    `effects.dynamics.Gate.process`; semantics parity with
+    `gate.go:83-376`): feedforward expansion gain + reset/countdown
+    hold. `state` layout = `dynamics_expansion`'s flat vector with the
+    hold counter appended. Returns (new_state, y, gains)."""
+    from algodsp_tpu.effects.dynamics.core import DetectorMode
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    core = gate.core
+    w = (core.rms_window
+         if core.cfg.detector_mode == DetectorMode.RMS else 1)
+    n_state = 3 + max(w - 1, 0) + 1
+    if state is None:
+        state = np.zeros(n_state)
+    st = np.ascontiguousarray(state, dtype=np.float64).copy()
+    if st.size != n_state:
+        raise ValueError(f"gate state must have {n_state} entries")
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    sc = (xin if sidechain is None
+          else np.ascontiguousarray(sidechain, dtype=np.float64))
+    out = np.empty_like(xin)
+    gains = np.empty_like(xin)
+    lib.gate_hold_process(
+        _dptr(xin), _dptr(sc), _dptr(out), _dptr(gains), xin.size,
+        ctypes.c_double(core.lp_coeff), ctypes.c_double(core.hp_coeff),
+        int(w), ctypes.c_double(core.attack_coeff),
+        ctypes.c_double(core.release_coeff),
+        ctypes.c_double(core.threshold_log2),
+        ctypes.c_double(core.cfg.knee_db),
+        ctypes.c_double(core.knee_width_log2),
+        ctypes.c_double(core.inv_knee_width_log2),
+        ctypes.c_double(core.cfg.ratio),
+        ctypes.c_double(gate.range_lin), int(gate.hold_samples),
+        _dptr(st))
+    return st, out, gains
 
 
 _DIST_MODE_CODES = {

@@ -1525,6 +1525,62 @@ int freqshift_process(const double* coeffs, int n_coeffs,
 }
 
 // ---------------------------------------------------------------------------
+// Gate hold-timer golden kernel — the full Gate path (processors.py:
+// Gate.process, capability parity with gate.go:83-376): feedforward
+// expansion gain (dynamics_expand machinery) followed by the hold
+// timer: while gain >= 1 the counter resets to hold_samples; otherwise
+// unity gain is held until it expires. state layout as
+// dynamics_expand_process plus [hold counter] appended.
+// ---------------------------------------------------------------------------
+
+void gate_hold_process(const double* in, const double* sc, double* out,
+                       double* gains, long n, double lp_coeff,
+                       double hp_coeff, int rms_window, double attack,
+                       double release, double threshold_log2,
+                       double knee_db, double knee_width_log2,
+                       double inv_knee_width_log2, double ratio,
+                       double range_lin, long hold_samples,
+                       double* state) {
+    double lp = state[0];
+    double hp_lp = state[1];
+    double env = state[2];
+    const int h = rms_window - 1;
+    double* ring = state + 3;
+    long hold = (long)state[3 + (h > 0 ? h : 0)];
+    for (long i = 0; i < n; ++i) {
+        double pre = sc[i];
+        if (lp_coeff > 0.0) { lp += lp_coeff * (pre - lp); pre = lp; }
+        if (hp_coeff > 0.0) { hp_lp += hp_coeff * (pre - hp_lp); pre -= hp_lp; }
+        double src = std::fabs(pre);
+        if (rms_window > 1) {
+            const double sq = src * src;
+            double sum = sq;
+            for (int k = 0; k < h; ++k) sum += ring[k];
+            for (int k = 0; k < h - 1; ++k) ring[k] = ring[k + 1];
+            ring[h - 1] = sq;
+            double mean = sum / (double)rms_window;
+            src = mean > 0.0 ? std::sqrt(mean) : 0.0;
+        }
+        if (src > env) env += (src - env) * attack;
+        else           env = src + (env - src) * release;
+        double g = dyn_expansion_gain_log2(
+            env, threshold_log2, knee_db, knee_width_log2,
+            inv_knee_width_log2, ratio, range_lin);
+        // hold timer (gate.go:360-367 / Gate.process step scan)
+        const int reset = g >= 1.0;
+        const int held = (!reset) && hold > 0;
+        const double g_out = held ? 1.0 : g;
+        hold = reset ? hold_samples : (hold > 0 ? hold - 1 : 0);
+        if (gains) gains[i] = g_out;
+        out[i] = in[i] * g_out;
+    }
+    state[0] = lp;
+    state[1] = hp_lp;
+    state[2] = env;
+    state[3 + (h > 0 ? h : 0)] = (double)hold;
+}
+
+// ---------------------------------------------------------------------------
 // Distortion golden kernel — per-sample oracle for all 15 waveshaper
 // modes of waveshape.py:Distortion (capability parity with
 // distortion.go:537-744), incl. Chebyshev harmonic shaping with its

@@ -838,3 +838,25 @@ def test_native_delay_effect_matches_jax():
     g, z1 = native.delay_effect(dl, x[:2048])
     g, z2 = native.delay_effect(dl, x[2048:], state=g, target=tgt)
     assert snr_db(np.concatenate([z1, z2]), y_jax) > 120
+
+
+def test_native_gate_hold_matches_jax():
+    """Gate hold timer (`gate.go:360-367`): unity gain held through
+    short dips, counter resets when the gate reopens."""
+    from algodsp_tpu.effects.dynamics import Gate
+    g = Gate(48000.0, threshold_db=-30.0, ratio=10.0, knee_db=3.0,
+             attack_ms=0.2, hold_ms=4.0, release_ms=30.0, range_db=-60.0)
+    rng = np.random.default_rng(130)
+    # bursts with gaps shorter AND longer than the hold window
+    env = np.concatenate([
+        np.full(800, 0.8), np.full(120, 0.001),   # dip < hold (held)
+        np.full(800, 0.8), np.full(800, 0.001),   # dip > hold (closes)
+        np.full(800, 0.6), np.full(776, 0.001)])
+    x = rng.standard_normal(4096) * env
+    st = g.init_state((), jnp.float64)
+    st, y1 = g.process(st, jnp.asarray(x[:2048]))
+    st, y2 = g.process(st, jnp.asarray(x[2048:]))
+    y_jax = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    gs, z1, _ = native.gate_hold(g, x[:2048])
+    gs, z2, _ = native.gate_hold(g, x[2048:], state=gs)
+    assert snr_db(np.concatenate([z1, z2]) + 1e-30, y_jax + 1e-30) > 120
