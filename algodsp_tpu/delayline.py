@@ -137,13 +137,25 @@ def walking_read(x, pos, drift: float, mode: Mode = Mode.HERMITE):
     i0b = jnp.moveaxis(i0.reshape(nb, B), 0, 0)           # (nb, B)
     Wb = jnp.moveaxis(W.reshape(ntaps, nb, B), 1, 0)      # (nb, ntaps, B)
 
+    # ONE dynamic slice of B+nshift per sub-block, then static in-window
+    # shifts (round 5: same trick as the FDN line reads — replaces
+    # nshift dynamic slices, bit-identical, measured faster: chorus
+    # streamed 147 -> 88 us/block). The timeline gets a static nshift
+    # tail pad so the window can never clamp at the end and misalign
+    # (the per-slice form was clamp-safe via zero weights; the window
+    # form must not clamp).
+    w_len = B + nshift
+    xw = jnp.concatenate(
+        [x, jnp.zeros(x.shape[:-1] + (nshift,), x.dtype)], axis=-1)
+
     def block(_, xs):
         ib, wb = xs                                       # (B,), (ntaps, B)
         base = jnp.min(ib - tl) + k0                      # scalar
         e = ib - tl - (base - k0)                         # (B,) in [0, ...]
+        win = jax.lax.dynamic_slice_in_dim(xw, base, w_len, axis=-1)
         acc = jnp.zeros(x.shape[:-1] + (B,), x.dtype)
         for s in range(nshift):
-            sl = jax.lax.dynamic_slice_in_dim(x, base + s, B, axis=-1)
+            sl = win[..., s:s + B]
             w = jnp.zeros((B,), x.dtype)
             for k in range(ntaps):
                 w = w + wb[k] * (e + (k0 + k) - k0 == s - 0)
