@@ -22,7 +22,8 @@ Checks (each prints measured SNR vs an independent oracle):
     streaming-conv time-SP, channel-DP scan_blocks)
   * round-5 oracle families: lookahead, de-esser, multiband, transient,
     tremolo, ring-mod, frequency shifter, widener, bitcrusher,
-    transformer
+    transformer, gate hold, Chebyshev distortion, harmonic bass,
+    feedback delay
 
 Exit code 0 iff every check clears its threshold. Thresholds are f32
 expectations (90-150 dB depending on the path), far above audibility
@@ -437,6 +438,34 @@ def main():
     _, yg = jax.jit(tf.process)(tf.init_state(()), jnp.asarray(xg))
     _, gg = native.transformer(tf, xg.astype(np.float64))
     check("transformer simulation (4x OS)", snr_db(gg, np.asarray(yg)), 80)
+
+    from algodsp_tpu.effects.dynamics import Gate
+    from algodsp_tpu.effects.waveshape import (Distortion, DistortionMode,
+                                               HarmonicBass)
+    gt = Gate(sr, threshold_db=-30.0, hold_ms=4.0)
+    xgt = xg * np.concatenate([np.full(4096, 1.0), np.full(4096, 0.01)]
+                              ).astype(np.float32)
+    _, yg = jax.jit(gt.process)(gt.init_state(()), jnp.asarray(xgt))
+    _, gg, _ = native.gate_hold(gt, xgt.astype(np.float64))
+    check("gate hold timer", snr_db(gg + 1e-30, np.asarray(yg) + 1e-30), 90)
+
+    dst = Distortion(mode=DistortionMode.CHEBYSHEV, chebyshev_order=5,
+                     chebyshev_weights=[0.5, 0, 0.3, 0, 0.2], drive=1.5)
+    _, yg = jax.jit(dst.process)(dst.init_state(()), jnp.asarray(xg))
+    _, gg = native.distortion(dst, xg.astype(np.float64))
+    check("distortion (Chebyshev + DC bypass)", snr_db(gg, np.asarray(yg)),
+          90)
+
+    hb = HarmonicBass(sr, harmonic_bass_gain=0.8)
+    _, yg = jax.jit(hb.process)(hb.init_state(()), jnp.asarray(xg))
+    _, gg = native.harmonic_bass(hb, xg.astype(np.float64))
+    check("harmonic bass exciter", snr_db(gg, np.asarray(yg)), 90)
+
+    dl5 = Delay(sr, delay_seconds=0.02, feedback=0.5, mix=0.5,
+                smooth_ms=5.0)
+    _, yg = jax.jit(dl5.process)(dl5.init_state(()), jnp.asarray(xg))
+    _, gg = native.delay_effect(dl5, xg.astype(np.float64))
+    check("feedback delay vs C++ golden", snr_db(gg, np.asarray(yg)), 100)
 
     print()
     if FAILURES:
