@@ -158,6 +158,18 @@ def _load():
     lib.delay_effect_process.argtypes = ([ctypes.c_int]
                                          + [ctypes.c_double] * 4
                                          + [dp, dp, dp, ctypes.c_long])
+    lib.spectral_freeze_process.restype = ctypes.c_int
+    lib.spectral_freeze_process.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, dp, dp, ctypes.c_long, dp]
+    lib.pitch_binshift_process.restype = ctypes.c_int
+    lib.pitch_binshift_process.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        dp, dp, ctypes.c_long, dp]
+    lib.pitch_stretch_process.restype = ctypes.c_int
+    lib.pitch_stretch_process.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        dp, dp, ctypes.c_long, dp]
     lib.ring_create.restype = ctypes.c_void_p
     lib.ring_create.argtypes = [ctypes.c_long]
     lib.ring_destroy.argtypes = [ctypes.c_void_p]
@@ -1268,6 +1280,70 @@ def delay_effect(dl, x, state=None, target=None):
                              ctypes.c_double(dl.smooth_coeff), _dptr(st),
                              _dptr(xin), _dptr(out), xin.size)
     return st, out
+
+
+def spectral_freeze(fz, x):
+    """Golden per-frame STFT freeze (oracle for
+    `effects.spectral.SpectralFreeze`; semantics parity with
+    `spectral_freeze.go:193-320`): an independent radix-2 FFT drives
+    the freeze/advance resynthesis and WOLA. One channel. Returns y."""
+    from algodsp_tpu.effects.spectral import FreezePhaseMode, _NORM_FLOOR
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    w = np.ascontiguousarray(fz.window, np.float64)
+    out = np.empty_like(xin)
+    rc = lib.spectral_freeze_process(
+        int(fz.frame_size), int(fz.hop_size), int(fz.frozen),
+        int(fz.phase_mode == FreezePhaseMode.ADVANCE),
+        ctypes.c_double(fz.mix), ctypes.c_double(_NORM_FLOOR),
+        _dptr(w), _dptr(xin), xin.size, _dptr(out))
+    if rc != 0:
+        raise MemoryError("spectral_freeze_process: allocation failed")
+    return out
+
+
+def spectral_pitch(ps, x):
+    """Golden phase-vocoder pitch shift (oracle for
+    `effects.pitch.SpectralPitchShifter`; semantics parity with
+    `pitch_shift_spectral.go:20-36`): bin-shift path for small ratios,
+    identity-phase-locked time-stretch + golden polyphase resample for
+    large ones — all through the independent C++ FFT. One channel.
+    Returns y (input length)."""
+    from algodsp_tpu.effects.pitch.spectral import _NORM_FLOOR
+    from algodsp_tpu.resample import Resampler
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    xin = np.ascontiguousarray(x, dtype=np.float64)
+    n = xin.size
+    if ps.pitch_ratio == 1.0:
+        return xin.copy()
+    w = np.ascontiguousarray(ps.window, np.float64)
+    fs, ha = ps.frame_size, ps.analysis_hop
+    if ps._use_bin_shift():
+        out = np.empty_like(xin)
+        rc = lib.pitch_binshift_process(
+            int(fs), int(ha), ctypes.c_double(ps.pitch_ratio),
+            ctypes.c_double(_NORM_FLOOR), _dptr(w), _dptr(xin), n,
+            _dptr(out))
+        if rc != 0:
+            raise MemoryError("pitch_binshift_process: allocation failed")
+        return out
+    hs = ps.synthesis_hop
+    nf = max(1 + (n - fs) // ha, 1)
+    stretched = np.empty((nf - 1) * hs + fs, np.float64)
+    rc = lib.pitch_stretch_process(
+        int(fs), int(ha), int(hs), ctypes.c_double(_NORM_FLOOR),
+        _dptr(w), _dptr(xin), n, _dptr(stretched))
+    if rc != 0:
+        raise MemoryError("pitch_stretch_process: allocation failed")
+    rs = Resampler(ha, hs, quality=ps.resample_quality)
+    _, y = resample_polyphase(rs, stretched)
+    if y.size >= n:
+        return y[:n]
+    return np.concatenate([y, np.zeros(n - y.size)])
 
 
 class RingBuffer:

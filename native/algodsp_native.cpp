@@ -1754,6 +1754,277 @@ void delay_effect_process(int buf_len, double feedback, double mix,
 }
 
 // ---------------------------------------------------------------------------
+// Iterative radix-2 complex FFT (power-of-two n) — the independent
+// transform behind the spectral oracles below. Deliberately a
+// different algorithm family from XLA's FFT so spectral-effect parity
+// checks two implementations, not one.
+// ---------------------------------------------------------------------------
+
+static void fft_radix2(double* re, double* im, int n, int inverse) {
+    // bit-reversal permutation
+    for (int i = 1, j = 0; i < n; ++i) {
+        int bit = n >> 1;
+        for (; j & bit; bit >>= 1) j ^= bit;
+        j ^= bit;
+        if (i < j) {
+            std::swap(re[i], re[j]);
+            std::swap(im[i], im[j]);
+        }
+    }
+    for (int len = 2; len <= n; len <<= 1) {
+        const double ang = (inverse ? 2.0 : -2.0) * M_PI / (double)len;
+        const double wr = std::cos(ang), wi = std::sin(ang);
+        for (int i = 0; i < n; i += len) {
+            double cr = 1.0, ci = 0.0;
+            for (int k = 0; k < len / 2; ++k) {
+                const int a = i + k, b = i + k + len / 2;
+                const double tr = re[b] * cr - im[b] * ci;
+                const double ti = re[b] * ci + im[b] * cr;
+                re[b] = re[a] - tr; im[b] = im[a] - ti;
+                re[a] += tr;        im[a] += ti;
+                const double ncr = cr * wr - ci * wi;
+                ci = cr * wi + ci * wr;
+                cr = ncr;
+            }
+        }
+    }
+    if (inverse) {
+        for (int i = 0; i < n; ++i) { re[i] /= n; im[i] /= n; }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Spectral freeze golden kernel — per-frame STFT freeze oracle
+// (effects/spectral.py:SpectralFreeze, capability parity with
+// spectral_freeze.go:193-320): Hann-windowed frames every hop, frozen
+// frames resynthesize from frame 0's magnitude with held or
+// omega*hop-advanced phase, windowed overlap-add with w^2
+// normalization floored at norm_floor, wet/dry mix. Framing: n_frames
+// = 1 + (n-1)/hop, zero-filled beyond the signal. phase_mode: 0 hold,
+// 1 advance. Returns 0, or -1 on allocation failure.
+// ---------------------------------------------------------------------------
+
+int spectral_freeze_process(int frame_size, int hop, int frozen,
+                            int phase_mode, double mix, double norm_floor,
+                            const double* window, const double* x, long n,
+                            double* out) {
+    const int fs = frame_size;
+    const long n_frames = 1 + (n - 1) / hop;
+    const int bins = fs / 2 + 1;
+    const long total = (n_frames - 1) * hop + fs;
+    double* wet = new (std::nothrow) double[total]();
+    double* norm = new (std::nothrow) double[total]();
+    double* re = new (std::nothrow) double[fs];
+    double* im = new (std::nothrow) double[fs];
+    double* m0 = new (std::nothrow) double[bins];
+    double* p0 = new (std::nothrow) double[bins];
+    if (!wet || !norm || !re || !im || !m0 || !p0) {
+        delete[] wet; delete[] norm; delete[] re; delete[] im;
+        delete[] m0; delete[] p0;
+        return -1;
+    }
+    for (long f = 0; f < n_frames; ++f) {
+        const long start = f * hop;
+        for (int k = 0; k < fs; ++k) {
+            const long j = start + k;
+            re[k] = (j < n ? x[j] : 0.0) * window[k];
+            im[k] = 0.0;
+        }
+        fft_radix2(re, im, fs, 0);
+        // resynthesis spectrum (full fs bins, conjugate-symmetric)
+        double mag, ph;
+        for (int b = 0; b < bins; ++b) {
+            mag = std::hypot(re[b], im[b]);
+            ph = std::atan2(im[b], re[b]);
+            if (frozen) {
+                if (f == 0) { m0[b] = mag; p0[b] = ph; }
+                mag = m0[b];
+                ph = p0[b];
+                if (phase_mode == 1)
+                    ph += 2.0 * M_PI * (double)b / fs * hop * (double)f;
+            }
+            re[b] = mag * std::cos(ph);
+            im[b] = mag * std::sin(ph);
+        }
+        for (int b = bins; b < fs; ++b) {       // mirror (irfft input)
+            re[b] = re[fs - b];
+            im[b] = -im[fs - b];
+        }
+        fft_radix2(re, im, fs, 1);
+        for (int k = 0; k < fs; ++k) {
+            wet[start + k] += re[k] * window[k];
+            norm[start + k] += window[k] * window[k];
+        }
+    }
+    for (long i = 0; i < n; ++i) {
+        double w = 0.0;
+        if (i < total) {
+            const double nz = norm[i] > norm_floor ? norm[i] : norm_floor;
+            w = wet[i] / nz;
+        }
+        out[i] = x[i] * (1.0 - mix) + w * mix;
+    }
+    delete[] wet; delete[] norm; delete[] re; delete[] im;
+    delete[] m0; delete[] p0;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Spectral pitch-shifter golden kernels (effects/pitch/spectral.py,
+// capability parity with pitch_shift_spectral.go:20-36): the bin-shift
+// path for |ratio-1| <= 0.15, and the phase-vocoder time-stretch path
+// (identity-phase-locking Laroche-Dolson) whose resample-back step the
+// Python wrapper runs through the golden polyphase resampler. Framing:
+// n_frames = max(1 + (n - fs)/hop, 1) with edge-replicated reads.
+// Returns 0 / -1 (allocation).
+// ---------------------------------------------------------------------------
+
+static long pv_frames(long n, int fs, int hop) {
+    const long nf = 1 + (n - fs) / hop;
+    return nf > 1 ? nf : 1;
+}
+
+int pitch_binshift_process(int frame_size, int hop, double ratio,
+                           double norm_floor, const double* window,
+                           const double* x, long n, double* out) {
+    const int fs = frame_size;
+    const int bins = fs / 2 + 1;
+    const long nf = pv_frames(n, fs, hop);
+    const long total = (nf - 1) * hop + fs;
+    double* wet = new (std::nothrow) double[total]();
+    double* norm = new (std::nothrow) double[total]();
+    double* re = new (std::nothrow) double[fs];
+    double* im = new (std::nothrow) double[fs];
+    double* mag = new (std::nothrow) double[bins];
+    double* ph = new (std::nothrow) double[bins];
+    if (!wet || !norm || !re || !im || !mag || !ph) {
+        delete[] wet; delete[] norm; delete[] re; delete[] im;
+        delete[] mag; delete[] ph;
+        return -1;
+    }
+    for (long f = 0; f < nf; ++f) {
+        const long start = f * hop;
+        for (int k = 0; k < fs; ++k) {
+            long j = start + k;
+            if (j > n - 1) j = n - 1;            // edge-replicate framing
+            re[k] = x[j] * window[k];
+            im[k] = 0.0;
+        }
+        fft_radix2(re, im, fs, 0);
+        for (int b = 0; b < bins; ++b) {
+            mag[b] = std::hypot(re[b], im[b]);
+            ph[b] = std::atan2(im[b], re[b]);
+        }
+        for (int b = 0; b < bins; ++b) {
+            const double src = (double)b / ratio;
+            const long i0 = (long)std::floor(src);
+            const double frac = src - (double)i0;
+            double m = 0.0;
+            if (i0 < bins - 1) {
+                const long i0c = i0 < 0 ? 0 : (i0 > bins - 2 ? bins - 2 : i0);
+                m = mag[i0c] * (1.0 - frac) + mag[i0c + 1] * frac;
+            }
+            const long i0c = i0 < 0 ? 0 : (i0 > bins - 2 ? bins - 2 : i0);
+            const double acc = 2.0 * M_PI * (double)b * hop / fs
+                               * (ratio - 1.0) * (double)(f + 1);
+            const double p = ph[i0c] + acc;
+            re[b] = m * std::cos(p);
+            im[b] = m * std::sin(p);
+        }
+        for (int b = bins; b < fs; ++b) {
+            re[b] = re[fs - b];
+            im[b] = -im[fs - b];
+        }
+        fft_radix2(re, im, fs, 1);
+        for (int k = 0; k < fs; ++k) {
+            wet[start + k] += re[k] * window[k];
+            norm[start + k] += window[k] * window[k];
+        }
+    }
+    for (long i = 0; i < n; ++i) {
+        double w = 0.0;
+        if (i < total) {
+            const double nz = norm[i] > norm_floor ? norm[i] : norm_floor;
+            w = wet[i] / nz;
+        }
+        out[i] = w;
+    }
+    delete[] wet; delete[] norm; delete[] re; delete[] im;
+    delete[] mag; delete[] ph;
+    return 0;
+}
+
+// Stretch path: returns the STRETCHED signal (length (nf-1)*hs + fs)
+// into `out` (caller sizes it); the wrapper resamples by ha/hs through
+// the golden polyphase kernel.
+int pitch_stretch_process(int frame_size, int ha, int hs,
+                          double norm_floor, const double* window,
+                          const double* x, long n, double* out) {
+    const int fs = frame_size;
+    const int bins = fs / 2 + 1;
+    const long nf = pv_frames(n, fs, ha);
+    const long total = (nf - 1) * (long)hs + fs;
+    double* wet = new (std::nothrow) double[total]();
+    double* norm = new (std::nothrow) double[total]();
+    double* re = new (std::nothrow) double[fs];
+    double* im = new (std::nothrow) double[fs];
+    double* prev_ph = new (std::nothrow) double[bins];
+    double* sum_ph = new (std::nothrow) double[bins];
+    if (!wet || !norm || !re || !im || !prev_ph || !sum_ph) {
+        delete[] wet; delete[] norm; delete[] re; delete[] im;
+        delete[] prev_ph; delete[] sum_ph;
+        return -1;
+    }
+    for (long f = 0; f < nf; ++f) {
+        const long start = f * (long)ha;
+        for (int k = 0; k < fs; ++k) {
+            long j = start + k;
+            if (j > n - 1) j = n - 1;
+            re[k] = x[j] * window[k];
+            im[k] = 0.0;
+        }
+        fft_radix2(re, im, fs, 0);
+        for (int b = 0; b < bins; ++b) {
+            const double mag = std::hypot(re[b], im[b]);
+            const double ph = std::atan2(im[b], re[b]);
+            const double omega = 2.0 * M_PI * (double)b / fs;
+            // inst freq from the frame-to-frame phase difference
+            // (frame 0 diffs against itself: dphi = -omega*ha wrapped)
+            double dphi = ph - (f == 0 ? ph : prev_ph[b]) - omega * ha;
+            dphi = std::fmod(dphi + M_PI, 2.0 * M_PI);
+            if (dphi < 0.0) dphi += 2.0 * M_PI;
+            dphi -= M_PI;
+            const double inst = omega + dphi / ha;
+            if (f == 0) {
+                sum_ph[b] = ph;          // synth phase starts at phase[0]
+            } else {
+                sum_ph[b] += inst * hs;
+            }
+            prev_ph[b] = ph;
+            re[b] = mag * std::cos(sum_ph[b]);
+            im[b] = mag * std::sin(sum_ph[b]);
+        }
+        for (int b = bins; b < fs; ++b) {
+            re[b] = re[fs - b];
+            im[b] = -im[fs - b];
+        }
+        fft_radix2(re, im, fs, 1);
+        const long ostart = f * (long)hs;
+        for (int k = 0; k < fs; ++k) {
+            wet[ostart + k] += re[k] * window[k];
+            norm[ostart + k] += window[k] * window[k];
+        }
+    }
+    for (long i = 0; i < total; ++i) {
+        const double nz = norm[i] > norm_floor ? norm[i] : norm_floor;
+        out[i] = wet[i] / nz;
+    }
+    delete[] wet; delete[] norm; delete[] re; delete[] im;
+    delete[] prev_ph; delete[] sum_ph;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
 // SPSC ring buffer for real-time block streaming (float32 frames)
 // ---------------------------------------------------------------------------
 

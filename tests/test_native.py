@@ -860,3 +860,38 @@ def test_native_gate_hold_matches_jax():
     gs, z1, _ = native.gate_hold(g, x[:2048])
     gs, z2, _ = native.gate_hold(g, x[2048:], state=gs)
     assert snr_db(np.concatenate([z1, z2]) + 1e-30, y_jax + 1e-30) > 120
+
+
+@pytest.mark.parametrize("frozen,mode", [(False, "advance"),
+                                         (True, "hold"),
+                                         (True, "advance")])
+def test_native_spectral_freeze_matches_jax(frozen, mode):
+    """Independent radix-2 FFT vs jnp.fft through the freeze/WOLA path."""
+    from algodsp_tpu.effects.spectral import SpectralFreeze, FreezePhaseMode
+    fz = SpectralFreeze(48000.0, frame_size=512, hop_size=128,
+                        frozen=frozen, mix=0.9,
+                        phase_mode=(FreezePhaseMode.ADVANCE
+                                    if mode == "advance"
+                                    else FreezePhaseMode.HOLD))
+    rng = np.random.default_rng(140)
+    t = np.arange(5000) / 48000.0
+    x = np.sin(2 * np.pi * 750.0 * t) + 0.1 * rng.standard_normal(5000)
+    y_jax = np.asarray(fz.process(jnp.asarray(x)))
+    y_gold = native.spectral_freeze(fz, x)
+    assert snr_db(y_gold, y_jax) > 120
+
+
+@pytest.mark.parametrize("ratio", [1.1, 1.5, 0.7])
+def test_native_spectral_pitch_matches_jax(ratio):
+    """Bin-shift (1.1) and identity-phase-locked stretch (1.5 / 0.7)
+    paths vs the batched-JAX phase vocoder."""
+    from algodsp_tpu.effects.pitch import SpectralPitchShifter
+    ps = SpectralPitchShifter(48000.0, pitch_ratio=ratio,
+                              frame_size=512, analysis_hop=128)
+    rng = np.random.default_rng(141)
+    t = np.arange(12000) / 48000.0
+    x = (np.sin(2 * np.pi * 440.0 * t)
+         + 0.05 * rng.standard_normal(12000))
+    y_jax = np.asarray(ps.process(jnp.asarray(x)))
+    y_gold = native.spectral_pitch(ps, x)
+    assert snr_db(y_gold, y_jax) > 110
