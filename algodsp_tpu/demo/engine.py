@@ -201,7 +201,10 @@ class Engine:
 
     def load_chain(self, graph_json: str):
         self.chain = Chain(self.sample_rate)
-        self.chain.load_graph(graph_json)
+        # keep every node a separate runtime: the demo's per-node
+        # curve/metering endpoints (/node_curve, /dyn_curve) introspect
+        # individual effects, which LTI fusion intentionally collapses
+        self.chain.load_graph(graph_json, auto_fuse=False)
         self._chain_state = self.chain.init_state((), jnp.float32)
 
     def _rebuild_eq(self):

@@ -284,10 +284,15 @@ class DemoServer:
                 elif url.path == "/state":
                     self._send(200, json.dumps(server.state()).encode())
                 elif url.path == "/waveform":
-                    q = parse_qs(url.query)
-                    points = int(q.get("points", ["256"])[0])
-                    with server._engine_lock:
-                        wf = server.engine.spectrum.waveform(points)
+                    try:
+                        q = parse_qs(url.query)
+                        points = int(q.get("points", ["256"])[0])
+                        with server._engine_lock:
+                            wf = server.engine.spectrum.waveform(points)
+                    except (ValueError, KeyError) as exc:
+                        self._send(400, json.dumps(
+                            {"error": str(exc)}).encode())
+                        return
                     self._send(200, json.dumps(wf).encode())
                 elif url.path == "/ir_data":
                     try:

@@ -229,7 +229,10 @@ class CrosstalkSimulator:
                 axis=-1)
             full = full + ext
             out = full[..., :n]
-            new_state = {"tail": full[..., n:]}
+            # keep the carried tail in the STATE dtype so a lax.scan
+            # over blocks (scan_blocks) sees an invariant carry even
+            # when x and the state dtype differ
+            new_state = {"tail": full[..., n:].astype(state["tail"].dtype)}
         if self.hrtf_mode != "complete":
             out = out + x
         return new_state, out

@@ -215,20 +215,22 @@ class BiquadChain:
         import jax
         x = jnp.asarray(x)
         if exact:
-            if jnp.dtype(x.dtype) == jnp.float64:
-                return self.process(x, mode=mode)
+            # validate + resolve the mode BEFORE any shortcut, so the
+            # f64 fast path can never fall into the f32-only engines
+            if mode in ("pallas", "folded"):
+                raise ValueError(
+                    "exact=True runs on the XLA engines; use mode "
+                    "'auto', 'blocked', 'cascade', or 'scan'")
             if not jax.config.jax_enable_x64:
                 raise ValueError(
                     "process(exact=True) needs jax.config.update("
                     "'jax_enable_x64', True) — without it JAX silently "
                     "truncates the f64 evaluation back to f32")
-            if mode in ("pallas", "folded"):
-                raise ValueError(
-                    "exact=True runs on the XLA engines; use mode "
-                    "'auto', 'blocked', 'cascade', or 'scan'")
             if mode == "auto":
                 mode = "cascade" if x.shape[-1] % self.block_size == 0 \
                     else "blocked"
+            if jnp.dtype(x.dtype) == jnp.float64:
+                return self.process(x, mode=mode)
             y = self.process(x.astype(jnp.float64), mode=mode)
             return y.astype(x.dtype)
         if mode == "auto":

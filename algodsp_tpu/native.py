@@ -732,6 +732,8 @@ def tremolo(tr, x, state=None):
     if state is None:
         state = np.zeros(2)
     st = np.ascontiguousarray(state, dtype=np.float64).copy()
+    if st.size != 2:
+        raise ValueError("tremolo state must have 2 entries")
     xin = np.ascontiguousarray(x, dtype=np.float64)
     out = np.empty_like(xin)
     lib.tremolo_process(ctypes.c_double(tr.sample_rate),
@@ -753,6 +755,8 @@ def ringmod(rm, x, state=None):
     if state is None:
         state = np.zeros(1)
     st = np.ascontiguousarray(state, dtype=np.float64).copy()
+    if st.size != 1:
+        raise ValueError("ringmod state must have 1 entry")
     xin = np.ascontiguousarray(x, dtype=np.float64)
     out = np.empty_like(xin)
     lib.ringmod_process(ctypes.c_double(rm.sample_rate),
@@ -773,6 +777,8 @@ def bitcrusher(bc, x, state=None):
     if state is None:
         state = np.zeros(2)
     st = np.ascontiguousarray(state, dtype=np.float64).copy()
+    if st.size != 2:
+        raise ValueError("bitcrusher state must have 2 entries")
     xin = np.ascontiguousarray(x, dtype=np.float64)
     out = np.empty_like(xin)
     lib.bitcrusher_process(ctypes.c_double(bc.quant_levels),
@@ -792,6 +798,8 @@ def transient(ts, x, state=None):
     if state is None:
         state = np.zeros(1)
     st = np.ascontiguousarray(state, dtype=np.float64).copy()
+    if st.size != 1:
+        raise ValueError("transient state must have 1 entry")
     xin = np.ascontiguousarray(x, dtype=np.float64)
     out = np.empty_like(xin)
     lib.transient_process(ctypes.c_double(ts.attack_coeff),
@@ -956,6 +964,8 @@ def quantize(qz, x, noise, state=None):
     if state is None:
         state = np.zeros(max(order, 1))
     st = np.ascontiguousarray(state, np.float64).copy()
+    if st.size != max(order, 1):
+        raise ValueError(f"FIR dither state must have {max(order, 1)} entries")
     lib.dither_fir_process(_dptr(scaled), _dptr(nz), _dptr(out), xin.size,
                            _dptr(coeffs), order, int(qz.limit),
                            ctypes.c_double(qz.limit_lo),
@@ -983,6 +993,8 @@ def widener(w, x, state=None):
     if state is None:
         state = np.zeros(max(n_state, 1))
     st = np.ascontiguousarray(state, np.float64).copy()
+    if st.size != max(n_state, 1):
+        raise ValueError(f"widener state must have {max(n_state, 1)} entries")
     x2 = np.ascontiguousarray(x, dtype=np.float64)
     if x2.ndim != 2 or x2.shape[0] != 2:
         raise ValueError("widener golden takes (2, N) stereo")
@@ -1044,6 +1056,8 @@ def crosstalk_sim(cs, x, state=None):
     if state is None:
         state = np.zeros(n_state)
     st = np.ascontiguousarray(state, np.float64).copy()
+    if st.size != n_state:
+        raise ValueError(f"crosstalk sim state must have {n_state} entries")
     x2 = np.ascontiguousarray(x, dtype=np.float64)
     out = np.empty_like(x2)
     lib.crosstalk_sim_process(
@@ -1205,6 +1219,8 @@ def distortion(ds, x, state=None):
     if state is None:
         state = np.zeros(2)
     st = np.ascontiguousarray(state, dtype=np.float64).copy()
+    if st.size != 2:
+        raise ValueError("distortion state must have 2 entries")
     xin = np.ascontiguousarray(x, dtype=np.float64)
     out = np.empty_like(xin)
     w = np.ascontiguousarray(ds.chebyshev_weights, np.float64)

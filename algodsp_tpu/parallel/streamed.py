@@ -99,13 +99,38 @@ def scan_blocks_channel_sharded(process_fn, state, *signals, mesh: Mesh,
         return scan_blocks(process_fn, st, *sigs, block_size=block_size,
                            unroll=unroll)
 
-    # out state keeps the in specs; outputs shard like the inputs.
-    # check_vma=False: replicated scalar state leaves (phase counters,
-    # ring write heads) are updated identically per shard but the
-    # varying-mesh analysis cannot prove it for scan carries.
-    out_sig_spec = sig_specs[0]
+    # Derive the OUTPUT structure by abstract evaluation of the local
+    # computation, so pytree outputs (multi-port nodes, aux metrics)
+    # shard correctly: leaves whose leading dim equals the local
+    # channel count shard on the channel axis, others replicate.
+    n_ch_local = n_ch // n_shards
+
+    def local_struct(leaf):
+        leaf = jnp.asarray(leaf)
+        shape = ((n_ch_local,) + leaf.shape[1:]
+                 if leaf.ndim >= 1 and leaf.shape[0] == n_ch
+                 else leaf.shape)
+        return jax.ShapeDtypeStruct(shape, leaf.dtype)
+
+    abs_state = jax.tree_util.tree_map(local_struct, state)
+    abs_sigs = [jax.ShapeDtypeStruct(
+        (n_ch_local,) + jnp.asarray(s).shape[1:], jnp.asarray(s).dtype)
+        for s in signals]
+    _, abs_out = jax.eval_shape(local, abs_state, *abs_sigs)
+
+    def out_spec(leaf):
+        if leaf.ndim >= 1 and leaf.shape[0] == n_ch_local:
+            return P(channel_axis_name, *([None] * (leaf.ndim - 1)))
+        return P()
+
+    out_specs_tree = jax.tree_util.tree_map(out_spec, abs_out)
+
+    # out state keeps the in specs. check_vma=False: replicated scalar
+    # state leaves (phase counters, ring write heads) are updated
+    # identically per shard but the varying-mesh analysis cannot prove
+    # it for scan carries.
     fn = shard_map(local, mesh=mesh, in_specs=(st_specs, *sig_specs),
-                   out_specs=(st_specs, out_sig_spec), check_vma=False)
+                   out_specs=(st_specs, out_specs_tree), check_vma=False)
     return fn(state, *signals)
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 import io
 import os
 import struct
+from functools import lru_cache as _lru_cache
 
 import numpy as np
 
@@ -73,10 +74,16 @@ def read_irlib(path_or_file) -> dict[str, tuple[float, np.ndarray]]:
             f.close()
 
 
+@_lru_cache(maxsize=8)
 def builtin_irs(sample_rate: float = 48000.0,
                 seed: int = 20260816) -> dict[str, tuple[float, np.ndarray]]:
     """Synthetic IR set (the analog of the embedded .irlib data):
-    exponentially decaying noise with per-band decay shaping."""
+    exponentially decaying noise with per-band decay shaping.
+
+    Cached per (sample_rate, seed) — the synthesis includes a
+    per-sample Python one-pole over ~400k samples, and the demo's IR
+    endpoints hit this on every request. Callers must treat the
+    returned dict and arrays as read-only."""
     rng = np.random.default_rng(seed)
     out = {}
     specs = {

@@ -65,11 +65,12 @@ def main():
             {"from": "comp", "to": "_output"},
         ]})
 
+    # auto_fuse=False keeps the baseline genuinely unfused — round 5
+    # made load_graph apply fuse_lti by default
     plain = Chain(sr)
-    plain.load_graph(graph)
+    plain.load_graph(graph, auto_fuse=False)
     opt = Chain(sr)
-    opt.load_graph(graph)
-    report = opt.fuse_lti()
+    report = opt.load_graph(graph)      # auto-fused; returns the report
     for members, klen in report:
         print(f"fused run: {' -> '.join(members)}  ({klen}-tap FIR)")
 
