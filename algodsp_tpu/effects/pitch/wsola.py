@@ -66,17 +66,34 @@ class WSOLAPitchShifter:
         n = x.shape[-1]
         seq, ov, seek = self.sequence, self.overlap, self.seek
         flat = seq - ov
-        out_segments = max(int((n - seq - seek) / (flat * rate)), 1)
+        # segment count from the TARGET output length (~n/rate), like
+        # the reference's `for outLen < targetLen + seq` loop
+        # (`pitch_shifter.go:299-319`); reads past the input return
+        # zero (pitchSampleZero), realized here by zero-extending the
+        # timeline so late segments read silence instead of clamping
+        # onto repeated end content.
+        target_len = max(int(round(n / rate)), 1)
+        out_segments = max(-(-(target_len - seq) // flat) + 1, 1)
 
         # nominal input positions per segment (static)
         nominal = (np.arange(out_segments) * flat * rate).astype(np.int32) \
             + seek // 2
-        nominal = np.minimum(nominal, n - seq - seek // 2 - 1)
         region_starts = nominal - seek // 2         # candidate 0 position
         L = seek - 1 + ov                           # candidate region length
 
         batch = x.shape[:-1]
         x2 = x.reshape((-1, n))
+        # segments whose reads touch the zero-extended region take the
+        # nominal offset deterministically: alignment there would argmax
+        # over fade-out noise, and the independent C++ golden must land
+        # on the same segment (static mask — the grid is static)
+        boundary = (region_starts + L + seq) > n
+        n_need = int(nominal[-1]) + seek // 2 + seq + seek + 1
+        if n_need > n:
+            x2 = jnp.concatenate(
+                [x2, jnp.zeros((x2.shape[0], n_need - n), x2.dtype)],
+                axis=-1)
+            n = n_need
         C = x2.shape[0]
         dn = ("NCH", "OIH", "NCH")
         hi = jax.lax.Precision.HIGHEST
@@ -92,7 +109,8 @@ class WSOLAPitchShifter:
                 lambda xc, s: jax.lax.dynamic_slice(xc, (s,), (length,))
             )(x2, starts)
 
-        def step(prev_tail_start, a_i):
+        def step(prev_tail_start, xs_i):
+            a_i, boundary_i = xs_i
             # reference: ov samples following the previous segment body
             ref = slice_rows(prev_tail_start, ov)               # (C, ov)
             region = jax.lax.dynamic_slice(
@@ -106,12 +124,21 @@ class WSOLAPitchShifter:
                      - jax.lax.dynamic_slice(
                         csq, (jnp.int32(0), a_i), (C, seek)))
             best = jnp.argmax(scores / jnp.sqrt(norm2 + 1e-12), axis=-1)
+            # silent or boundary regions (reads touching the
+            # zero-extended tail): the argmax would pick fade-out float
+            # noise, so take the NOMINAL offset deterministically —
+            # keeps timing on-grid and the independent C++ golden lands
+            # on the same segment
+            silent = jnp.max(norm2, axis=-1) <= 1e-12
+            best = jnp.where(jnp.logical_or(silent, boundary_i),
+                             seek // 2, best)
             start = a_i + best.astype(jnp.int32)                # (C,)
             return (start + flat).astype(jnp.int32), start
 
         init_tail = jnp.full((C,), int(nominal[0]), jnp.int32)
-        _, starts = jax.lax.scan(step, init_tail,
-                                 jnp.asarray(region_starts))    # (S, C)
+        _, starts = jax.lax.scan(
+            step, init_tail,
+            (jnp.asarray(region_starts), jnp.asarray(boundary)))  # (S, C)
         segments = jax.vmap(lambda st: slice_rows(st, seq))(starts)
         segments = jnp.moveaxis(segments, 0, 1)                 # (C, S, seq)
 
@@ -140,7 +167,16 @@ class WSOLAPitchShifter:
         return out.reshape(batch + (out.shape[-1],))
 
     def process(self, x):
-        """One-shot pitch shift, output length == input length."""
+        """One-shot pitch shift, output length == input length.
+
+        Composition (the reference's `Process`,
+        `pitch_shifter.go:225-240`): time-STRETCH the signal to ~n*r
+        samples (stretch rate 1/r — WSOLA preserves pitch), then
+        resample by 1/r back to n samples, which multiplies pitch by r
+        while events keep their original timing. (Round 5 review fix:
+        the stretch previously ran at rate r, compressing to n/r and
+        leaving the resampled output at n/r^2 with a zero-padded tail.)
+        """
         x = jnp.asarray(x)
         n = x.shape[-1]
         r = self.pitch_ratio
@@ -149,7 +185,7 @@ class WSOLAPitchShifter:
         min_len = self.sequence + self.seek + int(self.sequence * r) + 1
         if n < min_len:
             raise ValueError(f"wsola: input too short ({n} < {min_len})")
-        stretched = self._time_stretch(x, r)
+        stretched = self._time_stretch(x, 1.0 / r)      # ~n*r samples
         rs = Resampler(*_ratio_to_fraction(1.0 / r),
                        quality=self.resample_quality)
         y = rs.process(stretched)

@@ -28,158 +28,168 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        # best-effort local build
+    src = os.path.join(os.path.dirname(_LIB_PATH), "algodsp_native.cpp")
+    stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
+             and os.path.getmtime(_LIB_PATH) < os.path.getmtime(src))
+    if not os.path.exists(_LIB_PATH) or stale:
+        # best-effort (re)build — a stale .so would otherwise miss
+        # newly added kernels and break the binding step below
         try:
             subprocess.run(["make", "-C", os.path.dirname(_LIB_PATH)],
                            check=True, capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
 
-    dp = ctypes.POINTER(ctypes.c_double)
-    fp = ctypes.POINTER(ctypes.c_float)
-    lib.biquad_df2t_process.argtypes = [dp, dp, ctypes.c_int, ctypes.c_double,
-                                        dp, ctypes.c_long]
-    lib.fir_process.argtypes = [dp, ctypes.c_int, dp, dp, dp, ctypes.c_long]
-    lib.envelope_process.restype = ctypes.c_double
-    lib.envelope_process.argtypes = [dp, dp, ctypes.c_long, ctypes.c_double,
-                                     ctypes.c_double, ctypes.c_double]
-    lib.moog_process.argtypes = [ctypes.c_int, dp, ctypes.c_int, ctypes.c_int,
-                                 dp, dp, dp, ctypes.c_long]
-    lib.dynamics_ff_process.argtypes = (
-        [dp, dp, dp, dp, ctypes.c_long]
-        + [ctypes.c_double] * 2 + [ctypes.c_int]
-        + [ctypes.c_double] * 8 + [dp])
-    lib.resample_polyphase_process.argtypes = [
-        dp, ctypes.c_int, ctypes.c_int, ctypes.c_int, dp, dp, ctypes.c_long,
-        dp, ctypes.c_long]
-    lib.dynamics_fb_process.argtypes = (
-        [dp, dp, dp, ctypes.c_long] + [ctypes.c_double] * 8 + [dp])
-    lib.dynamics_expand_process.argtypes = (
-        [dp, dp, dp, dp, ctypes.c_long]
-        + [ctypes.c_double] * 2 + [ctypes.c_int]
-        + [ctypes.c_double] * 8 + [dp])
-    ip = ctypes.POINTER(ctypes.c_int)
-    lib.hilbert_process.argtypes = [dp, ctypes.c_int, dp, dp, dp, dp,
-                                    ctypes.c_long]
-    lib.wsola_stretch.restype = ctypes.c_long
-    lib.wsola_stretch.argtypes = [dp, ctypes.c_long, ctypes.c_int,
-                                  ctypes.c_int, ctypes.c_int,
-                                  ctypes.c_double, dp]
-    lib.granular_process.restype = ctypes.c_int
-    lib.granular_process.argtypes = [dp, ctypes.c_long, dp, ctypes.c_int,
-                                     ctypes.c_int, ctypes.c_int,
-                                     ctypes.c_double, dp, ctypes.c_double,
-                                     ctypes.c_double, dp]
-    lib.vocoder_process.argtypes = ([dp, dp, ctypes.c_int]
-                                    + [ctypes.c_double] * 5
-                                    + [dp, dp, dp, dp, dp, dp,
-                                       ctypes.c_long])
-    lib.phaser_process.argtypes = ([ctypes.c_int] + [ctypes.c_double] * 6
-                                   + [dp, dp, dp, ctypes.c_long])
-    lib.flanger_process.argtypes = ([ctypes.c_int] + [ctypes.c_double] * 6
-                                    + [dp, dp, dp, ctypes.c_long])
-    lib.chorus_process.restype = ctypes.c_int
-    lib.chorus_process.argtypes = ([ctypes.c_int, ctypes.c_int]
-                                   + [ctypes.c_double] * 5
-                                   + [dp, dp, dp, ctypes.c_long])
-    lib.autowah_process.argtypes = ([ctypes.c_double] * 8
-                                    + [dp, dp, dp, ctypes.c_long])
-    lib.freeverb_process.restype = ctypes.c_long
-    lib.freeverb_process.argtypes = (
-        [ip, ctypes.c_int, ip, ctypes.c_int] + [ctypes.c_double] * 6
-        + [dp, dp, dp, ctypes.c_long, dp, dp, ctypes.c_long])
-    lib.fdn_process.restype = ctypes.c_long
-    lib.fdn_process.argtypes = [dp, dp, dp, dp, dp, ctypes.c_long, dp, dp,
-                                ctypes.c_long]
-    lib.tremolo_process.argtypes = ([ctypes.c_double] * 5
-                                    + [dp, dp, dp, ctypes.c_long])
-    lib.ringmod_process.argtypes = ([ctypes.c_double] * 3
-                                    + [dp, dp, dp, ctypes.c_long])
-    lib.bitcrusher_process.argtypes = ([ctypes.c_double, ctypes.c_int,
-                                        ctypes.c_double]
+    try:
+        dp = ctypes.POINTER(ctypes.c_double)
+        fp = ctypes.POINTER(ctypes.c_float)
+        lib.biquad_df2t_process.argtypes = [dp, dp, ctypes.c_int, ctypes.c_double,
+                                            dp, ctypes.c_long]
+        lib.fir_process.argtypes = [dp, ctypes.c_int, dp, dp, dp, ctypes.c_long]
+        lib.envelope_process.restype = ctypes.c_double
+        lib.envelope_process.argtypes = [dp, dp, ctypes.c_long, ctypes.c_double,
+                                         ctypes.c_double, ctypes.c_double]
+        lib.moog_process.argtypes = [ctypes.c_int, dp, ctypes.c_int, ctypes.c_int,
+                                     dp, dp, dp, ctypes.c_long]
+        lib.dynamics_ff_process.argtypes = (
+            [dp, dp, dp, dp, ctypes.c_long]
+            + [ctypes.c_double] * 2 + [ctypes.c_int]
+            + [ctypes.c_double] * 8 + [dp])
+        lib.resample_polyphase_process.argtypes = [
+            dp, ctypes.c_int, ctypes.c_int, ctypes.c_int, dp, dp, ctypes.c_long,
+            dp, ctypes.c_long]
+        lib.dynamics_fb_process.argtypes = (
+            [dp, dp, dp, ctypes.c_long] + [ctypes.c_double] * 8 + [dp])
+        lib.dynamics_expand_process.argtypes = (
+            [dp, dp, dp, dp, ctypes.c_long]
+            + [ctypes.c_double] * 2 + [ctypes.c_int]
+            + [ctypes.c_double] * 8 + [dp])
+        ip = ctypes.POINTER(ctypes.c_int)
+        lib.hilbert_process.argtypes = [dp, ctypes.c_int, dp, dp, dp, dp,
+                                        ctypes.c_long]
+        lib.wsola_stretch.restype = ctypes.c_long
+        lib.wsola_stretch.argtypes = [dp, ctypes.c_long, ctypes.c_long,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_double, dp]
+        lib.granular_process.restype = ctypes.c_int
+        lib.granular_process.argtypes = [dp, ctypes.c_long, dp, ctypes.c_int,
+                                         ctypes.c_int, ctypes.c_int,
+                                         ctypes.c_double, dp, ctypes.c_double,
+                                         ctypes.c_double, dp]
+        lib.vocoder_process.argtypes = ([dp, dp, ctypes.c_int]
+                                        + [ctypes.c_double] * 5
+                                        + [dp, dp, dp, dp, dp, dp,
+                                           ctypes.c_long])
+        lib.phaser_process.argtypes = ([ctypes.c_int] + [ctypes.c_double] * 6
                                        + [dp, dp, dp, ctypes.c_long])
-    lib.transient_process.argtypes = ([ctypes.c_double] * 4
-                                      + [dp, dp, dp, ctypes.c_long])
-    lib.lookahead_process.argtypes = ([dp, dp, dp, ctypes.c_long,
-                                       ctypes.c_int]
-                                      + [ctypes.c_double] * 7 + [dp])
-    lib.deesser_process.argtypes = ([dp, dp, ctypes.c_int, dp, ctypes.c_int]
-                                    + [ctypes.c_double] * 8
-                                    + [ctypes.c_int, ctypes.c_int,
-                                       dp, dp, ctypes.c_long, dp])
-    lib.multiband_process.argtypes = ([dp, ctypes.c_int, ctypes.c_int]
-                                      + [dp] * 8
-                                      + [dp, dp, ctypes.c_long, dp, dp])
-    lib.dither_fir_process.argtypes = [dp, dp, dp, ctypes.c_long, dp,
-                                       ctypes.c_int, ctypes.c_int,
-                                       ctypes.c_double, ctypes.c_double, dp]
-    lib.dither_iir_process.argtypes = [dp, dp, dp, ctypes.c_long, dp,
-                                       ctypes.c_int, ctypes.c_double,
-                                       ctypes.c_double, dp]
-    lib.widener_process.argtypes = [dp, ctypes.c_int, dp, ctypes.c_int,
-                                    ctypes.c_double, dp, dp, dp, dp,
-                                    ctypes.c_long, dp]
-    lib.crosstalk_cancel_process.argtypes = [ctypes.c_int, ip, dp, dp,
-                                             dp, dp, dp, dp,
-                                             ctypes.c_long, dp]
-    lib.crosstalk_sim_process.argtypes = [ctypes.c_int, dp,
-                                          ctypes.c_double, ctypes.c_int,
-                                          dp, dp, dp, dp,
-                                          ctypes.c_long, dp]
-    lib.crosstalk_hrtf_process.argtypes = [dp, ctypes.c_int, dp,
-                                           ctypes.c_int, dp, ctypes.c_int,
-                                           dp, ctypes.c_int, ctypes.c_int,
-                                           dp, dp, dp, dp, ctypes.c_long]
-    lib.transformer_process.argtypes = ([ctypes.c_int, ctypes.c_int,
-                                         dp, dp, ctypes.c_int, dp]
-                                        + [ctypes.c_double] * 3
-                                        + [dp, dp, ctypes.c_long, dp])
-    lib.freqshift_process.restype = ctypes.c_int
-    lib.freqshift_process.argtypes = [dp, ctypes.c_int, ctypes.c_double,
-                                      ctypes.c_double, dp, dp, dp, dp,
-                                      ctypes.c_long]
-    lib.gate_hold_process.argtypes = (
-        [dp, dp, dp, dp, ctypes.c_long]
-        + [ctypes.c_double] * 2 + [ctypes.c_int]
-        + [ctypes.c_double] * 8 + [ctypes.c_long, dp])
-    lib.distortion_process.argtypes = ([ctypes.c_int]
-                                       + [ctypes.c_double] * 6
-                                       + [ctypes.c_int, dp, ctypes.c_double,
-                                          ctypes.c_int, ctypes.c_int,
-                                          dp, dp, dp, ctypes.c_long])
-    lib.harmonic_bass_process.argtypes = ([dp, dp, ctypes.c_int, dp]
-                                          + [ctypes.c_double] * 9
-                                          + [dp, dp, ctypes.c_long, dp])
-    lib.delay_effect_process.argtypes = ([ctypes.c_int]
-                                         + [ctypes.c_double] * 4
-                                         + [dp, dp, dp, ctypes.c_long])
-    lib.spectral_freeze_process.restype = ctypes.c_int
-    lib.spectral_freeze_process.argtypes = [
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_double, ctypes.c_double, dp, dp, ctypes.c_long, dp]
-    lib.pitch_binshift_process.restype = ctypes.c_int
-    lib.pitch_binshift_process.argtypes = [
-        ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
-        dp, dp, ctypes.c_long, dp]
-    lib.pitch_stretch_process.restype = ctypes.c_int
-    lib.pitch_stretch_process.argtypes = [
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
-        dp, dp, ctypes.c_long, dp]
-    lib.ring_create.restype = ctypes.c_void_p
-    lib.ring_create.argtypes = [ctypes.c_long]
-    lib.ring_destroy.argtypes = [ctypes.c_void_p]
-    for name in ("ring_readable", "ring_writable"):
-        getattr(lib, name).restype = ctypes.c_long
-        getattr(lib, name).argtypes = [ctypes.c_void_p]
-    lib.ring_write.restype = ctypes.c_long
-    lib.ring_write.argtypes = [ctypes.c_void_p, fp, ctypes.c_long]
-    lib.ring_read.restype = ctypes.c_long
-    lib.ring_read.argtypes = [ctypes.c_void_p, fp, ctypes.c_long]
+        lib.flanger_process.argtypes = ([ctypes.c_int] + [ctypes.c_double] * 6
+                                        + [dp, dp, dp, ctypes.c_long])
+        lib.chorus_process.restype = ctypes.c_int
+        lib.chorus_process.argtypes = ([ctypes.c_int, ctypes.c_int]
+                                       + [ctypes.c_double] * 5
+                                       + [dp, dp, dp, ctypes.c_long])
+        lib.autowah_process.argtypes = ([ctypes.c_double] * 8
+                                        + [dp, dp, dp, ctypes.c_long])
+        lib.freeverb_process.restype = ctypes.c_long
+        lib.freeverb_process.argtypes = (
+            [ip, ctypes.c_int, ip, ctypes.c_int] + [ctypes.c_double] * 6
+            + [dp, dp, dp, ctypes.c_long, dp, dp, ctypes.c_long])
+        lib.fdn_process.restype = ctypes.c_long
+        lib.fdn_process.argtypes = [dp, dp, dp, dp, dp, ctypes.c_long, dp, dp,
+                                    ctypes.c_long]
+        lib.tremolo_process.argtypes = ([ctypes.c_double] * 5
+                                        + [dp, dp, dp, ctypes.c_long])
+        lib.ringmod_process.argtypes = ([ctypes.c_double] * 3
+                                        + [dp, dp, dp, ctypes.c_long])
+        lib.bitcrusher_process.argtypes = ([ctypes.c_double, ctypes.c_int,
+                                            ctypes.c_double]
+                                           + [dp, dp, dp, ctypes.c_long])
+        lib.transient_process.argtypes = ([ctypes.c_double] * 4
+                                          + [dp, dp, dp, ctypes.c_long])
+        lib.lookahead_process.argtypes = ([dp, dp, dp, ctypes.c_long,
+                                           ctypes.c_int]
+                                          + [ctypes.c_double] * 7 + [dp])
+        lib.deesser_process.argtypes = ([dp, dp, ctypes.c_int, dp, ctypes.c_int]
+                                        + [ctypes.c_double] * 8
+                                        + [ctypes.c_int, ctypes.c_int,
+                                           dp, dp, ctypes.c_long, dp])
+        lib.multiband_process.argtypes = ([dp, ctypes.c_int, ctypes.c_int]
+                                          + [dp] * 8
+                                          + [dp, dp, ctypes.c_long, dp, dp])
+        lib.dither_fir_process.argtypes = [dp, dp, dp, ctypes.c_long, dp,
+                                           ctypes.c_int, ctypes.c_int,
+                                           ctypes.c_double, ctypes.c_double, dp]
+        lib.dither_iir_process.argtypes = [dp, dp, dp, ctypes.c_long, dp,
+                                           ctypes.c_int, ctypes.c_double,
+                                           ctypes.c_double, dp]
+        lib.widener_process.argtypes = [dp, ctypes.c_int, dp, ctypes.c_int,
+                                        ctypes.c_double, dp, dp, dp, dp,
+                                        ctypes.c_long, dp]
+        lib.crosstalk_cancel_process.argtypes = [ctypes.c_int, ip, dp, dp,
+                                                 dp, dp, dp, dp,
+                                                 ctypes.c_long, dp]
+        lib.crosstalk_sim_process.argtypes = [ctypes.c_int, dp,
+                                              ctypes.c_double, ctypes.c_int,
+                                              dp, dp, dp, dp,
+                                              ctypes.c_long, dp]
+        lib.crosstalk_hrtf_process.argtypes = [dp, ctypes.c_int, dp,
+                                               ctypes.c_int, dp, ctypes.c_int,
+                                               dp, ctypes.c_int, ctypes.c_int,
+                                               dp, dp, dp, dp, ctypes.c_long]
+        lib.transformer_process.argtypes = ([ctypes.c_int, ctypes.c_int,
+                                             dp, dp, ctypes.c_int, dp]
+                                            + [ctypes.c_double] * 3
+                                            + [dp, dp, ctypes.c_long, dp])
+        lib.freqshift_process.restype = ctypes.c_int
+        lib.freqshift_process.argtypes = [dp, ctypes.c_int, ctypes.c_double,
+                                          ctypes.c_double, dp, dp, dp, dp,
+                                          ctypes.c_long]
+        lib.gate_hold_process.argtypes = (
+            [dp, dp, dp, dp, ctypes.c_long]
+            + [ctypes.c_double] * 2 + [ctypes.c_int]
+            + [ctypes.c_double] * 8 + [ctypes.c_long, dp])
+        lib.distortion_process.argtypes = ([ctypes.c_int]
+                                           + [ctypes.c_double] * 6
+                                           + [ctypes.c_int, dp, ctypes.c_double,
+                                              ctypes.c_int, ctypes.c_int,
+                                              dp, dp, dp, ctypes.c_long])
+        lib.harmonic_bass_process.argtypes = ([dp, dp, ctypes.c_int, dp]
+                                              + [ctypes.c_double] * 9
+                                              + [dp, dp, ctypes.c_long, dp])
+        lib.delay_effect_process.argtypes = ([ctypes.c_int]
+                                             + [ctypes.c_double] * 4
+                                             + [dp, dp, dp, ctypes.c_long])
+        lib.spectral_freeze_process.restype = ctypes.c_int
+        lib.spectral_freeze_process.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, dp, dp, ctypes.c_long, dp]
+        lib.pitch_binshift_process.restype = ctypes.c_int
+        lib.pitch_binshift_process.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            dp, dp, ctypes.c_long, dp]
+        lib.pitch_stretch_process.restype = ctypes.c_int
+        lib.pitch_stretch_process.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            dp, dp, ctypes.c_long, dp]
+        lib.ring_create.restype = ctypes.c_void_p
+        lib.ring_create.argtypes = [ctypes.c_long]
+        lib.ring_destroy.argtypes = [ctypes.c_void_p]
+        for name in ("ring_readable", "ring_writable"):
+            getattr(lib, name).restype = ctypes.c_long
+            getattr(lib, name).argtypes = [ctypes.c_void_p]
+        lib.ring_write.restype = ctypes.c_long
+        lib.ring_write.argtypes = [ctypes.c_void_p, fp, ctypes.c_long]
+        lib.ring_read.restype = ctypes.c_long
+        lib.ring_read.argtypes = [ctypes.c_void_p, fp, ctypes.c_long]
+    except AttributeError:
+        # a stale library missing newly added kernels: degrade to
+        # unavailable instead of raising out of available()
+        return None
     _lib = lib
     return lib
 
@@ -457,19 +467,32 @@ def wsola(ws, x):
     if r == 1.0:
         return x2.copy()
     seq, ov, seek = ws.sequence, ws.overlap, ws.seek
-    if n < seq + seek:
+    if n < seq + seek + 1:
         raise ValueError(
-            f"wsola golden needs at least seq+seek = {seq + seek} samples, "
-            f"got {n}")
+            f"wsola golden needs at least seq+seek+1 = {seq + seek + 1} "
+            f"samples, got {n}")
     flat = seq - ov
-    S = max(int((n - seq - seek) / (flat * r)), 1)
+    # stretch rate 1/r lengthens to ~n*r before the 1/r resample
+    # (`pitch_shifter.go:225-240`; see WSOLAPitchShifter.process).
+    # Segment count comes from the TARGET length and late reads are
+    # zero-extended (pitchSampleZero) — mirrored by zero-padding the
+    # input until the C++ kernel's internal segment count matches.
+    rate = 1.0 / r
+    target_len = max(int(round(n / rate)), 1)
+    S = max(-(-(target_len - seq) // flat) + 1, 1)
     out_len = (S - 1) * flat + seq
+    n_pad = max(n, int(S * flat * rate) + seq + seek + 1)
+    while int((n_pad - seq - seek) / (flat * rate)) < S:
+        n_pad += 1
+    while int((n_pad - seq - seek) / (flat * rate)) > S and n_pad > n:
+        n_pad -= 1
     flat_in = x2.reshape((-1, n))
     stretched = np.empty((flat_in.shape[0], out_len))
     for c in range(flat_in.shape[0]):
-        xi = np.ascontiguousarray(flat_in[c])
-        got = lib.wsola_stretch(_dptr(xi), n, seq, ov, seek,
-                                ctypes.c_double(r), _dptr(stretched[c]))
+        xi = np.zeros(n_pad)
+        xi[:n] = flat_in[c]
+        got = lib.wsola_stretch(_dptr(xi), n_pad, n, seq, ov, seek,
+                                ctypes.c_double(rate), _dptr(stretched[c]))
         if got != out_len:
             raise RuntimeError(f"wsola_stretch length {got} != {out_len}")
     rs = Resampler(*_ratio_to_fraction(1.0 / r),

@@ -271,6 +271,35 @@ static inline double dyn_gain_log2(double level, double threshold_log2,
     return std::exp2(-eff * comp_factor);
 }
 
+// One feedforward detector tick: sidechain one-pole prefilters +
+// optional windowed-RMS ring + branching attack/release envelope —
+// shared by the ff/expand/gate kernels (core.go:274-495). `ring` holds
+// rms_window-1 squared samples, oldest first; lp/hp_lp/env update in
+// place through the pointers. Returns the new envelope level.
+static inline double dyn_detect_tick(double* lp, double* hp_lp, double* env,
+                                     double* ring, int rms_window,
+                                     double lp_coeff, double hp_coeff,
+                                     double attack, double release,
+                                     double sc) {
+    double pre = sc;
+    if (lp_coeff > 0.0) { *lp += lp_coeff * (pre - *lp); pre = *lp; }
+    if (hp_coeff > 0.0) { *hp_lp += hp_coeff * (pre - *hp_lp); pre -= *hp_lp; }
+    double src = std::fabs(pre);
+    if (rms_window > 1) {
+        const int h = rms_window - 1;
+        const double sq = src * src;
+        double sum = sq;
+        for (int k = 0; k < h; ++k) sum += ring[k];
+        for (int k = 0; k < h - 1; ++k) ring[k] = ring[k + 1];
+        ring[h - 1] = sq;
+        const double mean = sum / (double)rms_window;
+        src = mean > 0.0 ? std::sqrt(mean) : 0.0;
+    }
+    if (src > *env) *env += (src - *env) * attack;
+    else            *env = src + (*env - src) * release;
+    return *env;
+}
+
 void dynamics_ff_process(const double* in, const double* sc, double* out,
                          double* gains, long n, double lp_coeff,
                          double hp_coeff, int rms_window, double attack,
@@ -282,25 +311,11 @@ void dynamics_ff_process(const double* in, const double* sc, double* out,
     double hp_lp = state[1];
     double env = state[2];
     double* ring = state + 3;            // rms_window-1 squares, oldest first
-    const int h = rms_window - 1;
     for (long i = 0; i < n; ++i) {
-        double pre = sc[i];
-        if (lp_coeff > 0.0) { lp += lp_coeff * (pre - lp); pre = lp; }
-        if (hp_coeff > 0.0) { hp_lp += hp_coeff * (pre - hp_lp); pre -= hp_lp; }
-        double src = std::fabs(pre);
-        if (rms_window > 1) {
-            const double sq = src * src;
-            double sum = sq;
-            for (int k = 0; k < h; ++k) sum += ring[k];
-            // shift ring (oldest first) and append
-            for (int k = 0; k < h - 1; ++k) ring[k] = ring[k + 1];
-            ring[h - 1] = sq;
-            double mean = sum / (double)rms_window;
-            src = mean > 0.0 ? std::sqrt(mean) : 0.0;
-        }
-        if (src > env) env += (src - env) * attack;      // rising
-        else           env = src + (env - src) * release; // falling
-        const double g = dyn_gain_log2(env, threshold_log2, knee_db,
+        const double level = dyn_detect_tick(
+            &lp, &hp_lp, &env, ring, rms_window, lp_coeff, hp_coeff,
+            attack, release, sc[i]);
+        const double g = dyn_gain_log2(level, threshold_log2, knee_db,
                                        knee_width_log2, inv_knee_width_log2,
                                        comp_factor);
         if (gains) gains[i] = g;
@@ -384,25 +399,12 @@ void dynamics_expand_process(const double* in, const double* sc,
     double hp_lp = state[1];
     double env = state[2];
     double* ring = state + 3;
-    const int h = rms_window - 1;
     for (long i = 0; i < n; ++i) {
-        double pre = sc[i];
-        if (lp_coeff > 0.0) { lp += lp_coeff * (pre - lp); pre = lp; }
-        if (hp_coeff > 0.0) { hp_lp += hp_coeff * (pre - hp_lp); pre -= hp_lp; }
-        double src = std::fabs(pre);
-        if (rms_window > 1) {
-            const double sq = src * src;
-            double sum = sq;
-            for (int k = 0; k < h; ++k) sum += ring[k];
-            for (int k = 0; k < h - 1; ++k) ring[k] = ring[k + 1];
-            ring[h - 1] = sq;
-            double mean = sum / (double)rms_window;
-            src = mean > 0.0 ? std::sqrt(mean) : 0.0;
-        }
-        if (src > env) env += (src - env) * attack;
-        else           env = src + (env - src) * release;
+        const double level = dyn_detect_tick(
+            &lp, &hp_lp, &env, ring, rms_window, lp_coeff, hp_coeff,
+            attack, release, sc[i]);
         const double g = dyn_expansion_gain_log2(
-            env, threshold_log2, knee_db, knee_width_log2,
+            level, threshold_log2, knee_db, knee_width_log2,
             inv_knee_width_log2, ratio, range_lin);
         if (gains) gains[i] = g;
         out[i] = in[i] * g;
@@ -659,12 +661,15 @@ void hilbert_process(const double* coeffs, int n_coeffs, double* state,
 // Returns the stretched length (S-1)*flat + seq; out must have room.
 // ---------------------------------------------------------------------------
 
-long wsola_stretch(const double* x, long n, int seq, int ov, int seek,
-                   double rate, double* out) {
+// n_sig: the ORIGINAL signal length before zero-extension (<= n);
+// segments whose reads extend past it take the nominal offset.
+long wsola_stretch(const double* x, long n, long n_sig, int seq, int ov,
+                   int seek, double rate, double* out) {
     const int flat = seq - ov;
-    // inputs shorter than one segment + search window would drive the
-    // nominal grid negative and read out of bounds — refuse instead
-    if (n < (long)seq + (long)seek) return -1;
+    // inputs shorter than one segment + search window + 1 would drive
+    // the nominal grid (after its clamp) below the seek half-window and
+    // read out of bounds — refuse instead
+    if (n < (long)seq + (long)seek + 1) return -1;
     long S = (long)((double)(n - seq - seek) / ((double)flat * rate));
     if (S < 1) S = 1;
     // f32 prefix energies (see note above)
@@ -694,14 +699,22 @@ long wsola_stretch(const double* x, long n, int seq, int ov, int seek,
             const double* ref = x + pts;
             int best = 0;
             double best_score = -1.0 / 0.0;
+            double e_max = 0.0;
             for (int k = 0; k < seek; ++k) {
                 double dot = 0.0;
                 const double* cand = x + rs + k;
                 for (int j = 0; j < ov; ++j) dot += cand[j] * ref[j];
                 const double e = (double)(csq[rs + k + ov] - csq[rs + k]);
+                if (e > e_max) e_max = e;
                 const double score = dot / std::sqrt(e + 1e-12);
                 if (score > best_score) { best_score = score; best = k; }
             }
+            // silent or boundary regions (reads touching the
+            // zero-extended tail): deterministic NOMINAL offset,
+            // mirroring the engine's guard
+            if (e_max <= 1e-12
+                || rs + (long)(seek - 1 + ov) + seq > n_sig)
+                best = seek / 2;
             start = rs + best;
         }
         pts = start + flat;
@@ -1470,15 +1483,8 @@ void transformer_process(int high_quality, int oversampling,
         double* damp_st = state + 2;
         for (long i = 0; i < n; ++i) {
             const double pre = bq_tick(hp_sos, hp_st, in[i]);
-            const double x = pre * drive;
-            double wet;
-            if (x > 3.0) wet = 1.0;
-            else if (x < -3.0) wet = -1.0;
-            else {
-                wet = x * (27.0 + x * x) / (27.0 + 9.0 * x * x);
-                if (wet > 1.0) wet = 1.0;
-                if (wet < -1.0) wet = -1.0;
-            }
+            // the lightweight odd-poly saturation IS moog_fast_tanh
+            double wet = moog_fast_tanh(pre * drive);
             wet = bq_tick(damp_sos, damp_st, wet);
             wet *= output_level;
             if (!std::isfinite(wet)) wet = 0.0;
@@ -1548,23 +1554,11 @@ void gate_hold_process(const double* in, const double* sc, double* out,
     double* ring = state + 3;
     long hold = (long)state[3 + (h > 0 ? h : 0)];
     for (long i = 0; i < n; ++i) {
-        double pre = sc[i];
-        if (lp_coeff > 0.0) { lp += lp_coeff * (pre - lp); pre = lp; }
-        if (hp_coeff > 0.0) { hp_lp += hp_coeff * (pre - hp_lp); pre -= hp_lp; }
-        double src = std::fabs(pre);
-        if (rms_window > 1) {
-            const double sq = src * src;
-            double sum = sq;
-            for (int k = 0; k < h; ++k) sum += ring[k];
-            for (int k = 0; k < h - 1; ++k) ring[k] = ring[k + 1];
-            ring[h - 1] = sq;
-            double mean = sum / (double)rms_window;
-            src = mean > 0.0 ? std::sqrt(mean) : 0.0;
-        }
-        if (src > env) env += (src - env) * attack;
-        else           env = src + (env - src) * release;
+        const double level = dyn_detect_tick(
+            &lp, &hp_lp, &env, ring, rms_window, lp_coeff, hp_coeff,
+            attack, release, sc[i]);
         double g = dyn_expansion_gain_log2(
-            env, threshold_log2, knee_db, knee_width_log2,
+            level, threshold_log2, knee_db, knee_width_log2,
             inv_knee_width_log2, ratio, range_lin);
         // hold timer (gate.go:360-367 / Gate.process step scan)
         const int reset = g >= 1.0;
@@ -1887,6 +1881,7 @@ static long pv_frames(long n, int fs, int hop) {
 int pitch_binshift_process(int frame_size, int hop, double ratio,
                            double norm_floor, const double* window,
                            const double* x, long n, double* out) {
+    if (n <= 0) return 0;                 // edge-replicate needs x[n-1]
     const int fs = frame_size;
     const int bins = fs / 2 + 1;
     const long nf = pv_frames(n, fs, hop);
@@ -1919,12 +1914,10 @@ int pitch_binshift_process(int frame_size, int hop, double ratio,
             const double src = (double)b / ratio;
             const long i0 = (long)std::floor(src);
             const double frac = src - (double)i0;
-            double m = 0.0;
-            if (i0 < bins - 1) {
-                const long i0c = i0 < 0 ? 0 : (i0 > bins - 2 ? bins - 2 : i0);
-                m = mag[i0c] * (1.0 - frac) + mag[i0c + 1] * frac;
-            }
             const long i0c = i0 < 0 ? 0 : (i0 > bins - 2 ? bins - 2 : i0);
+            double m = 0.0;
+            if (i0 < bins - 1)
+                m = mag[i0c] * (1.0 - frac) + mag[i0c + 1] * frac;
             const double acc = 2.0 * M_PI * (double)b * hop / fs
                                * (ratio - 1.0) * (double)(f + 1);
             const double p = ph[i0c] + acc;
@@ -1960,6 +1953,7 @@ int pitch_binshift_process(int frame_size, int hop, double ratio,
 int pitch_stretch_process(int frame_size, int ha, int hs,
                           double norm_floor, const double* window,
                           const double* x, long n, double* out) {
+    if (n <= 0) return 0;                 // edge-replicate needs x[n-1]
     const int fs = frame_size;
     const int bins = fs / 2 + 1;
     const long nf = pv_frames(n, fs, ha);
