@@ -501,3 +501,29 @@ def test_hrtf_irlib_roundtrip_through_simulator(tmp_path):
         write_hrtf_irlib(p, {"left_direct": irs["left_direct"]}, SR)
     with pytest.raises(ValueError, match="expected"):
         hrtf_ir_set_from_irlib(p, expect_sample_rate=44100.0)
+
+
+def test_wsola_preserves_event_timing_and_duration():
+    """Behavioral guard for the round-5 composition fix: pitch shifting
+    must keep events at their original positions and fill the full
+    output (the old rate-r stretch played everything at r^2 speed and
+    left a zero tail). Uses tone bursts at known positions."""
+    n = 1 << 15
+    burst_starts = [4000, 14000, 24000]
+    x = np.zeros(n)
+    t = np.arange(2000) / SR
+    burst = np.sin(2 * np.pi * 500.0 * t) * np.hanning(2000)
+    for s in burst_starts:
+        x[s:s + 2000] += burst
+    for ratio in (2 ** (3 / 12), 2 ** (-3 / 12)):
+        ws = WSOLAPitchShifter(SR, pitch_ratio=ratio)
+        y = np.asarray(ws.process(jnp.asarray(x)))
+        # full-length output: energy must exist in the last burst's span
+        assert float(np.sum(y[23000:27000] ** 2)) > 0.05 * float(
+            np.sum(x[23000:27000] ** 2)), ratio
+        # events stay in place: per-burst energy localization
+        env = np.convolve(y ** 2, np.ones(1000) / 1000, mode="same")
+        for s in burst_starts:
+            inside = env[s:s + 2500].max()
+            outside = env[s + 5000:s + 8000].max() if s + 8000 < n else 0.0
+            assert inside > 3 * outside, (ratio, s)
