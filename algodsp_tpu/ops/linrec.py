@@ -488,14 +488,18 @@ def affine_scan_nd(A, w, s0):
     def combine(left, right):
         a_l, b_l = left
         a_r, b_r = right
-        # HIGHEST: on TPU an unqualified f32 einsum lowers to bf16 MXU
-        # passes, which collapses this scan's accuracy from ~125 dB to
-        # ~34 dB over a few thousand composed steps (caught by the
-        # phaser golden in tools/tpu_smoke.py)
-        a = jnp.einsum("nij,njk->nik", a_r, a_l,
-                       precision=jax.lax.Precision.HIGHEST)
-        b = jnp.einsum("nij,n...j->n...i", a_r, b_l,
-                       precision=jax.lax.Precision.HIGHEST) + b_r
+        # broadcast-multiply-reduce on the VPU: true f32 (so the bf16
+        # MXU-lowering hazard the einsum form had to pin with HIGHEST
+        # cannot arise), and no padding of the tiny d x d matmuls onto
+        # 128x128 MXU tiles — the einsum form at HIGHEST (6 passes)
+        # made the 9-dim phaser scan ~2.2x slower (round-5 measurement:
+        # 34.4 -> 76.9 Msamples/s streamed). Remaining cost is the
+        # log-depth scan's op count (latency-bound at small d), not
+        # FLOPs.
+        a = jnp.sum(a_r[:, :, :, None] * a_l[:, None, :, :], axis=2)
+        nb = b_l.ndim - 2
+        ar_e = a_r.reshape(a_r.shape[:1] + (1,) * nb + a_r.shape[1:])
+        b = jnp.sum(ar_e * b_l[..., None, :], axis=-1) + b_r
         return a, b
 
     _, after_t = jax.lax.associative_scan(combine, (A, wt), axis=0)
