@@ -895,3 +895,24 @@ def test_native_spectral_pitch_matches_jax(ratio):
     y_jax = np.asarray(ps.process(jnp.asarray(x)))
     y_gold = native.spectral_pitch(ps, x)
     assert snr_db(y_gold, y_jax) > 110
+
+
+@pytest.mark.parametrize("n,ratio", [
+    (12000, 1.3), (20000, 0.8), (16384, 1.189), (30000, 0.707),
+    (9500, 2.0)])
+def test_native_wsola_grid_property(n, ratio):
+    """Property sweep over lengths and ratios for the round-5 grid:
+    full-length output, engine==golden, and output energy within 3 dB
+    of input energy (no collapse, no blow-up)."""
+    ws = WSOLAPitchShifter(48000.0, pitch_ratio=ratio)
+    if n < ws.sequence + ws.seek + int(ws.sequence * ratio) + 1:
+        pytest.skip("below the engine's documented minimum length")
+    rng = np.random.default_rng(int(n + ratio * 1000))
+    x = np.convolve(rng.standard_normal(n), np.ones(8) / 8.0,
+                    mode="same").reshape(1, -1)
+    y = np.asarray(ws.process(jnp.asarray(x)))
+    g = native.wsola(ws, x)
+    assert y.shape == (1, n) and g.shape == (1, n)
+    assert snr_db(g, y) > 110, (n, ratio)
+    e_ratio = float(np.sum(y ** 2)) / float(np.sum(x ** 2))
+    assert 0.5 < e_ratio < 2.0, (n, ratio, e_ratio)
