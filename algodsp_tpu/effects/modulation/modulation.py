@@ -305,12 +305,15 @@ class Phaser:
     TPU design: the whole S-stage allpass cascade plus its feedback
     path is LINEAR in the state (x1_i, y1_i, fb) and the input — only
     the allpass coefficient varies per sample, and it is LFO-driven
-    (input-independent).  Each sample is therefore one (2S+1)-dim
-    affine map, built in closed form and scanned with the log-depth
-    `linrec.affine_scan_nd` instead of N sequential steps.  The matrix
-    half of the scan is channel-independent, so its cost does not grow
-    with the channel count.  `process_scan` keeps the per-sample
-    reference loop for parity testing.
+    (input-independent).  The stored state is redundant one sample in
+    (x1_i' = y1_{i-1}', fb' = y1_{S-1}'), so each sample reduces to an
+    (S+1)-dim affine map over u = [v_0..v_S], built in closed form and
+    scanned with the log-depth `linrec.affine_scan_nd` instead of N
+    sequential steps (sample 0 is evaluated explicitly from the full
+    user-visible state, which keeps arbitrary initial states exact).
+    The matrix half of the scan is channel-independent, so its cost
+    does not grow with the channel count.  `process_scan` keeps the
+    per-sample reference loop for parity testing.
     """
 
     def __init__(self, sample_rate: float, *, rate_hz: float = 0.5,
@@ -352,38 +355,55 @@ class Phaser:
         dtype = x.dtype
         N = x.shape[-1]
         S = self.stages
-        d = 2 * S + 1                       # state = [x1_0.., y1_0.., fb]
         a = self._allpass_coeffs(state["phase"], N, dtype)       # (N,)
         inc = TWO_PI * self.rate_hz / self.sample_rate
         new_phase = jnp.mod(state["phase"] + inc * N, TWO_PI)
 
-        # Build each sample's affine map by composing the stage updates
-        # symbolically: alpha_i = coefficients of stage input v_i over
-        # [state, x] (dim d+1).  v_0 = x + feedback*fb;
-        # v_{i+1} = a v_i + x1_i - a y1_i.
-        alpha = jnp.zeros((N, d + 1), dtype)
-        alpha = alpha.at[:, d].set(1.0)
-        alpha = alpha.at[:, d - 1].set(self.feedback)
-        alphas = [alpha]
+        # Reduced-state scan.  The stored (x1_i, y1_i, fb) triples are
+        # redundant one sample in: x1_i' = v_i = y1_{i-1}' and fb' =
+        # v_S, so the whole cascade state is u = [v_0..v_S] — (S+1)
+        # dims instead of 2S+1, cutting the log-depth combine's d^3
+        # cost ~5.8x for the 4-stage default.  Sample 0 is computed
+        # explicitly from the full (possibly inconsistent) user state;
+        # samples 1..N-1 run the reduced affine scan:
+        #   v_0 = x + feedback*u_S;  v_{i+1} = a v_i + u_i - a u_{i+1}.
+        x0 = x[..., 0]
+        a0 = a[0]
+        v = x0 + state["fb"] * self.feedback
+        vs = [v]
         for i in range(S):
-            nxt = a[:, None] * alphas[-1]
-            nxt = nxt.at[:, i].add(1.0)
-            nxt = nxt.at[:, S + i].add(-a)
-            alphas.append(nxt)
-        # rows: x1_i' = v_i, y1_i' = v_{i+1}, fb' = v_S
-        M = jnp.stack([alphas[i] for i in range(S)]
-                      + [alphas[i + 1] for i in range(S)]
-                      + [alphas[S]], axis=1)                     # (N, d, d+1)
-        A, b = M[..., :d], M[..., d]                             # (N,d,d),(N,d)
+            v = a0 * v + state["x1"][..., i] - a0 * state["y1"][..., i]
+            vs.append(v)
+        u0 = jnp.stack(vs, axis=-1)                              # (..., S+1)
+        y0 = x0 * (1.0 - self.mix) + vs[-1] * self.mix
 
-        s0 = jnp.concatenate([state["x1"], state["y1"],
-                              state["fb"][..., None]], axis=-1)  # (..., d)
-        w = b * x[..., None]                                     # (..., N, d)
-        after, final = linrec.affine_scan_nd(A, w, s0)
-        v_last = after[..., :, d - 1]                            # fb' = v_S
-        y_out = x * (1.0 - self.mix) + v_last * self.mix
-        return ({"x1": final[..., :S], "y1": final[..., S:2 * S],
-                 "fb": final[..., d - 1], "phase": new_phase}, y_out)
+        if N == 1:
+            final = u0
+            y_out = y0[..., None]
+        else:
+            dr = S + 1
+            a1 = a[1:]                                           # (N-1,)
+            # alpha_i = coefficients of v_i over [u, x] (dim dr+1)
+            alpha = jnp.zeros((N - 1, dr + 1), dtype)
+            alpha = alpha.at[:, dr].set(1.0)
+            alpha = alpha.at[:, S].set(self.feedback)
+            alphas = [alpha]
+            for i in range(S):
+                nxt = a1[:, None] * alphas[-1]
+                nxt = nxt.at[:, i].add(1.0)
+                nxt = nxt.at[:, i + 1].add(-a1)
+                alphas.append(nxt)
+            M = jnp.stack(alphas, axis=1)                        # (N-1, dr, dr+1)
+            A, b = M[..., :dr], M[..., dr]
+            w = b * x[..., 1:, None]                             # (..., N-1, dr)
+            after, final = linrec.affine_scan_nd(A, w, u0)
+            v_last = after[..., :, S]                            # v_S per sample
+            y_out = jnp.concatenate(
+                [y0[..., None],
+                 x[..., 1:] * (1.0 - self.mix) + v_last * self.mix], axis=-1)
+
+        return ({"x1": final[..., :S], "y1": final[..., 1:],
+                 "fb": final[..., S], "phase": new_phase}, y_out)
 
     def process_scan(self, state, x):
         """Per-sample reference loop (phaser.go:268-285 order)."""

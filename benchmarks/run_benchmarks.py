@@ -225,8 +225,9 @@ def main():
         row(f"{name} streamed, 64ch x 2048 x {nb} blocks (one dispatch)",
             bench(f_s, eff.init_state((64,)), xs), 64 * 2048 * nb)
     # streamed modulation effects (round 5): the zero-delay-feedback
-    # flank — phaser's 9-dim affine scan is op-latency-bound (VPU
-    # combine landed 34 -> 77 M; chunked variants don't cut op count)
+    # flank — phaser's affine scan is op-latency-bound (VPU combine
+    # landed 34 -> 77 M, reduced 5-dim state 77 -> 137 M; chunked
+    # variants don't cut op count)
     from algodsp_tpu.effects.modulation import AutoWah, Chorus, Phaser
     for name, eff in (("chorus", Chorus(sr, mix=0.4)),
                       ("phaser (4 stages)", Phaser(sr, stages=4)),
