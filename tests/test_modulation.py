@@ -392,6 +392,29 @@ def test_phaser_affine_scan_matches_sample_loop():
                                    atol=1e-10)
 
 
+def test_phaser_reduced_scan_arbitrary_initial_state():
+    # The reduced (S+1)-dim scan relies on x1_i' = y1_{i-1}' holding
+    # AFTER one sample; an arbitrary user-supplied state need not
+    # satisfy it, so sample 0 must be evaluated from the full state.
+    ph = Phaser(SR, rate_hz=0.9, stages=4, feedback=0.55, mix=0.6)
+    rng = np.random.default_rng(23)
+    st = {"x1": jnp.asarray(rng.standard_normal((3, 4))),
+          "y1": jnp.asarray(rng.standard_normal((3, 4))),
+          "fb": jnp.asarray(rng.standard_normal((3,))),
+          "phase": jnp.asarray(1.1, jnp.float64)}
+    x = jnp.asarray(rng.standard_normal((3, 513)))
+    s1, y1 = ph.process(dict(st), x)
+    s2, y2 = ph.process_scan(dict(st), x)
+    assert snr_db(np.asarray(y2), np.asarray(y1)) > 200
+    for k in ("x1", "y1", "fb"):
+        np.testing.assert_allclose(np.asarray(s1[k]), np.asarray(s2[k]),
+                                   atol=1e-10)
+    # N=1 block (the scan-free early-out) from the same state
+    s1, y1 = ph.process(dict(st), x[..., :1])
+    s2, y2 = ph.process_scan(dict(st), x[..., :1])
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-12)
+
+
 def test_phaser_stages_range():
     for stages in (1, 2, 6):
         ph = Phaser(SR, stages=stages)
